@@ -1,0 +1,206 @@
+"""Schema-d readers and versioned dataset IO.
+
+Reference parity (see SURVEY.md §1-2A; /root/reference/tools/tools.go):
+
+- R1  StreamJSONLRecords (tools.go:516-552): line-at-a-time JSONL scan with
+  a compile-time schema, failing on the first malformed line →
+  ``read_jsonl(..., mode="FAILFAST")`` with an explicit StructType.
+- R3/R4 ReadLatestVersionedJSONL / ReadSpecificVersionedJSONL
+  (tools.go:578-604): versioned dataset resolution → ``read_versioned``.
+- R6/R7 NewJSONLWriter / GetNextVersionedJSONLWriter (tools.go:474-511):
+  versioned sinks → ``write_versioned`` (Parquet by default; JSONL
+  available for fidelity).
+
+Versioning model: ``<root>/<step>/v=<N>/`` immutable directories, N
+monotonically increasing.  Unlike the reference's list-then-increment
+(tools.go:343-366), which races under concurrent writers, version claim
+here is an atomic ``mkdir`` — the first writer to create ``v=N`` owns it
+(MVCC-lite).  At 100 TB each version is a normal partitioned Parquet
+dataset; resolution cost is one directory listing, independent of data
+size.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .session import ensure_engine_conf
+
+# ---------------------------------------------------------------------------
+# Fixture-table schemas (FIXTURES.md §B, verified against parquet footers).
+# Parquet is self-describing, so reads use the footer schema; these DDL
+# constants document the contract and back schema validation + the JSONL/CSV
+# derived fixtures (which DO need explicit schemas — never inferSchema).
+# ---------------------------------------------------------------------------
+
+TABLE_DDL: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    ),
+    "events": (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ),
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
+TABLES = tuple(TABLE_DDL)
+
+
+def table_schema(name: str) -> T.StructType:
+    return T.StructType.fromDDL(TABLE_DDL[name])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Columnar Parquet scan — Catalyst prunes
+    columns and pushes predicates into the row-group/page level for free."""
+    ensure_engine_conf(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """JSONL scan with a declared schema (reference R1 semantics:
+    typed records, fail on first malformed line; unknown fields dropped,
+    missing fields null — an intentional divergence from Go zero-values,
+    SURVEY.md §1.3)."""
+    ensure_engine_conf(spark)
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    header: bool = True,
+) -> DataFrame:
+    ensure_engine_conf(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Versioned datasets
+# ---------------------------------------------------------------------------
+
+_VERSION_RE = re.compile(r"^v=(\d+)$")
+
+
+def _step_dir(root: str, step: str) -> str:
+    return os.path.join(root, step)
+
+
+def list_versions(root: str, step: str) -> list[int]:
+    d = _step_dir(root, step)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for entry in os.listdir(d):
+        m = _VERSION_RE.match(entry)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(root: str, step: str) -> int | None:
+    versions = list_versions(root, step)
+    return versions[-1] if versions else None
+
+
+def claim_next_version(root: str, step: str) -> tuple[int, str]:
+    """Atomically claim the next version directory.
+
+    The reference lists files and increments (tools.go:343-366) which races
+    under concurrent writers; ``os.mkdir`` is atomic on POSIX, so the first
+    writer to create ``v=N`` owns it and losers retry with N+1.
+    """
+    os.makedirs(_step_dir(root, step), exist_ok=True)
+    n = (latest_version(root, step) or 0) + 1
+    while True:
+        path = os.path.join(_step_dir(root, step), f"v={n}")
+        try:
+            os.mkdir(path)
+            return n, path
+        except FileExistsError:
+            n += 1
+
+
+def write_versioned(
+    df: DataFrame,
+    root: str,
+    step: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> tuple[int, str]:
+    """Write ``df`` as the next version of ``step``: R7 on Spark.
+
+    Spark's file-output commit protocol stages to ``_temporary`` and
+    renames on job success, so a failed write leaves no committed data —
+    the reference's delete-partial-output-on-error (etl.go:90-95,
+    124-130) for free.
+    """
+    version, path = claim_next_version(root, step)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    return version, path
+
+
+def read_versioned(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Read a versioned dataset: latest (R3) or pinned (R4)."""
+    ensure_engine_conf(spark)
+    if version is None:
+        version = latest_version(root, step)
+        if version is None:
+            raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    path = os.path.join(_step_dir(root, step), f"v={version}")
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        if schema is None:
+            raise ValueError("JSON versioned reads require an explicit schema")
+        return spark.read.schema(schema).json(path)
+    raise ValueError(f"unsupported format: {fmt}")

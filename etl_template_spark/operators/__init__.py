@@ -1,0 +1,14 @@
+"""Reusable composite operators the DataFrame API lacks as primitives.
+
+Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
+    asof.py       as-of join (union + carry-forward window: O(n log n),
+                  never materializes the m×n candidate space)
+    sessionize.py gap-based sessionization (lag + cumulative sum)
+    topk.py       per-group top-k (rank window) and global top-k
+    dedup.py      exact / MinHash / SimHash deduplication
+    skew.py       key-salting helpers for pathological skew
+"""
+
+from .asof import asof_join  # noqa: F401
+from .sessionize import sessionize  # noqa: F401
+from .topk import top_k_per_group  # noqa: F401

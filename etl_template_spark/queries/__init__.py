@@ -1,0 +1,22 @@
+"""Query inventory — importing this package populates the registry.
+
+One module per operator family from SURVEY.md §2B.
+"""
+
+from ..registry import REGISTRY, Query, queries_by_tag  # noqa: F401
+
+from . import (  # noqa: F401,E402
+    scans,
+    projection,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    functions_scalar,
+    udfs,
+    llm_text,
+    similarity,
+    streaming_batch,
+)
+
+__all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -1,0 +1,286 @@
+"""Aggregation operators (SURVEY.md §2B: q_agg_*, q_rollup/cube/grouping_sets).
+
+All hash aggregations: Catalyst plans partial (map-side) aggregation
+before the shuffle, so the shuffle volume is #groups × #partitions, not
+#rows — the property that makes these queries hold at 100 TB.  Float
+sums go through the exact-decimal path (compat.py) so results are
+order-independent and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..compat import davg, davg_sql, dsum, dsum_sql
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# q_agg_group — the flagship: TPC-H Q1 shape.
+# scan → filter (pushed to parquet) → partial agg → shuffle on 2 low-card
+# keys → final agg → sort. The whole batch spine in one query.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {dsum_sql('l_quantity')}                                        AS sum_qty,
+      {dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+      {dsum_sql('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+      {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+      {davg_sql('l_quantity')}                                        AS avg_qty,
+      {davg_sql('l_extendedprice')}                                   AS avg_price,
+      {davg_sql('l_discount')}                                        AS avg_disc,
+      COUNT(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship", "bench"),
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (multi-key, multi-aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+    SELECT
+      COUNT(*)                          AS n_rows,
+      {dsum_sql('l_quantity')}          AS total_qty,
+      {davg_sql('l_extendedprice')}     AS avg_price,
+      MIN(l_shipdate)                   AS first_ship,
+      MAX(l_shipdate)                   AS last_ship,
+      MIN(l_quantity)                   AS min_qty,
+      MAX(l_extendedprice)              AS max_price
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped global aggregation (single-row result)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      COUNT(DISTINCT o_custkey)                  AS n_customers,
+      COUNT(DISTINCT o_orderpriority)            AS n_priorities,
+      {dsum_sql('o_totalprice')}                 AS sum_price,
+      COUNT(*)                                   AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) alongside plain aggregates (expand-based plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+    tags=("agg",),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+# approx_count_distinct: HLL-based, engine-specific estimates can't hash-match
+# an oracle — the driver records the rows-only check; the unit tests assert
+# the estimate is within rsd of the exact count.
+@register("q_agg_approx", oracle=None, tags=("agg", "approx"))
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count (HyperLogLog++): the 100 TB-friendly
+    substitute for exact COUNT(DISTINCT) — no expand, no giant shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*)                    AS n_orders,
+      {dsum_sql('o_totalprice')}  AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: (a,b), (a), () grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      COUNT(*)                  AS n_rows,
+      {dsum_sql('l_quantity')}  AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      COUNT(*)                   AS n_orders,
+      {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg",),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (by status, and separately by priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*)                                               AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+      {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit
+    values avoid the extra distinct-values job Spark otherwise runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,115 @@
+"""Source / sink operators (SURVEY.md §2B: q_scan_*, q_sink_versioned).
+
+Reference parity: R1 (JSONL scan with declared schema, FAILFAST —
+tools.go:516-552), R3/R4/R7 (versioned datasets — tools.go:343-444).
+
+The JSONL/CSV fixtures are derived deterministically from the parquet
+tables into a scratch dir, so the DuckDB oracle can state the same
+result directly over the parquet views — the comparison then proves the
+round-trip through the text format is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, read_csv, read_jsonl, read_versioned, write_versioned
+from ..registry import register
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "etl_template_spark_fixtures")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_SCRATCH, tag, name)
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 45
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("source",),
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan: the projection and predicate both reach the
+    scan node (ReadSchema carries 4 of 11 columns, PushedFilters carries
+    the quantity bound) — verified in tests/test_plans.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .where(F.col("l_quantity") >= 45)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+    tags=("source",),
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL scan with declared schema + FAILFAST (reference R1 semantics,
+    tools.go:516-552: typed records, die on first malformed line).
+
+    The fixture is derived from ``customer`` once per scale factor; the
+    oracle reads the parquet view directly, so a match proves the JSONL
+    round-trip (including shortest-repr doubles) is lossless."""
+    path = _scratch(sf_dir, "customer_jsonl")
+    if not os.path.isdir(path):
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        ).coalesce(1).write.mode("overwrite").json(path)
+    schema = "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+    df = read_jsonl(spark, path, schema, mode="FAILFAST")
+    return (
+        df.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .where(F.col("c_acctbal") > 0)
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    tags=("source",),
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with header + declared schema (never inferSchema)."""
+    path = _scratch(sf_dir, "nation_csv")
+    if not os.path.isdir(path):
+        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", "true").csv(path)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    return read_csv(spark, path, schema, header=True).orderBy("n_nationkey")
+
+
+@register("q_sink_versioned", oracle=None, tags=("sink",))
+def q_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned sink + latest-version read-back (R3/R7, tools.go:343-444).
+
+    Writes ``supplier`` twice under ``output/<step>/v=N`` (atomic mkdir
+    claim, fixing the reference's list-then-increment race) and returns
+    the latest read-back; rows-only check: content equals the source."""
+    root = tempfile.mkdtemp(prefix="etl_versioned_")
+    sup = load_table(spark, sf_dir, "supplier")
+    write_versioned(sup.where(F.col("s_suppkey") % 2 == 0), root, "suppliers")
+    write_versioned(sup, root, "suppliers")  # v=2 supersedes
+    return read_versioned(spark, root, "suppliers").orderBy("s_suppkey")
