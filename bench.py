@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end with the noop sink (full plan execution,
+rows materialized through WholeStageCodegen, nothing shipped to the
+driver) — the honest cost of the query, not of collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q_agg_group",       # TPC-H Q1 shape: the batch spine
+    "q_join_multi",      # 5-table star join + agg
+    "q_filter",          # pushdown-heavy scan
+    "q_win_rank",        # window shuffle
+    "q_topk_per_group",  # rank-limit pushdown
+    "q_sort_limit",      # TakeOrderedAndProject
+    "q_dedup_fuzzy",     # MinHash LSH end-to-end
+    "q_dedup_exact",     # hash-aggregate dedup
+    "q_sim_search",      # vector top-k
+    "q_tfidf",           # token explode + joins + window
+    "q_stream_tumbling", # event-time windowing
+    "q_sessionize",      # lag+cumsum sessionization
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    sf = float(m.group(1)) if m else -1.0
+
+    from etl_template_spark.session import get_spark
+    from etl_template_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM/codegen once with the flagship so per-query numbers
+    # measure the plan, not first-touch classloading
+    REGISTRY["q_agg_group"].build(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,10 +16,34 @@ Layout:
     compat.py     cross-engine deterministic aggregation helpers
     registry.py   Query registry binding Spark builders to DuckDB oracles
     queries/      one module per operator family (SURVEY.md §2B)
-    operators/    reusable composite operators (as-of join, sessionize, …)
-    functions/    column-expression libraries (text, vectors)
+    operators/    reusable composites (as-of join, sessionize, top-k,
+                  dedup primitives, skew salting)
     streaming/    Structured Streaming flavors of the batch operators
     multimodal.py binary-column (image/audio) plumbing with stubbed codecs
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .io import (  # noqa: F401,E402
+    load_table,
+    read_csv,
+    read_jsonl,
+    read_versioned,
+    write_versioned,
+)
+from .pipeline import Pipeline, PipelineRun, Step, StepFailed, knoll  # noqa: F401,E402
+from .session import get_spark  # noqa: F401,E402
+
+__all__ = [
+    "Pipeline",
+    "PipelineRun",
+    "Step",
+    "StepFailed",
+    "get_spark",
+    "knoll",
+    "load_table",
+    "read_csv",
+    "read_jsonl",
+    "read_versioned",
+    "write_versioned",
+]

@@ -75,9 +75,29 @@ def table_schema(name: str) -> T.StructType:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar Parquet scan — Catalyst prunes
-    columns and pushes predicates into the row-group/page level for free."""
+    columns and pushes predicates into the row-group/page level for free.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS, isAdjustedToUTC=false),
+    which Spark 4 refuses to scan as a timestamp (PARQUET_TYPE_ILLEGAL).
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
+    raw nanos-since-epoch long; the fixture values are whole microseconds
+    (verified: nanos % 1000 == 0 across all rows), so ``ts div 1000`` →
+    ``timestamp_micros`` is lossless.  The result is cast to
+    TIMESTAMP_NTZ (naive wall-clock, via the UTC session zone) to match
+    how the other fixture tables' timestamps load and how the DuckDB
+    oracle sees them.
+    """
     ensure_engine_conf(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
 
 
 def read_jsonl(

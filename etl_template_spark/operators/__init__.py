@@ -10,5 +10,13 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
 """
 
 from .asof import asof_join  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    verified_jaccard,
+)
 from .sessionize import sessionize  # noqa: F401
+from .skew import replicate_join, salted_agg, with_salt  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

@@ -61,20 +61,37 @@ def asof_join(
 
     unioned = left_spine.unionByName(right_spine.select(left_spine.columns))
 
+    # Pack all right-side value columns into ONE struct and carry the
+    # struct, not the columns individually: a legitimately-NULL field in
+    # the latest match stays NULL instead of resurrecting an older
+    # non-null value.  The struct itself doubles as the window's unique
+    # tiebreaker, so two right rows at the same (key, time) resolve
+    # deterministically (last in struct order wins) in every engine and
+    # at every parallelism.
+    packed = F.when(
+        F.col(_TAG) == 0, F.struct(*[F.col(c) for c in value_cols])
+    )  # NULL struct for left rows → last(ignorenulls) skips them
+    carried = unioned.withColumn("__asof_packed", packed)
+
     w = (
         Window.partitionBy(left_on)
-        .orderBy(F.col(_TIME).asc(), F.col(_TAG).asc())
+        .orderBy(F.col(_TIME).asc(), F.col(_TAG).asc(), F.col("__asof_packed").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    carry = F.last("__asof_packed", ignorenulls=True).over(w)
     matched_time = F.last(F.when(F.col(_TAG) == 0, F.col(_TIME)), ignorenulls=True).over(w)
-    carried = carried.withColumn("__asof_matched_time", matched_time)
+    carried = carried.withColumn("__asof_carry", carry).withColumn(
+        "__asof_matched_time", matched_time
+    )
 
     out = carried.where(F.col(_TAG) == 1)
+    no_match = F.col("__asof_carry").isNull()
     if tolerance is not None:
-        stale = F.col("__asof_matched_time") < F.col(_TIME) - F.expr(f"INTERVAL {tolerance}")
-        for c in value_cols:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.drop(_TAG, _TIME, "__asof_matched_time")
+        no_match = no_match | (
+            F.col("__asof_matched_time") < F.col(_TIME) - F.expr(f"INTERVAL {tolerance}")
+        )
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(no_match, F.lit(None)).otherwise(F.col("__asof_carry").getField(c))
+        )
+    return out.drop(_TAG, _TIME, "__asof_packed", "__asof_carry", "__asof_matched_time")

@@ -1,0 +1,192 @@
+"""Deduplication primitives: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Library layer behind the q_dedup_* queries (queries/llm_text.py) —
+importable for pipeline use.  Everything is a pure DataFrame→DataFrame
+composition of JVM-side expressions; the O(n²) pair space is never
+materialized (SURVEY.md §4.3): candidates come from banded-LSH
+equi-joins or inverted-index shingle joins only.
+
+Cross-engine determinism contract: shingle/token ids derive from sha2
+hex (identical in Spark and DuckDB); MinHash uses fixed (a, b)
+constants under the Mersenne prime 2^31-1 with 32-bit ids, so a*x+b
+stays < 2^63 in both engines' signed-64 arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed MinHash parameters — part of the operator contract (the DuckDB
+# oracles inline the same constants).
+MH_PRIME = 2147483647  # 2^31 - 1
+MH_AB: list[tuple[int, int]] = [
+    (1207727749, 1180987373), (1033077585, 629668666), (106453267, 329530807),
+    (1867264452, 1181341562), (1608309912, 239983018), (55247323, 722129513),
+    (1049003351, 910486695), (657017825, 621861403), (1174616050, 320514767),
+    (341556916, 178797989), (745851744, 1824315663), (1563526045, 51444901),
+    (783114585, 900227953), (704321542, 1634384415), (1651341144, 1368729076),
+    (1024653426, 1544717884),
+]
+MH_BANDS = 8  # 8 bands × 2 rows over the 16-hash signature
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization — the shared token definition for every
+    text operator (oracle: DuckDB ``string_split(text, ' ')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ", -1)
+
+
+def shingles_col(toks: Column, k: int = 3) -> Column:
+    """k-token shingles as strings; empty array when the doc has < k
+    tokens (mirrors DuckDB ``range`` semantics — Spark's ``sequence``
+    would count DOWN without the guard)."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_id(s: Column) -> Column:
+    """32-bit id from the first 8 hex chars of sha2-256 — DuckDB:
+    ``cast(concat('0x', substr(sha256(s),1,8)) as bigint)``."""
+    return F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("bigint")
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by sha2-256 content hash; ``min(id)`` survivor is
+    deterministic (dropDuplicates keeps an arbitrary row).  One hash
+    aggregate — the shuffle carries one row per DISTINCT document."""
+    return df.groupBy(F.sha2(content_col, 256).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, mh0..mh15) MinHash signature from a (id, s) shingle frame:
+    one groupBy — 16 mins computed in the same partial aggregate."""
+    sid = shingle_id(F.col("s"))
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * sid + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MH_AB)
+        ]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(d1, d2) candidate pairs from banded LSH: explode band keys,
+    self equi-join on the key — only genuinely-colliding pairs appear."""
+    bands = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(i), F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+                    )
+                    for i in range(MH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    left = bands.select(F.col(id_col).alias("d1"), "band_key")
+    right = bands.select(F.col(id_col).alias("d2"), "band_key")
+    return (
+        left.join(right, "band_key")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def verified_jaccard(
+    pairs: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (d1, d2) pairs via the inverted
+    index; only candidate pairs are ever scored."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
+    b = shingles.select(F.col("doc_id").alias("__vd2"), F.col("s").alias("s2"))
+    common = (
+        pairs.join(a, "d1")
+        .join(b, (F.col("d2") == F.col("__vd2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash_col_bits(tid: Column, n_bits: int = 16) -> list[Column]:
+    """±1 vote aggregates per bit of a token-id column (sum → sign)."""
+    return [
+        F.sum(F.when((tid.bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)).alias(
+            f"w{b}"
+        )
+        for b in range(n_bits)
+    ]
+
+
+def pack_simhash(n_bits: int = 16) -> Column:
+    """Pack the w0..w{n-1} vote columns into one integer fingerprint."""
+    packed: Column | None = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"w{b}") > 0, 1 << b).otherwise(0)
+        packed = term if packed is None else packed + term
+    assert packed is not None
+    return packed.cast("bigint")
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float, df_cap: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via the inverted index.  ``df_cap``
+    is the 100 TB guard: shingles present in more than ``df_cap`` docs
+    (stopword-like) are dropped BEFORE the self-join — they contribute
+    quadratic bucket blowup and near-zero Jaccard signal."""
+    if df_cap is not None:
+        freq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        shingles = (
+            shingles.join(F.broadcast(freq.where(F.col("df") > df_cap)), "s", "left_anti")
+        )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("d1"), "s")
+    b = shingles.select(F.col("doc_id").alias("d2"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .where(jac >= threshold)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )

@@ -23,12 +23,19 @@ def sessionize(
     ts: str,
     gap_seconds: int = 1800,
     session_col: str = "session_id",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """Add ``session_col``: 1-based session index per key ordered by ts."""
-    order: list[Column] = [F.col(ts).asc()]
+    """Add ``session_col``: 1-based session index per key ordered by ts.
+
+    ``tiebreak``: extra ORDER BY columns making the per-key order total
+    (required for cross-engine determinism when ts values can tie)."""
+    order: list[Column] = [F.col(ts).asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w_seq = Window.partitionBy(key).orderBy(*order)
-    prev_ts = F.lag(ts).over(w_seq)
-    gap = F.col(ts).cast("double") - prev_ts.cast("double")
-    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # Epoch micros via an LTZ cast (UTC session): NTZ→numeric casts are
+    # illegal in Spark 4, so the gap is computed on unix_micros instead.
+    epoch_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_us = F.lag(epoch_us).over(w_seq)
+    gap = (epoch_us - prev_us).cast("double") / 1.0e6
+    is_new = F.when(prev_us.isNull() | (gap > gap_seconds), 1).otherwise(0)
     w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(is_new).over(w_run))

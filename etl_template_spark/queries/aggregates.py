@@ -121,7 +121,6 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -146,7 +145,6 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("spend"),
         )
         .where(F.col("n_orders") >= 12)
-        .orderBy("o_custkey")
     )
 
 
@@ -164,7 +162,6 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.count(F.lit(1)).alias("n_rows"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -255,7 +252,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
     )
 
@@ -282,5 +278,4 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(dsum("l_quantity"))
         .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
-        .orderBy("l_returnflag")
     )

@@ -34,7 +34,7 @@ from ..registry import register
       substring(c_name, 1, 8)                        AS prefix8,
       CAST(length(c_name) AS INT)                    AS name_len,
       regexp_extract(c_name, '#(\d+)', 1)            AS cust_digits,
-      regexp_replace(c_name, '0+', '0')              AS squeezed,
+      regexp_replace(c_name, '0+', '0', 'g')         AS squeezed,
       CAST(length(string_split(c_name, '0')) AS INT) AS n_zero_splits,
       replace(c_mktsegment, 'MACH', 'MECH')          AS replaced,
       lpad(CAST(c_custkey AS VARCHAR), 12, '0')      AS padded_key
@@ -62,7 +62,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("c_name", "0", -1)).alias("n_zero_splits"),
         F.replace(F.col("c_mktsegment"), F.lit("MACH"), F.lit("MECH")).alias("replaced"),
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
-    ).orderBy("c_custkey")
+    )
 
 
 @register(
@@ -74,7 +74,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(month(o_orderdate) AS INT)                      AS o_month,
       CAST(day(o_orderdate) AS INT)                        AS o_day,
       CAST(dayofweek(o_orderdate) AS INT) + 1              AS o_dow,
-      date_trunc('month', o_orderdate)                     AS month_start,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)  AS month_start,
       CAST(o_orderdate AS DATE)                            AS o_date,
       o_orderdate + INTERVAL 30 DAY                        AS due_ts,
       CAST(date_diff('day', CAST(o_orderdate AS DATE),
@@ -105,7 +105,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -113,7 +113,7 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_orderkey, l_linenumber,
-      round(l_extendedprice * (1 - l_discount), 2)        AS net_price,
+      CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)), 2) AS DOUBLE) AS net_price,
       abs(l_discount - 0.05)                              AS disc_dev,
       CAST(ceil(l_extendedprice / 1000) AS BIGINT)        AS price_kilo_ceil,
       CAST(floor(l_quantity / 7) AS BIGINT)               AS qty_bucket,
@@ -135,7 +135,11 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)"), 2
+        )
+        .cast("double")
+        .alias("net_price"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_kilo_ceil"),
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
@@ -145,7 +149,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity").cast("int") % 5).alias("qty_mod"),
         F.greatest("l_discount", "l_tax").alias("max_rate"),
         F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 @register(
@@ -185,7 +189,7 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("is_priority"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -223,7 +227,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sq_norm, 6).alias("sq_norm"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("e_max"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-    ).orderBy("vec_id")
+    )
 
 
 @register(
@@ -250,4 +254,4 @@ def q_fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         parsed.getField("k").alias("k_int"),
         F.when(parsed.getField("k") >= 50, "hi").otherwise("lo").alias("k_bucket"),
-    ).orderBy("event_id")
+    )

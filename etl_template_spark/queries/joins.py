@@ -2,12 +2,14 @@
 
 Strategy notes (the part that matters at 100 TB):
 
-- Dimension joins (region, nation, customer, supplier, part) are
-  explicitly ``broadcast()`` — no shuffle of the fact table, the build
-  side ships to every executor once.
-- Fact-fact equi-joins shuffle on the join key; AQE converts to
-  broadcast at runtime when a side turns out small, and splits skewed
-  partitions (skewJoin.enabled).
+- Bounded dimensions (region, nation: fixed cardinality at every SF)
+  are explicitly ``broadcast()`` — no shuffle of the fact table, the
+  build side ships to every executor once.
+- Fact-scaled tables (customer, orders, lineitem) are never force-
+  broadcast: at the 100 TB design point customer is hundreds of GB and
+  a forced broadcast OOMs every executor.  They shuffle on the join
+  key; AQE converts to broadcast at runtime when a side turns out
+  small, and splits skewed partitions (skewJoin.enabled).
 - The theta join binds the range predicate to a broadcast nested-loop
   over a tiny bands dimension — never a fact×fact cross product.
 - The as-of join uses the union + carry-forward operator
@@ -40,9 +42,8 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .select("o_orderkey", "o_orderdate", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
-        .orderBy("o_orderkey")
     )
 
 
@@ -65,7 +66,6 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, cond, "left")
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -86,7 +86,6 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, cond, "right")
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .orderBy(F.col("c_custkey"), F.col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -108,7 +107,6 @@ def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "full")
         .select("c_custkey", "c_name", "o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("c_custkey").asc_nulls_first(), F.col("o_orderkey").asc_nulls_first())
     )
 
 
@@ -130,7 +128,6 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -152,7 +149,6 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy("c_custkey")
     )
 
 
@@ -173,7 +169,6 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("n_nationkey", "n_name", "r_name")
-        .orderBy("n_nationkey")
     )
 
 
@@ -211,7 +206,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -291,4 +286,4 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="click_ts",
         value_cols=["click_ts", "click_id"],
-    ).select("event_id", "user_id", "ts", "value", "click_ts", "click_id").orderBy("event_id")
+    ).select("event_id", "user_id", "ts", "value", "click_ts", "click_id")

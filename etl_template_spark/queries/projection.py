@@ -41,7 +41,7 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("c_acctbal") * 1.1).alias("adjusted_bal"),
         F.upper("c_mktsegment").alias("segment"),
-    ).orderBy("userId")
+    )
 
 
 @register(
@@ -78,5 +78,4 @@ def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_shipdate",
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )

@@ -23,9 +23,21 @@ from ..registry import register
 _SCRATCH = os.path.join(tempfile.gettempdir(), "etl_template_spark_fixtures")
 
 
-def _scratch(sf_dir: str, name: str) -> str:
+def _scratch(sf_dir: str, table: str, name: str) -> str:
+    """Scratch path for a derived text fixture, keyed by a content
+    fingerprint (mtime_ns + size) of the source parquet — a regenerated
+    fixture gets a fresh path instead of silently reusing stale data,
+    and two sf roots sharing a basename can't collide."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(_SCRATCH, tag, name)
+    return os.path.join(_SCRATCH, f"{tag}-{st.st_mtime_ns:x}-{st.st_size:x}", name)
+
+
+def _derived_ready(path: str) -> bool:
+    # Spark's commit protocol writes _SUCCESS last; its presence means a
+    # complete committed write (a concurrent or crashed writer leaves none).
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
 @register(
@@ -46,7 +58,6 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .where(F.col("l_quantity") >= 45)
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -67,17 +78,15 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture is derived from ``customer`` once per scale factor; the
     oracle reads the parquet view directly, so a match proves the JSONL
     round-trip (including shortest-repr doubles) is lossless."""
-    path = _scratch(sf_dir, "customer_jsonl")
-    if not os.path.isdir(path):
+    path = _scratch(sf_dir, "customer", "customer_jsonl")
+    if not _derived_ready(path):
         load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
-        ).coalesce(1).write.mode("overwrite").json(path)
+        ).write.mode("overwrite").json(path)
     schema = "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
     df = read_jsonl(spark, path, schema, mode="FAILFAST")
-    return (
-        df.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-        .where(F.col("c_acctbal") > 0)
-        .orderBy("c_custkey")
+    return df.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment").where(
+        F.col("c_acctbal") > 0
     )
 
 
@@ -92,13 +101,13 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV scan with header + declared schema (never inferSchema)."""
-    path = _scratch(sf_dir, "nation_csv")
-    if not os.path.isdir(path):
-        load_table(spark, sf_dir, "nation").coalesce(1).write.mode(
-            "overwrite"
-        ).option("header", "true").csv(path)
+    path = _scratch(sf_dir, "nation", "nation_csv")
+    if not _derived_ready(path):
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+            "header", "true"
+        ).csv(path)
     schema = "n_nationkey int, n_name string, n_regionkey int"
-    return read_csv(spark, path, schema, header=True).orderBy("n_nationkey")
+    return read_csv(spark, path, schema, header=True)
 
 
 @register("q_sink_versioned", oracle=None, tags=("sink",))
@@ -112,4 +121,4 @@ def q_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     write_versioned(sup.where(F.col("s_suppkey") % 2 == 0), root, "suppliers")
     write_versioned(sup, root, "suppliers")  # v=2 supersedes
-    return read_versioned(spark, root, "suppliers").orderBy("s_suppkey")
+    return read_versioned(spark, root, "suppliers")

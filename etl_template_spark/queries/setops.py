@@ -53,7 +53,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    return building.unionByName(rich).orderBy("c_custkey", "c_mktsegment")
+    return building.unionByName(rich)
 
 
 @register(
@@ -73,7 +73,7 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000).select(
         "c_custkey", "c_name", "c_mktsegment"
     )
-    return building.unionByName(rich).distinct().orderBy("c_custkey")
+    return building.unionByName(rich).distinct()
 
 
 @register(
@@ -91,7 +91,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     a = c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select("c_custkey")
     b = c.where(F.col("c_acctbal") > 2000).select("c_custkey")
-    return a.intersect(b).orderBy("c_custkey")
+    return a.intersect(b)
 
 
 @register(
@@ -109,7 +109,7 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     a = c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select("c_custkey")
     b = c.where(F.col("c_acctbal") > 2000).select("c_custkey")
-    return a.subtract(b).orderBy("c_custkey")
+    return a.subtract(b)
 
 
 @register(
@@ -125,6 +125,4 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate elimination on a projected key pair — partial (map-side)
     distinct means the shuffle carries #distinct values, not #rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
-        "l_returnflag", "l_linestatus"
-    )
+    return li.select("l_returnflag", "l_linestatus").distinct()

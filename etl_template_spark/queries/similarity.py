@@ -1,0 +1,263 @@
+"""Embedding similarity operators (SURVEY.md §2B: q_sim_search, plus the
+scale-path ANN variant, cosine near-dup detection, and a blocked k-NN
+join) over the ``embeddings`` fixture (vec_id, embedding array<float>,
+label).
+
+Execution posture:
+
+- Dot products / norms are JVM-side higher-order functions
+  (``zip_with`` + ``aggregate`` fold) — no Python, no UDF, vectors never
+  leave Tungsten rows.
+- Brute-force top-k broadcasts the ONE query vector against the corpus
+  and takes the global k with TakeOrderedAndProject — a single scan, no
+  shuffle of the vectors, embarrassingly parallel at any scale.  What
+  does NOT scale is all-pairs (n² similarity join) — the near-dup and
+  k-NN operators therefore block (label / LSH bucket) before pairing.
+- Floating-point discipline: accumulate in double with a sequential
+  left fold; DuckDB oracles state the identical fold via
+  ``list_reduce`` so both engines produce bit-identical sums, rounded
+  to 6 decimals at the comparison boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_DIM = 64
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float vectors."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def sq_norm_col(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """round(dot / sqrt(na*nb), 6) — formula mirrored verbatim in SQL."""
+    return F.round(dot_col(a, b) / F.sqrt(sq_norm_col(a) * sq_norm_col(b)), 6)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # list_reduce folds left like Spark's aggregate with 0.0 init
+    # (0.0 + x == x exactly in IEEE, so the first-element seed is identical).
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / "
+        f"sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}), 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_search — brute-force cosine top-k (the exact baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sim_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_cos_sql('embedding', 'qv')} AS cos_sim
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for one query vector (vec_id=0) against the
+    corpus.  The query vector is a broadcast 1-row DataFrame (never a
+    driver collect); the global top-k plans TakeOrderedAndProject — a
+    per-partition bounded heap, no global sort.  Ordering is on the
+    ROUNDED similarity with vec_id tiebreaker → deterministic ranks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_search_lsh — random-hyperplane LSH bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (fixed LCG — part of the
+    operator contract, identical across runs/engines/cluster sizes)."""
+    coefs = []
+    state = 1234567 + 999331 * j
+    for _ in range(_DIM):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        coefs.append(state / float(1 << 31) - 0.5)
+    return coefs
+
+
+def _bucket_col(vec: Column) -> Column:
+    """LSH bucket id: sign bit per hyperplane, packed into an int."""
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(c) for c in _plane(j)])
+        d = dot_col(vec, plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+@register("q_sim_search_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via random-hyperplane LSH: vectors are
+    bucketed by the sign pattern of 8 fixed hyperplanes; the search
+    probes the query's bucket plus all Hamming-1 neighbors (multiprobe),
+    then scores only candidates — corpus fraction ~(1+8)/256 ≈ 3.5%.
+    At 100 TB the bucket id becomes the partition key, so a probe reads
+    9 partitions instead of the corpus.  Approximate ⇒ rows-only check;
+    tests assert recall against q_sim_search on the fixtures."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", _bucket_col(F.col("embedding")))
+    q = bucketed.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    # query bucket + its 8 Hamming-1 probes, as a broadcast 9-row frame
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.where(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            "vec_id",
+            "label",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_embedding — cosine near-dup pairs (label-blocked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+    ORDER BY v1, v2
+    """,
+    tags=("llm", "similarity", "dedup"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks: the pair
+    space is constrained to an equi-join on ``label`` (the blocking key),
+    so each block pairs internally and blocks never cross — the standard
+    blocked-dedup shape.  At corpus scale the blocking key is an LSH
+    bucket (see q_sim_search_lsh) or a cluster id; the plan — equi-join,
+    per-pair JVM score, threshold filter — is identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+    )
+    cos = cosine_col(F.col("emb1"), F.col("emb2"))
+    return (
+        a.join(b, "label")
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_knn_join_blocked — k nearest neighbors per vector within its block
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_join_blocked",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 50),
+    ranked AS (
+      SELECT v1, v2, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY v1
+                                ORDER BY cos_sim DESC, v2) AS rnk
+      FROM pairs)
+    SELECT v1, v2, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY v1, rnk
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors (by cosine) for each probe vector (vec_id < 50)
+    within its label block: equi-join on the block key, per-pair JVM
+    cosine, windowed top-k (WindowGroupLimit keeps per-group state at
+    k).  The k-NN-join shape behind dedup clustering and retrieval-
+    augmented data curation; block key generalizes to LSH/IVF cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < 50).select(
+        F.col("label"), F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
+    )
+    corpus = e.select(
+        F.col("label"), F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+    )
+    pairs = (
+        probes.join(corpus, "label")
+        .where(F.col("v1") != F.col("v2"))
+        .select("v1", "v2", cosine_col(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("v1").orderBy(F.col("cos_sim").desc(), F.col("v2"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("v1", "v2", "cos_sim", "rnk")
+    )

@@ -1,0 +1,223 @@
+"""Event-time windowing operators — the batch-equivalent (and therefore
+DuckDB-checkable) twins of the Structured Streaming jobs in
+``streaming/jobs.py`` (SURVEY.md §2B: q_stream_tumbling, q_stream_sliding,
+q_sessionize, q_stream_dedup_late).
+
+Spark's ``window()`` / ``session_window()`` produce IDENTICAL results in
+batch and streaming over the same (complete) input — streaming only adds
+incremental state + watermark-driven finalization.  Verifying the batch
+twin against the oracle verifies the windowing semantics; the streaming
+tests (tests/test_streaming.py) then verify the incremental machinery
+(watermark drops, availableNow checkpointing) on the same fixtures.
+
+Window alignment note: Spark aligns tumbling windows to the epoch; DuckDB
+``time_bucket`` aligns sub-day buckets to an epoch-aligned origin too, so
+5/10-minute buckets coincide exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..compat import dsum, dsum_sql
+from ..io import load_table
+from ..operators.sessionize import sessionize
+from ..registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT
+      time_bucket(INTERVAL '5 minutes', ts)                        AS win_start,
+      time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+      event_type,
+      COUNT(*)                                                     AS n_events,
+      {dsum_sql('value')}                                          AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event_type.  In streaming this is
+    ``readStream … withWatermark('ts', …).groupBy(window(…))`` — same
+    plan, plus state; partial aggregation means the shuffle carries one
+    row per (window, type) per partition at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS s1 FROM events),
+    expanded AS (
+      SELECT event_type, value, s1 AS win_start, ts FROM starts
+      UNION ALL
+      SELECT event_type, value, s1 - INTERVAL '5 minutes' AS win_start, ts FROM starts)
+    SELECT
+      win_start,
+      win_start + INTERVAL '10 minutes' AS win_end,
+      event_type,
+      COUNT(*)                          AS n_events,
+      {dsum_sql('value')}               AS sum_value
+    FROM expanded
+    WHERE ts >= win_start AND ts < win_start + INTERVAL '10 minutes'
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10-minute width, 5-minute slide): every event
+    lands in 2 windows.  Spark's window() expands rows internally; the
+    oracle states the same expansion as a UNION ALL of the two aligned
+    starts.  Overlap factor = width/slide bounds the row blowup (2×) —
+    the knob to watch at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ses AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq)
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*)                   AS n_events,
+           MIN(ts)                    AS session_start,
+           MAX(ts)                    AS session_end,
+           {dsum_sql('value')}        AS sum_value
+    FROM ses
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-minute gap) per user, summarized: the
+    lag + cumulative-sum formulation (operators/sessionize.py) — one
+    shuffle on user_id shared by both window passes and the final
+    aggregation.  The streaming twin is ``session_window()`` with a
+    watermark (streaming/jobs.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events",
+            "session_start",
+            "session_end",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup_late",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(ts) - INTERVAL '1 hour' AS min_ts FROM events),
+    on_time AS (
+      SELECT e.* FROM events e CROSS JOIN horizon h WHERE e.ts >= h.min_ts),
+    keyed AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+             event_id, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type,
+                            time_bucket(INTERVAL '5 minutes', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM on_time)
+    SELECT user_id, event_type, bucket_start,
+           event_id AS kept_event_id, ts AS kept_ts
+    FROM keyed WHERE rn = 1
+    ORDER BY user_id, event_type, bucket_start
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked dedup, batch twin: drop events older than the
+    watermark horizon (max event time - 1 h — what a streaming watermark
+    would have finalized), then keep the FIRST event per
+    (user, type, 5-min bucket) — ``dropDuplicates`` semantics made
+    deterministic via earliest-(ts, event_id).  The streaming twin is
+    ``withWatermark('ts','1 hour').dropDuplicates([...])``; the horizon
+    is a broadcast scalar, never a driver round-trip."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("min_ts"))
+    on_time = ev.crossJoin(F.broadcast(horizon)).where(F.col("ts") >= F.col("min_ts"))
+    keyed = on_time.select(
+        "user_id",
+        "event_type",
+        F.window("ts", "5 minutes").start.alias("bucket_start"),
+        "event_id",
+        "ts",
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket_start").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "bucket_start",
+            F.col("event_id").alias("kept_event_id"),
+            F.col("ts").alias("kept_ts"),
+        )
+    )

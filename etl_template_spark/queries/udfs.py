@@ -27,15 +27,19 @@ from pyspark.sql.functions import pandas_udf
 from ..io import load_table
 from ..registry import register
 
+# NOTE: no module-level @pandas_udf decorators.  The decorator resolves its
+# return type eagerly, which (a) requires a live SparkSession at import time
+# and (b) re-fires inside Python workers when cloudpickle re-imports this
+# module to unpickle a sibling function.  Plain functions stay module-level;
+# pandas_udf(...) wrapping happens inside each builder.
 
-@pandas_udf("double")
-def _credit_score(acctbal: pd.Series, name: pd.Series) -> pd.Series:
+
+def _credit_score_fn(acctbal: pd.Series, name: pd.Series) -> pd.Series:
     # Arbitrary Python logic stand-in: elementwise IEEE ops only (exact).
     return acctbal * 0.01 + name.str.len().astype("float64")
 
 
-@pandas_udf("string")
-def _norm_segment(seg: pd.Series) -> pd.Series:
+def _norm_segment_fn(seg: pd.Series) -> pd.Series:
     return seg.str.lower().str.replace("machinery", "mech", regex=False)
 
 
@@ -55,26 +59,25 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized scalar pandas UDFs (Arrow batches) — the R9 escape
     hatch for per-record logic Spark expressions can't state."""
     c = load_table(spark, sf_dir, "customer")
+    credit_score = pandas_udf(_credit_score_fn, "double")
+    norm_segment = pandas_udf(_norm_segment_fn, "string")
     return c.select(
         "c_custkey",
-        _credit_score("c_acctbal", "c_name").alias("credit_score"),
-        _norm_segment("c_mktsegment").alias("segment_norm"),
-    ).orderBy("c_custkey")
+        credit_score("c_acctbal", "c_name").alias("credit_score"),
+        norm_segment("c_mktsegment").alias("segment_norm"),
+    )
 
 
-@pandas_udf("double")
-def _qty_sum(q: pd.Series) -> float:
+def _qty_sum_fn(q: pd.Series) -> float:
     # Integral-valued doubles: sum is exact in any accumulation order.
     return float(q.sum())
 
 
-@pandas_udf("double")
-def _qty_range(q: pd.Series) -> float:
+def _qty_range_fn(q: pd.Series) -> float:
     return float(q.max() - q.min())
 
 
-@pandas_udf("long")
-def _heavy_lines(q: pd.Series) -> int:
+def _heavy_lines_fn(q: pd.Series) -> int:
     return int((q >= 40).sum())
 
 
@@ -95,14 +98,13 @@ def _heavy_lines(q: pd.Series) -> int:
 def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDFs (one Arrow batch per group)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            _qty_sum("l_quantity").alias("qty_sum"),
-            _qty_range("l_quantity").alias("qty_range"),
-            _heavy_lines("l_quantity").alias("heavy_lines"),
-        )
-        .orderBy("l_returnflag")
+    qty_sum = pandas_udf(_qty_sum_fn, "double")
+    qty_range = pandas_udf(_qty_range_fn, "double")
+    heavy_lines = pandas_udf(_heavy_lines_fn, "long")
+    return li.groupBy("l_returnflag").agg(
+        qty_sum("l_quantity").alias("qty_sum"),
+        qty_range("l_quantity").alias("qty_range"),
+        heavy_lines("l_quantity").alias("heavy_lines"),
     )
 
 
@@ -141,7 +143,6 @@ def q_udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey", "o_orderkey", "o_totalprice")
         .groupBy("o_custkey")
         .applyInPandas(_minmax_scale, schema=out_schema)
-        .orderBy("o_custkey", "o_orderkey")
     )
 
 
@@ -165,7 +166,6 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("token") > 5)
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("token")
     )
 
 
@@ -200,7 +200,6 @@ def q_udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary flat-map over Arrow batches (mapInPandas): each document
     emits one row per metric — the fully-general UDTF shape."""
     d = load_table(spark, sf_dir, "documents")
-    out = d.select("doc_id", "text").mapInPandas(
+    return d.select("doc_id", "text").mapInPandas(
         _doc_metrics, schema="doc_id long, metric string, value long"
     )
-    return out.orderBy("doc_id", "metric")

@@ -47,7 +47,6 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
         )
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -81,9 +80,11 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("value").over(w).alias("next_value"),
             F.first("event_type").over(w).alias("first_type"),
             F.lag("ts", 1).over(w).alias("prev_ts"),
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap_us"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts", 1).over(w).cast("timestamp"))
+            ).alias("gap_us"),
         )
-        .orderBy("user_id", "ts", "event_id")
     )
 
 
@@ -114,7 +115,7 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rows = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
     w_range = (
         Window.partitionBy("l_suppkey")
-        .orderBy(F.col("l_shipdate").cast("long"))
+        .orderBy(F.unix_seconds(F.col("l_shipdate").cast("timestamp")))
         .rangeBetween(-604800, 0)
     )
     return (
@@ -130,7 +131,6 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_running"),
             F.sum("l_quantity").over(w_range).alias("qty_7day"),
         )
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     )
 
 
@@ -161,5 +161,4 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=3,
         )
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rnk")
-        .orderBy("o_custkey", "rnk")
     )

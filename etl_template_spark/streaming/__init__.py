@@ -1,0 +1,13 @@
+"""Structured Streaming flavors of the batch operators (SURVEY.md §2B
+streaming rows; batch-equivalent twins live in queries/streaming_batch.py).
+"""
+
+from .jobs import (  # noqa: F401
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    session_agg_stream,
+    sliding_agg_stream,
+    tumbling_agg_stream,
+    versioned_stream_sink,
+)

@@ -1,0 +1,165 @@
+"""Structured Streaming jobs: the incremental flavor of the reference's
+checkpointed record loop (R12, /root/reference/tools/tools.go:676-806).
+
+The reference resumes a crashed step from a per-record JSON cursor
+(``LoopState``, tools.go:59-62) persisted after EVERY record
+(tools.go:771-777).  Structured Streaming's ``checkpointLocation`` is
+the native replacement: source offsets + operator state in a WAL,
+exactly-once file sinks, resume-on-restart — at micro-batch rather than
+per-record granularity, which is the only version of this that
+survives 100 TB.
+
+Every job below takes a streaming DataFrame and returns a streaming
+DataFrame (composability); ``run_available_now`` executes one
+bounded catch-up pass (Trigger.AvailableNow) — the batch-parity mode the
+tests use, and operationally "process the backlog, then stop".
+
+Event-time discipline: every stateful op declares a watermark; state for
+windows older than (max event time - watermark) is finalized and
+dropped, which is what bounds state size on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+# explicit StructType (NOT fromDDL, which parses via a live SparkSession
+# and would make this module un-importable session-free)
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events JSONL (schema declared, never
+    inferred — the engine's R1 discipline applies to streams too)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def tumbling_agg_stream(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """q_stream_tumbling, incremental: watermarked tumbling window agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg_stream(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """q_stream_sliding, incremental."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """q_sessionize, incremental: native ``session_window`` — state per
+    open session, merged on overlap, finalized by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """q_stream_dedup_late, incremental: watermarked dropDuplicates —
+    duplicate keys within the watermark horizon are dropped; state for
+    keys older than the horizon is evicted (bounded state)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
+
+
+def run_available_now(
+    df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Process everything currently available, then stop (bounded
+    catch-up).  Memory sink for tests; checkpointed like any stream."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def versioned_stream_sink(
+    df: DataFrame,
+    root: str,
+    step: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream → versioned dataset: each micro-batch commits as a new
+    ``v=N`` via foreachBatch (R7 semantics on a stream).  The
+    checkpoint's WAL makes batch ids exactly-once: a replayed batch
+    claims a FRESH version rather than corrupting an old one, so
+    versions are immutable even across crash-recovery."""
+    from ..io import write_versioned
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            write_versioned(batch_df, root, step)
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, step))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Multimodal plumbing tests: binary columns through Arrow batches with
+the deterministic fake decoder (real codecs are injected in production;
+the schema/batch contracts are what these tests pin down)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_template_spark.multimodal import (
+    attach_media_meta,
+    decode_image,
+    extract_image_features,
+    fake_decode,
+    make_thumbnails,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", "png", bytes(range(256)) * 8),
+        (2, "image", "jpg", b"\xff\xd8" + b"spark" * 100),
+        (3, "image", "png", b""),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id bigint, kind string, fmt string, content binary"
+    )
+
+
+def test_attach_media_meta_jvm_side(media_df):
+    out = attach_media_meta(media_df, "media_id").collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 2048
+    assert by_id[3]["n_bytes"] == 0
+    assert by_id[2]["sha256"] == hashlib.sha256(b"\xff\xd8" + b"spark" * 100).hexdigest()
+
+
+def test_decode_stub_raises_without_codec(media_df):
+    with pytest.raises(Exception) as exc_info:
+        extract_image_features(media_df, decoder=decode_image).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "no image codec" in str(
+        exc_info.value
+    )
+
+
+def test_feature_extraction_deterministic(media_df):
+    a = extract_image_features(media_df, decoder=fake_decode).collect()
+    b = extract_image_features(media_df, decoder=fake_decode).collect()
+    fa = {r["media_id"]: r["feat"] for r in a}
+    fb = {r["media_id"]: r["feat"] for r in b}
+    assert fa == fb and len(fa) == 3
+    assert all(len(v) == 8 for v in fa.values())
+    assert all(abs(sum(v) - 1.0) < 1e-6 for v in fa.values())  # normalized
+
+
+def test_thumbnails_shape(media_df):
+    out = {r["media_id"]: r for r in make_thumbnails(media_df, decoder=fake_decode).collect()}
+    for r in out.values():
+        assert 1 <= r["thumb_w"] <= 8 and 1 <= r["thumb_h"] <= 8
+        assert len(r["thumb"]) == r["thumb_w"] * r["thumb_h"] * 3
+
+
+def test_frame_sampling_explodes(spark):
+    df = spark.createDataFrame(
+        [(1, b"x" * 3000), (2, b"y" * 10)], "media_id bigint, content binary"
+    )
+    rows = sample_frames(df, every_n_bytes=1024, frame_bytes=64).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3  # 3000 bytes / 1024 stride
+    assert len(by_id[2]) == 1
+    assert all(len(r["frame"]) <= 64 for r in rows)

@@ -1,0 +1,229 @@
+"""Unit tests for the composite operators on tiny inline frames:
+edge cases the oracle-differential suite can't isolate (ties, tolerance,
+empty inputs, null handling, concurrent version claims)."""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import functions as F
+
+from etl_template_spark.io import claim_next_version, latest_version
+from etl_template_spark.operators.asof import asof_join
+from etl_template_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingles_col,
+    tokens_col,
+    verified_jaccard,
+)
+from etl_template_spark.operators.sessionize import sessionize
+from etl_template_spark.operators.skew import replicate_join, salted_agg
+from etl_template_spark.operators.topk import top_k_per_group
+
+TS = "2024-01-01 {}:00"
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- asof ----
+
+
+def test_asof_basic_and_no_match(spark):
+    left = _df(
+        spark,
+        [(1, "10:00", "a"), (1, "12:00", "b"), (2, "09:00", "c")],
+        "k int, t string, payload string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = _df(
+        spark,
+        [(1, "09:30", 100.0), (1, "11:00", 200.0), (2, "09:30", 300.0)],
+        "k int, rt string, v double",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        value_cols=["v"],
+    )
+    got = {(r["k"], r["payload"]): r["v"] for r in out.collect()}
+    assert got[(1, "a")] == 100.0   # latest right <= 10:00
+    assert got[(1, "b")] == 200.0   # latest right <= 12:00
+    assert got[(2, "c")] is None    # right at 09:30 > 09:00 → no match
+
+
+def test_asof_tie_at_equal_time_matches(spark):
+    # right row AT the left timestamp counts (<= semantics)
+    left = _df(spark, [(1, "10:00")], "k int, t string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = _df(spark, [(1, "10:00", 7.0)], "k int, rt string, v double").withColumn(
+        "rt", F.col("rt").cast("timestamp")
+    )
+    out = asof_join(left, right, "k", "k", "t", "rt", value_cols=["v"]).collect()
+    assert out[0]["v"] == 7.0
+
+
+def test_asof_null_value_in_latest_match_is_preserved(spark):
+    # the latest right row carries a NULL v — must NOT resurrect the
+    # older non-null value (struct-packed carry)
+    left = _df(spark, [(1, "12:00")], "k int, t string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = _df(
+        spark,
+        [(1, "10:00", 1.0, "x"), (1, "11:00", None, "y")],
+        "k int, rt string, v double, tag string",
+    ).withColumn("rt", F.col("rt").cast("timestamp"))
+    out = asof_join(left, right, "k", "k", "t", "rt", value_cols=["v", "tag"]).collect()
+    assert out[0]["tag"] == "y" and out[0]["v"] is None
+
+
+def test_asof_tolerance(spark):
+    left = _df(spark, [(1, "12:00")], "k int, t string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    right = _df(spark, [(1, "09:00", 5.0)], "k int, rt string, v double").withColumn(
+        "rt", F.col("rt").cast("timestamp")
+    )
+    ok = asof_join(left, right, "k", "k", "t", "rt", ["v"], tolerance="4 hours")
+    assert ok.collect()[0]["v"] == 5.0
+    stale = asof_join(left, right, "k", "k", "t", "rt", ["v"], tolerance="2 hours")
+    assert stale.collect()[0]["v"] is None
+
+
+# ---------------------------------------------------------- sessionize ----
+
+
+def test_sessionize_gap_edges(spark):
+    # gap of exactly 1800s does NOT split (strictly-greater starts new)
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),   # gap == 1800 → same session
+        (1, "2024-01-01 11:00:01"),   # gap 1801  → new session
+        (2, "2024-01-01 10:00:00"),
+    ]
+    df = _df(spark, rows, "user int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sessionize(df, key="user", ts="ts", gap_seconds=1800)
+    got = sorted((r["user"], str(r["ts"]), r["session_id"]) for r in out.collect())
+    assert [g[2] for g in got] == [1, 1, 2, 1]
+
+
+def test_sessionize_empty(spark):
+    df = spark.createDataFrame([], "user int, ts timestamp")
+    assert sessionize(df, "user", "ts").count() == 0
+
+
+# ---------------------------------------------------------------- topk ----
+
+
+def test_topk_per_group_ties_deterministic(spark):
+    rows = [(1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 1, "d")]
+    df = _df(spark, rows, "g int, score int, id string")
+    out = top_k_per_group(df, ["g"], [F.col("score").desc(), F.col("id")], k=2)
+    got = sorted((r["g"], r["id"], r["rnk"]) for r in out.collect())
+    assert got == [(1, "a", 1), (1, "b", 2), (2, "d", 1)]
+
+
+# --------------------------------------------------------------- dedup ----
+
+
+def test_dedup_exact_survivor_is_min_id(spark):
+    df = _df(spark, [(3, "x"), (1, "x"), (2, "y")], "doc_id int, text string")
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark shuffles and parquet files here"
+    docs = _df(
+        spark, [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
+    ).distinct()
+    sig = minhash_signature(sh)
+    cands = lsh_candidate_pairs(sig)
+    got = {(r["d1"], r["d2"]) for r in cands.collect()}
+    assert (1, 2) in got
+    verified = verified_jaccard(cands, sh, threshold=0.5)
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in verified.collect()}
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.6
+
+
+def test_ngram_jaccard_df_cap_prunes_stopword_shingles(spark):
+    # a shingle shared by every doc is pruned by df_cap → no pairs from it
+    docs = _df(
+        spark,
+        [(i, f"common shingle here unique{i} word{i} tail{i}") for i in range(5)],
+        "doc_id int, text string",
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
+    ).distinct()
+    assert ngram_jaccard_pairs(sh, threshold=0.1, df_cap=3).count() == 0
+
+
+def test_dedup_idempotent(spark):
+    # dedup(dedup(x)) == dedup(x) on the survivor set (SURVEY §5.2(4))
+    df = _df(spark, [(1, "x"), (2, "x"), (3, "y")], "doc_id int, text string")
+    once = dedup_exact(df)
+    survivors = df.join(
+        once.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    twice = dedup_exact(survivors)
+    assert sorted(r["keep_id"] for r in twice.collect()) == sorted(
+        r["keep_id"] for r in once.collect()
+    )
+
+
+# ---------------------------------------------------------------- skew ----
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    rows = [("hot", i * 1.0) for i in range(100)] + [("cold", 1.0)]
+    df = _df(spark, rows, "k string, v double")
+    out = salted_agg(
+        df, ["k"],
+        {"total": (F.sum("v"), F.sum("total")), "n": (F.count(F.lit(1)), F.sum("n"))},
+        n_salts=8,
+    )
+    got = {r["k"]: (r["total"], r["n"]) for r in out.collect()}
+    assert got["hot"] == (sum(i * 1.0 for i in range(100)), 100)
+    assert got["cold"] == (1.0, 1)
+
+
+def test_replicate_join_matches_plain_join(spark):
+    left = _df(spark, [("a", i) for i in range(50)] + [("b", 0)], "k string, x int")
+    right = _df(spark, [("a", "A"), ("b", "B")], "k string, label string")
+    plain = left.join(right, "k").select("k", "x", "label")
+    salted = replicate_join(left, right, on="k", n_salts=4).select("k", "x", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# -------------------------------------------------------- versioned io ----
+
+
+def test_concurrent_version_claims_unique(tmp_path):
+    root = str(tmp_path)
+    claimed: list[int] = []
+    lock = threading.Lock()
+
+    def claim():
+        v, _ = claim_next_version(root, "step")
+        with lock:
+            claimed.append(v)
+
+    threads = [threading.Thread(target=claim) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(claimed) == list(range(1, 17))  # no duplicates, no gaps
+    assert latest_version(root, "step") == 16

@@ -1,0 +1,166 @@
+"""Golden end-to-end pipeline test (SURVEY.md §5.2(2)): reproduces the
+reference's demo pipeline — extract literal users → per-record transform
+→ versioned load (etl.go:26-159) — and makes its inert poison-pill
+records (etl.go:36-42: 'Bad User Transform' / 'Bad User Load') REAL:
+a transform that raises on id='10' must fail the step, leave no
+committed output version, and mark the run Failed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_template_spark.io import latest_version, list_versions, read_versioned
+from etl_template_spark.pipeline import (
+    STATUS_COMPLETED,
+    STATUS_FAILED,
+    Pipeline,
+    PipelineRun,
+    StepFailed,
+    knoll,
+)
+
+# the reference's extract fixture, poison pills included (etl.go:26-51)
+USERS = [
+    ("1", "Alice"), ("2", "Bob"), ("3", "Charlie"), ("4", "Diana"),
+    ("10", "Bad User Transform"), ("11", "Bad User Load"),
+]
+
+
+def _extract(spark, _df):
+    return spark.createDataFrame(USERS, "id string, name string")
+
+
+def _transform(spark, df):
+    # etl.go:54-60: userId ← id, processedName ← 'Processed_<name>_Individually'
+    return df.select(
+        F.col("id").alias("userId"),
+        F.concat(F.lit("Processed_"), F.col("name"), F.lit("_Individually")).alias(
+            "processedName"
+        ),
+        F.current_timestamp().alias("timestamp"),
+    )
+
+
+def _poison_transform(spark, df):
+    # raise_error fires inside the job → the step must fail and commit nothing
+    return df.select(
+        F.when(F.col("id") == "10", F.raise_error("poison: bad user transform"))
+        .otherwise(F.col("id"))
+        .alias("userId"),
+        F.col("name").alias("processedName"),
+    )
+
+
+def test_golden_pipeline_success(spark, tmp_path):
+    root = str(tmp_path / "data")
+    p = (
+        Pipeline("etl_demo", root)
+        .step("ExtractUsers", _extract)
+        .step("MainLoop", _transform, input_step="ExtractUsers")
+    )
+    run = p.run(spark)
+
+    assert run.overall_status == STATUS_COMPLETED
+    assert [run.steps[n].status for n in run.step_order] == [STATUS_COMPLETED] * 2
+    out = read_versioned(spark, root, "MainLoop")
+    rows = {r["userId"]: r["processedName"] for r in out.collect()}
+    assert rows["1"] == "Processed_Alice_Individually"
+    assert len(rows) == len(USERS)
+    assert latest_version(root, "ExtractUsers") == 1
+    # manifest persisted and readable
+    with open(p.status_path) as f:
+        manifest = json.load(f)
+    assert manifest["OverallStatus"] == STATUS_COMPLETED
+    assert [s["StepName"] for s in manifest["Steps"]] == ["ExtractUsers", "MainLoop"]
+    assert all(s["DurationMillis"] >= 0 for s in manifest["Steps"])
+
+    # versions are immutable: a second run claims v=2, v=1 unchanged
+    p.run(spark)
+    assert latest_version(root, "MainLoop") == 2
+
+
+def test_golden_pipeline_poison_pill_fail_fast(spark, tmp_path):
+    root = str(tmp_path / "data")
+    p = (
+        Pipeline("etl_poison", root)
+        .step("ExtractUsers", _extract)
+        .step("MainLoop", _poison_transform, input_step="ExtractUsers")
+        .step("LoadOutput", lambda s, df: df, input_step="MainLoop")
+    )
+    with pytest.raises(StepFailed):
+        p.run(spark)
+
+    run = PipelineRun.load_status("etl_poison", p.status_path)
+    assert run.overall_status == STATUS_FAILED
+    assert run.steps["ExtractUsers"].status == STATUS_COMPLETED
+    assert run.steps["MainLoop"].status == STATUS_FAILED
+    assert "poison" in run.steps["MainLoop"].message
+    # fail-fast: LoadOutput never started (tools.go:105-115 semantics)
+    assert run.steps["LoadOutput"].status == "Pending"
+    # atomic output: the failed step committed NO data files (R17 parity —
+    # the version dir was claimed, but Spark's commit protocol aborted)
+    for v in list_versions(root, "MainLoop"):
+        vdir = os.path.join(root, "MainLoop", f"v={v}")
+        committed = [
+            f for f in os.listdir(vdir) if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        assert committed == []
+
+
+def test_pipeline_resume_skips_completed(spark, tmp_path):
+    root = str(tmp_path / "data")
+    calls: list[str] = []
+
+    def extract(s, df):
+        calls.append("extract")
+        return _extract(s, df)
+
+    def transform(s, df):
+        calls.append("transform")
+        return _transform(s, df)
+
+    p = (
+        Pipeline("etl_resume", root)
+        .step("ExtractUsers", extract)
+        .step("MainLoop", transform, input_step="ExtractUsers")
+    )
+    p.run(spark)
+    assert calls == ["extract", "transform"]
+
+    run2 = p.run(spark, resume=True)
+    # both steps were checkpoint hits: no re-execution, no new versions
+    assert calls == ["extract", "transform"]
+    assert run2.steps["ExtractUsers"].message.startswith("skipped")
+    assert latest_version(root, "MainLoop") == 1
+
+
+def test_step_retry_succeeds_after_transient_failure(spark, tmp_path):
+    root = str(tmp_path / "data")
+    attempts = {"n": 0}
+
+    def flaky(s, df):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return _extract(s, df)
+
+    p = Pipeline("etl_retry", root).step(
+        "Flaky", flaky, max_retries=3, retry_delay_seconds=0.0
+    )
+    run = p.run(spark)
+    assert attempts["n"] == 3
+    assert run.steps["Flaky"].status == STATUS_COMPLETED
+
+
+def test_knoll_wipes_scratch(tmp_path):
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(scratch)
+    with open(os.path.join(scratch, "stale.txt"), "w") as f:
+        f.write("old")
+    knoll(scratch)
+    assert os.path.isdir(scratch) and os.listdir(scratch) == []

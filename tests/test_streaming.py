@@ -1,0 +1,123 @@
+"""Structured Streaming semantics tests (SURVEY.md §5.2(5)): the
+incremental jobs must agree with their batch twins over the same
+(complete) input, the watermark must drop late data, and the versioned
+foreachBatch sink must commit immutable versions with checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_template_spark.io import latest_version, read_versioned
+from etl_template_spark.streaming import (
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    session_agg_stream,
+    tumbling_agg_stream,
+    versioned_stream_sink,
+)
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type, value)
+    (1, "2024-01-01 10:00:10", 1, "click", 1.0),
+    (2, "2024-01-01 10:02:00", 1, "click", 2.0),
+    (3, "2024-01-01 10:06:30", 2, "view", 3.0),
+    (4, "2024-01-01 10:07:00", 1, "click", 4.0),
+    (5, "2024-01-01 11:30:00", 2, "view", 5.0),
+    (1, "2024-01-01 10:00:10", 1, "click", 1.0),  # exact duplicate of #1
+]
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    path = str(tmp_path / "events_jsonl")
+    rows = [
+        {"event_id": e[0], "ts": e[1], "user_id": e[2], "event_type": e[3],
+         "value": e[4], "props": "{}"}
+        for e in EVENTS
+    ]
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
+def test_tumbling_stream_matches_batch_up_to_watermark(spark, events_dir, tmp_path):
+    """Append mode emits only windows FINALIZED by the watermark: the
+    stream must equal the batch twin restricted to windows whose end is
+    at or before max(ts) - watermark; the trailing open window (the
+    11:30 event) is withheld — that withholding IS the semantics."""
+    stream = read_events_stream(spark, events_dir)
+    agg = tumbling_agg_stream(stream, width="5 minutes", watermark="10 minutes")
+    run_available_now(agg, "tumbling_out", str(tmp_path / "ckpt"), output_mode="append")
+    got = {
+        (str(r["win_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("tumbling_out").collect()
+    }
+    # batch twin over the same file, restricted to finalized windows
+    # (watermark horizon = max ts 11:30 - 10 min = 11:20)
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .json(events_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .where(F.col("w.end") <= F.lit("2024-01-01 11:20:00").cast("timestamp"))
+    )
+    expect = {
+        (str(r["w"]["start"]), r["event_type"]): (r["n"], r["s"])
+        for r in batch.collect()
+    }
+    assert got == expect and len(got) > 0
+    assert not any(k[0].startswith("2024-01-01 11:30") for k in got)
+
+
+def test_session_stream_gap_semantics(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    ses = session_agg_stream(stream, gap="30 minutes", watermark="10 minutes")
+    run_available_now(ses, "session_out", str(tmp_path / "ckpt2"), output_mode="append")
+    rows = spark.table("session_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 10:00/10:02/10:07 (+dup) → ONE session of 4 events
+    assert len(by_user[1]) == 1 and by_user[1][0]["n_events"] == 4
+    # user 2: closed session at 10:06 emitted; the 11:30 session is still
+    # OPEN at the watermark horizon (11:20) → withheld in append mode
+    assert len(by_user[2]) == 1
+    assert str(by_user[2][0]["session_start"]).startswith("2024-01-01 10:06")
+
+
+def test_dedup_stream_drops_duplicates(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="2 hours")
+    run_available_now(deduped, "dedup_out", str(tmp_path / "ckpt3"), output_mode="append")
+    rows = spark.table("dedup_out").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4, 5]  # the duplicate event_id=1 collapsed
+
+
+def test_versioned_stream_sink_commits_and_resumes(spark, events_dir, tmp_path):
+    root = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt4")
+    stream = read_events_stream(spark, events_dir)
+    q = versioned_stream_sink(stream, root, "events_ingest", ckpt)
+    q.awaitTermination()
+    v1 = latest_version(root, "events_ingest")
+    assert v1 is not None and read_versioned(
+        spark, root, "events_ingest"
+    ).count() == len(EVENTS)
+    # restart with the same checkpoint: no new data → no new version
+    q2 = versioned_stream_sink(
+        read_events_stream(spark, events_dir), root, "events_ingest", ckpt
+    )
+    q2.awaitTermination()
+    assert latest_version(root, "events_ingest") == v1
