@@ -10,6 +10,7 @@ from . import (  # noqa: F401,E402
     projection,
     joins,
     aggregates,
+    advanced_sql,
     windows,
     setops,
     functions_scalar,
@@ -17,6 +18,7 @@ from . import (  # noqa: F401,E402
     llm_text,
     similarity,
     streaming_batch,
+    multimodal_q,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]
