@@ -38,7 +38,8 @@ from ..registry import register
     tags=("join",),
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join orders⋈customer (customer side broadcast)."""
+    """Equi inner join orders⋈customer (shuffle join; AQE may switch to
+    broadcast at runtime when the filtered side is small enough)."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     c = load_table(spark, sf_dir, "customer")
     return (
@@ -287,3 +288,37 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="click_ts",
         value_cols=["click_ts", "click_id"],
     ).select("event_id", "user_id", "ts", "value", "click_ts", "click_id")
+
+
+@register(
+    "q_join_promo_share",
+    oracle=f"""
+    SELECT
+      CAST(year(l_shipdate) AS INT) AS ship_year,
+      round(100.0 * {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 4) AS promo_share_pct,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY year(l_shipdate)
+    ORDER BY ship_year
+    """,
+    tags=("join", "agg"),
+)
+def q_join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship year — fact⋈dim
+    join with conditional aggregation.  ``part`` shuffles on partkey
+    (fact-scaled at SF, so no forced broadcast; AQE decides), and the
+    CASE folds into the partial aggregate — the shuffle carries one row
+    per year per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(100.0 * dsum(promo_rev) / dsum(rev), 4).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

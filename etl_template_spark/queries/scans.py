@@ -110,6 +110,64 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(spark, path, schema, header=True)
 
 
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    WHERE s_acctbal > 1000
+    ORDER BY s_suppkey
+    """,
+    tags=("source",),
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (columnar alternative to parquet; same pushdown/pruning
+    machinery).  Fixture derived once from ``supplier``; the oracle reads
+    the parquet view, so a match proves the ORC round-trip is lossless."""
+    path = _scratch(sf_dir, "supplier", "supplier_orc")
+    if not _derived_ready(path):
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .where(F.col("s_acctbal") > 1000)
+    )
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS INT) AS o_year
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    ORDER BY o_orderkey
+    """,
+    tags=("sink", "source"),
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned dataset: write orders partitioned by
+    year, read back ONE partition.  The year filter prunes at the
+    directory level (PartitionFilters in the scan node — zero IO for
+    other years), which is the layout discipline that matters most at
+    100 TB: partition by the dominant filter key.  Oracle reads the
+    unpartitioned parquet with the same predicate — a match proves the
+    partitioned round-trip preserves content."""
+    path = _scratch(sf_dir, "orders", "orders_by_year")
+    if not _derived_ready(path):
+        load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        ).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_year"
+        ).write.mode("overwrite").partitionBy("o_year").parquet(path)
+        # partitionBy writes no _SUCCESS in subdirs; root has it
+    return (
+        spark.read.parquet(path)
+        .where(F.col("o_year") == 1997)
+        .select("o_orderkey", "o_custkey", "o_totalprice", F.col("o_year").cast("int"))
+    )
+
+
 @register("q_sink_versioned", oracle=None, tags=("sink",))
 def q_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned sink + latest-version read-back (R3/R7, tools.go:343-444).

@@ -108,7 +108,7 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_sim_search_lsh — random-hyperplane LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 8
+_N_PLANES = 6  # 64 buckets; multiprobe widens to Hamming <= 2
 
 
 def _plane(j: int) -> list[float]:
@@ -135,28 +135,34 @@ def _bucket_col(vec: Column) -> Column:
 @register("q_sim_search_lsh", oracle=None, tags=("llm", "similarity", "approx"))
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 via random-hyperplane LSH: vectors are
-    bucketed by the sign pattern of 8 fixed hyperplanes; the search
-    probes the query's bucket plus all Hamming-1 neighbors (multiprobe),
-    then scores only candidates — corpus fraction ~(1+8)/256 ≈ 3.5%.
-    At 100 TB the bucket id becomes the partition key, so a probe reads
-    9 partitions instead of the corpus.  Approximate ⇒ rows-only check;
-    tests assert recall against q_sim_search on the fixtures."""
+    bucketed by the sign pattern of 6 fixed hyperplanes; the search
+    probes the query's bucket plus all Hamming-1/-2 neighbors
+    (multiprobe: 22 of 64 buckets), then scores only candidates.
+
+    Regime note: sign-LSH collision probability is 1 - θ/π per plane, so
+    recall is high when true neighbors are close (near-dup retrieval,
+    cos ≥ 0.9) and degrades toward random at cos ≈ 0.5 — the knobs are
+    plane count (bucket granularity, scale with corpus) and probe radius
+    (recall).  At 100 TB the bucket id becomes the partition key, so a
+    probe reads 22 partitions instead of the corpus.  Approximate ⇒
+    rows-only check; tests assert candidate-exactness and compare
+    recall against q_sim_search (IVF is the higher-recall scale path
+    for mid-similarity regimes — q_sim_search_ivf)."""
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", _bucket_col(F.col("embedding")))
     q = bucketed.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    # query bucket + its 8 Hamming-1 probes, as a broadcast 9-row frame
+    # query bucket + Hamming-1 and Hamming-2 probes, as a broadcast frame
+    masks = [0] + [1 << j for j in range(_N_PLANES)] + [
+        (1 << i) | (1 << j)
+        for i in range(_N_PLANES)
+        for j in range(i + 1, _N_PLANES)
+    ]
     probes = q.select(
         "qv",
         F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(_N_PLANES)
-                ],
-            )
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
     return (
@@ -260,4 +266,76 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("v1", "v2", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_search_ivf — inverted-file (IVF) ANN: coarse quantizer + cell probe
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 10
+_IVF_NPROBE = 3
+
+
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """Coarse quantizer: deterministic seeds (vec_id 0..k-1) refined by
+    one Lloyd iteration (assign-all → cell means).  Distributed
+    throughout: assignment is a broadcast of k centroids against the
+    corpus; means are a posexplode + groupBy — no driver-side loops.
+    (cell, centroid array<double>)."""
+    seeds = e.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    assigned = _assign_cells(e, seeds)
+    # Lloyd step: per-dimension means per cell
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda st: st.getField("m")).alias("centroid"))
+    )
+
+
+def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids (cosine):
+    broadcast the k centroids, score, windowed top-n.  The n>1 flavor is
+    the query-side multiprobe."""
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "cdist", cosine_col(F.col("embedding"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= n)
+        .drop("centroid", "cdist", "crnk")
+    )
+
+
+@register("q_sim_search_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-10 via IVF: a 10-cell coarse quantizer
+    (deterministic seeds + one Lloyd refinement) partitions the corpus;
+    the query probes its 3 nearest cells and scores only their members
+    (~nprobe/k of the corpus).  At 100 TB the cell id is the partition/
+    bucket key — a probe reads nprobe partitions, the index build is two
+    broadcast-assign passes, and centroids stay a tiny broadcast table.
+    Approximate ⇒ rows-only; tests assert recall vs q_sim_search."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(e)
+    corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1)
+    probes = (
+        _assign_cells(e.where(F.col("vec_id") == 0), cents, n=_IVF_NPROBE)
+        .select(F.col("cell"), F.col("embedding").alias("qv"))
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .select(
+            "vec_id",
+            "label",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
     )
