@@ -31,6 +31,10 @@ HEADLINE = [
     "q_tfidf",           # token explode + joins + window
     "q_stream_tumbling", # event-time windowing
     "q_sessionize",      # lag+cumsum sessionization
+    "q_join_promo_share",# fact-dim join + conditional agg (TPC-H Q14 shape)
+    "q_dedup_ngram",     # inverted-index jaccard
+    "q_sim_search_ivf",  # IVF ANN probe
+    "q_agg_percentile",  # exact percentiles per group
 ]
 
 

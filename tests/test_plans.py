@@ -1,0 +1,101 @@
+"""Physical-plan assertions: the plan IS the scale contract.
+
+Correctness tests prove the right rows come out; these prove the right
+PLAN produces them — pushdown reaching the scan, broadcast picked for
+bounded dims, rank-limit pushed into windows, bounded-heap top-k,
+directory-level partition pruning, and the absence of the scale-killers
+(cartesian products, forced fact broadcasts)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_template_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].build(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_scan_parquet")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in pushed
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # projection pruned to the 4 selected columns of lineitem's 11
+    assert schema.count(":") - 1 == 4 or schema.count(",") == 3
+
+
+def test_filter_pushdown_composite(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_filter")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed and "IsNotNull" in pushed
+
+
+def test_broadcast_join_for_bounded_dim(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_star_join_no_cartesian(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_multi")
+    assert "CartesianProduct" not in p
+
+
+def test_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_join_theta")
+    # range join against the 3-row bands dim must be BNLJ, never a
+    # cartesian of the fact table
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_rank_limit_pushed_into_window(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in p
+
+
+def test_global_topk_is_bounded_heap(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_sort_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_flagship_has_partial_aggregation(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_agg_group")
+    # partial (map-side) + final HashAggregate around the shuffle
+    assert p.count("HashAggregate") >= 2
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in pushed
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_sink_partitioned")
+    part = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "o_year" in part and "1997" in part
+
+
+def test_dedup_fuzzy_no_cartesian_no_fact_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_dedup_fuzzy")
+    assert "CartesianProduct" not in p
+
+
+def test_sim_search_single_scan_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_sim_search")
+    assert "TakeOrderedAndProject" in p
+    # the 1-row query vector is the broadcast side
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_ngram", "q_tfidf",
+        "q_knn_join_blocked", "q_dedup_embedding",
+    ],
+)
+def test_llm_operators_never_cartesian(spark, sf_dir, name):
+    """The O(n²) guard: no LLM operator may plan a cartesian product."""
+    assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
