@@ -32,6 +32,8 @@ HEADLINE = [
     "q_stream_tumbling", # event-time windowing
     "q_sessionize",      # lag+cumsum sessionization
     "q_join_promo_share",# fact-dim join + conditional agg (TPC-H Q14 shape)
+    "q_tpch_q3",         # 3-way join + grouped top-k (TPC-H Q3 shape)
+    "q_tpch_q18",        # aggregate semi-join (TPC-H Q18 shape)
     "q_dedup_ngram",     # inverted-index jaccard
     "q_sim_search_ivf",  # IVF ANN probe
     "q_agg_percentile",  # exact percentiles per group

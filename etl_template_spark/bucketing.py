@@ -1,0 +1,68 @@
+"""Bucketed tables: co-located joins and aggregations without a shuffle.
+
+At 100 TB the dominant cost of a fact-fact equi-join (lineitem⋈orders on
+orderkey) is shuffling BOTH sides.  Bucketing pre-partitions the data at
+WRITE time: `bucketBy(n, key)` hash-splits every output file set by the
+join key, and Spark's scan reports the bucketing as the output
+partitioning, so a join between two tables bucketed the same way plans
+SortMergeJoin with NO Exchange on either side — the shuffle is paid once
+at ingest, then amortized across every subsequent join/aggregation on
+that key.  (This is the engine's answer to the reference's versioned
+datasets being re-read by downstream steps: version + bucket at write,
+join for free forever after.)
+
+Bucketed outputs go through the session catalog (`saveAsTable`) because
+bucket metadata lives in the table definition, not the files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    """Drop the table AND any orphaned warehouse directory.  With the
+    default in-memory catalog, table METADATA dies with the session but
+    the warehouse DIRECTORY survives — the next saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS.  (A production deployment uses a
+    persistent metastore and never hits this.)"""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet
+    table.  Sorting within buckets additionally removes the join's sort
+    step (files are merge-ready)."""
+    _drop_stale(df.sparkSession, table)
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key — plans
+    shuffle-free (no Exchange) when bucket counts match.  Callers assert
+    this with tests/test_bucketing.py's plan check."""
+    return read_table(spark, left_table).join(read_table(spark, right_table), on, how)

@@ -73,14 +73,17 @@ def dedup_exact(
 
 
 def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, mh0..mh15) MinHash signature from a (id, s) shingle frame:
-    one groupBy — 16 mins computed in the same partial aggregate."""
+    """(id, mh0..mh15, n_sh) MinHash signature + shingle count from a
+    (id, s) shingle frame: ONE groupBy — the 16 mins and the set size
+    ride the same partial aggregate, so downstream Jaccard verification
+    reuses this frame instead of re-aggregating the shingle table."""
     sid = shingle_id(F.col("s"))
     return shingles.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * sid + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
             for i, (a, b) in enumerate(MH_AB)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
     )
 
 
@@ -111,11 +114,18 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
 
 
 def verified_jaccard(
-    pairs: DataFrame, shingles: DataFrame, threshold: float
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs via the inverted
-    index; only candidate pairs are ever scored."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    index; only candidate pairs are ever scored.  Pass ``sizes``
+    (doc_id, n_sh) when the caller already aggregated it (the MinHash
+    signature carries it) to avoid a second pass over the shingles."""
+    if sizes is None:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sizes.select("doc_id", "n_sh")
     a = shingles.select(F.col("doc_id").alias("d1"), F.col("s").alias("s1"))
     b = shingles.select(F.col("doc_id").alias("__vd2"), F.col("s").alias("s2"))
     common = (

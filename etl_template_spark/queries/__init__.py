@@ -11,6 +11,7 @@ from . import (  # noqa: F401,E402
     joins,
     aggregates,
     advanced_sql,
+    tpch_shapes,
     windows,
     setops,
     functions_scalar,

@@ -145,14 +145,12 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     an inverted-index join over candidate docs.  Every hash constant is
     fixed, so the result is deterministic and exactly matches the
     all-pairs oracle (recall argument in the oracle builder)."""
+    from ..operators.dedup import minhash_signature
+
     sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
-    sid = shingle_id(F.col("s"))
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * sid + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_MH_AB)
-        ]
-    )
+    # ONE aggregate yields both the 16-hash signature and the set size
+    # (n_sh) — verification reuses it instead of re-scanning shingles
+    mins = minhash_signature(sh).persist()
     # 8 band keys: band i = (mh_{2i}, mh_{2i+1}) packed into one string
     bands = mins.select(
         "doc_id",
@@ -178,7 +176,9 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    return _verified_jaccard(candidates, sh, threshold=0.5)
+    return _verified_jaccard(
+        candidates, sh, threshold=0.5, sizes=mins.select("doc_id", "n_sh")
+    )
 
 
 # ---------------------------------------------------------------------------

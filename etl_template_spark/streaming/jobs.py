@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+# RocksDB state store: the scale path for streaming state.  The default
+# HDFS-backed store keeps every key in executor heap — fine for small
+# keyspaces, an OOM at 100 TB-scale session/dedup state.  RocksDB spills
+# to local disk with bounded memory.  Set before starting a query:
+#   for k, v in ROCKSDB_STATE_CONF.items(): spark.conf.set(k, v)
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
 # explicit StructType (NOT fromDDL, which parses via a live SparkSession
 # and would make this module un-importable session-free)
 EVENTS_STREAM_SCHEMA = T.StructType(
