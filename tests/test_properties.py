@@ -1,0 +1,116 @@
+"""Property-based spot checks (SURVEY.md §5.2(4)) with hypothesis:
+random small inputs, independent reference implementations.
+
+The as-of join is checked against pandas ``merge_asof`` — a third
+implementation that shares no code or formulation with either the engine
+(union + carry-forward window) or the DuckDB oracle (ASOF JOIN)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_template_spark.operators.asof import asof_join
+from etl_template_spark.operators.sessionize import sessionize
+from etl_template_spark.operators.topk import top_k_per_group
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# distinct epoch-second timestamps within a day, small key space to force
+# key collisions and interleaved event times
+_times = st.lists(
+    st.integers(min_value=0, max_value=86_400), min_size=1, max_size=25, unique=True
+)
+_keys = st.integers(min_value=1, max_value=3)
+
+
+@given(
+    left_rows=st.lists(st.tuples(_keys, st.integers(0, 86_400)), min_size=1, max_size=20),
+    right_rows=st.lists(
+        st.tuples(_keys, st.integers(0, 86_400), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),  # unique (key, time) on the right
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    left_pd = pd.DataFrame(left_rows, columns=["k", "t"]).astype({"t": "int64"})
+    right_pd = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).astype({"rt": "int64"})
+
+    left = spark.createDataFrame(left_pd).withColumn(
+        "t", F.timestamp_seconds("t")
+    )
+    right = spark.createDataFrame(right_pd).withColumn(
+        "rt", F.timestamp_seconds("rt")
+    )
+    got_rows = asof_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        value_cols=["v"],
+    ).collect()
+    got = sorted(
+        (r["k"], int(r["t"].timestamp()), r["v"]) for r in got_rows
+    )
+
+    # reference: pandas merge_asof (backward = latest right <= left)
+    lp = left_pd.sort_values("t").reset_index(drop=True)
+    rp = right_pd.rename(columns={"rt": "t"}).sort_values("t").reset_index(drop=True)
+    ref = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    expect = sorted(
+        (int(r.k), int(r.t), None if pd.isna(r.v) else float(r.v))
+        for r in ref.itertuples()
+    )
+    assert got == expect
+
+
+@given(times=_times, gap=st.integers(min_value=1, max_value=7_200))
+@settings(**_SETTINGS)
+def test_sessionize_gap_invariants(spark, times, gap):
+    df = spark.createDataFrame(
+        [(1, t) for t in times], "k int, epoch long"
+    ).withColumn("ts", F.timestamp_seconds("epoch"))
+    rows = sorted(
+        (r["epoch"], r["session_id"])
+        for r in sessionize(df, key="k", ts="ts", gap_seconds=gap).collect()
+    )
+    # invariants: session ids start at 1, are non-decreasing in time, and
+    # increment exactly when the gap is exceeded
+    assert rows[0][1] == 1
+    for (t0, s0), (t1, s1) in zip(rows, rows[1:]):
+        if t1 - t0 > gap:
+            assert s1 == s0 + 1, (t0, t1, gap)
+        else:
+            assert s1 == s0, (t0, t1, gap)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_topk_is_prefix_of_group_sort(spark, rows, k):
+    pdf = pd.DataFrame(rows, columns=["g", "x"]).assign(uid=range(len(rows)))
+    df = spark.createDataFrame(pdf)
+    got = top_k_per_group(
+        df, ["g"], [F.col("x").desc(), F.col("uid")], k=k
+    ).collect()
+    by_group: dict[int, list] = {}
+    for r in got:
+        by_group.setdefault(r["g"], []).append((r["rnk"], r["x"], r["uid"]))
+    for g, members in by_group.items():
+        expect = sorted(
+            ((-x, uid) for gg, x, uid in [(r.g, r.x, r.uid) for r in pdf.itertuples()] if gg == g)
+        )[:k]
+        got_sorted = [(-x, uid) for _, x, uid in sorted(members)]
+        assert got_sorted == expect
