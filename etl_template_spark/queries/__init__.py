@@ -16,6 +16,7 @@ from . import (  # noqa: F401,E402
     setops,
     functions_scalar,
     udfs,
+    etl_ops,
     llm_text,
     similarity,
     streaming_batch,
