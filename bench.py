@@ -55,12 +55,21 @@ def main() -> int:
         "noop"
     ).save()
 
+    # Two passes per query, keep the min: this VM sees multi-second CPU
+    # steal bursts from the host (observed 10-100x spreads on identical
+    # plans), and min-of-2 rejects a burst that lands on one pass.
+    # clearCache between queries so internally-persisted frames
+    # (fuzzy/ngram dedup) never distort a later query's memory budget.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

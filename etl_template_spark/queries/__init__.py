@@ -12,6 +12,7 @@ from . import (  # noqa: F401,E402
     aggregates,
     advanced_sql,
     tpch_shapes,
+    tpch_full,
     windows,
     setops,
     functions_scalar,
