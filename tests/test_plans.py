@@ -99,3 +99,59 @@ def test_sim_search_single_scan_topk(spark, sf_dir):
 def test_llm_operators_never_cartesian(spark, sf_dir, name):
     """The O(n²) guard: no LLM operator may plan a cartesian product."""
     assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
+
+
+def test_tpch_q6_is_scan_bound(spark, sf_dir):
+    """Q6 must be pure scan + 1-row aggregate: every predicate pushed,
+    only the 4 referenced columns read, no join, no wide shuffle."""
+    p = plan_of(spark, sf_dir, "q_tpch_q6")
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f in pushed
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert schema.count(":") - 1 == 4  # qty, price, discount, shipdate
+    assert "Join" not in p
+
+
+def test_tpch_q8_star_all_dims_broadcast(spark, sf_dir):
+    """Q8's seven-table star: every dimension (customer, supplier, part,
+    nation x2, region) must broadcast — the only sort-merge join allowed
+    is the fact-fact lineitem-orders join."""
+    p = plan_of(spark, sf_dir, "q_tpch_q8")
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_window_min_decorrelation(spark, sf_dir):
+    """Q2's correlated MIN must run as a window over the joined
+    candidates — one lineitem-pairs aggregate, no second join of the
+    partsupp side back to itself."""
+    p = plan_of(spark, sf_dir, "q_tpch_q2")
+    assert "Window" in p
+    # distinct pair aggregate appears once, not re-derived for the min
+    # (detail-section entries only; the tree section repeats each scan)
+    scans = [l for l in p.splitlines() if l.startswith("(") and "Scan parquet" in l]
+    assert len(scans) <= 5  # lineitem + part + supplier + nation + region
+
+
+def test_tpch_q21_single_extra_shuffle_not_rescans(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS collapses to one per-order aggregate:
+    lineitem may scan at most twice (outer + stats), never the canonical
+    three times, and no cartesian anywhere."""
+    p = plan_of(spark, sf_dir, "q_tpch_q21")
+    li_scans = sum(
+        1 for l in p.splitlines() if "Location" in l and "lineitem.parquet" in l
+    )
+    assert 1 <= li_scans <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q19_band_prefilter_prunes_build_side(spark, sf_dir):
+    """Q19's disjunctive bands must still hash-join on partkey (the
+    extractable equi-key) with the brand/size union pushed to the part
+    scan — not a nested-loop over the OR predicate."""
+    p = plan_of(spark, sf_dir, "q_tpch_q19")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l or "Or(" in l for l in pushed)
