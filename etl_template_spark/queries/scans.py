@@ -180,3 +180,38 @@ def q_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_versioned(sup.where(F.col("s_suppkey") % 2 == 0), root, "suppliers")
     write_versioned(sup, root, "suppliers")  # v=2 supersedes
     return read_versioned(spark, root, "suppliers")
+
+
+@register(
+    "q_scan_pyds",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    WHERE n_regionkey = 2
+    ORDER BY n_nationkey
+    """,
+    tags=("source",),
+)
+def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source scan (datasource.py): ``nation`` is
+    committed once through the ``etl_versioned`` connector's atomic
+    version-claim writer, then read back through its row-group-parallel
+    reader with the region predicate PUSHED into the connector
+    (pyarrow evaluates it before rows reach Spark).  Oracle reads the
+    original parquet — a match proves the connector round-trip and its
+    pushdown are lossless."""
+    from ..datasource import FORMAT_NAME, register_versioned_source
+    from ..io import latest_version
+
+    register_versioned_source(spark)
+    root = _scratch(sf_dir, "nation", "nation_versioned")
+    if latest_version(root, "nation") is None:
+        load_table(spark, sf_dir, "nation").write.format(FORMAT_NAME).option(
+            "step", "nation"
+        ).mode("append").save(root)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("step", "nation")
+        .load(root)
+        .where(F.col("n_regionkey") == 2)
+    )

@@ -47,6 +47,8 @@ def get_spark(
         # stats (bucketing.write_bucketed collects them at write time)
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # let Python data sources (datasource.py) receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
