@@ -118,11 +118,16 @@ def test_failed_write_commits_nothing(spark, tmp_path):
     )
     with pytest.raises(Exception, match="boom"):
         bad.write.format(FORMAT_NAME).option("step", "seed").mode("append").save(root)
-    # no new version, no staging litter
+    # the guarantee: no version was committed by the failed job.  (A
+    # cancelled task may recreate its _staging-* dir after driver-side
+    # abort() sweeps it — harmless litter: readers match only v=N dirs.)
     assert list_versions(root, "seed") == [1]
-    assert not [
-        d for d in os.listdir(os.path.join(root, "seed")) if d.startswith("_staging")
-    ]
+    # and the failed job does not perturb subsequent writes or reads
+    _seed(spark, root, n=4)
+    assert list_versions(root, "seed") == [1, 2]
+    assert (
+        spark.read.format(FORMAT_NAME).option("step", "seed").load(root).count() == 4
+    )
 
 
 def test_stream_versions_as_microbatches(spark, tmp_path):
