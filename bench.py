@@ -37,6 +37,9 @@ HEADLINE = [
     "q_dedup_ngram",     # inverted-index jaccard
     "q_sim_search_ivf",  # IVF ANN probe
     "q_agg_percentile",  # exact percentiles per group
+    "q_tpch_q6",         # pure scan-bound aggregate (TPC-H Q6)
+    "q_tpch_q8",         # 7-table broadcast star (TPC-H Q8)
+    "q_tpch_q21",        # per-order EXISTS/NOT-EXISTS collapse (TPC-H Q21)
 ]
 
 
