@@ -165,6 +165,23 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB
+    substitute for exact per-group quantiles — the sketch merges
+    associatively in the partial-agg phase, so the shuffle carries one
+    bounded sketch per group instead of every value.  accuracy=10000
+    bounds rank error at 1/10000; tests/test_operators.py asserts the
+    estimates against the exact interpolated percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "approx_pcts"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register(
     "q_rollup",
     oracle=f"""

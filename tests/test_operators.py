@@ -254,3 +254,29 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(2, 0.10 * exact[k]), (k, est, exact[k])
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """q_agg_approx_percentile is rows-only for the harness; here the
+    GK-sketch estimates must land within 1% relative error of the exact
+    percentiles at every probed quantile."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    approx = {
+        r["l_returnflag"]: r["approx_pcts"]
+        for r in REGISTRY["q_agg_approx_percentile"].build(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["pcts"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))"
+        ).alias("pcts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, ests in approx.items():
+        for est, ex in zip(ests, exact[k]):
+            assert abs(est - ex) <= 0.01 * ex + 1e-9, (k, est, ex)
