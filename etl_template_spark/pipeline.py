@@ -42,7 +42,8 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .io import read_versioned, write_versioned
 
@@ -294,12 +295,16 @@ class Pipeline:
                     else None
                 )
                 df_out = s.fn(spark, df_in)
+                # R19 parity (LoopProgressManager, tools.go:891-951): the
+                # output row count rides the write job as an observed
+                # metric — no second scan of the written data.
+                obs = Observation(f"{self.name}.{s.name}.rows")
+                df_out = df_out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
                 version, _ = write_versioned(
                     df_out, self.data_root, s.name, fmt=s.fmt, partition_by=s.partition_by
                 )
                 run.steps[s.name].output_version = version
-                n = read_versioned(spark, self.data_root, s.name, version=version).count()
-                run.steps[s.name].rows_out = n
+                run.steps[s.name].rows_out = obs.get["rows_out"]
                 return version
 
             run.execute_step(

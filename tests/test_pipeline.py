@@ -78,6 +78,9 @@ def test_golden_pipeline_success(spark, tmp_path):
     assert manifest["OverallStatus"] == STATUS_COMPLETED
     assert [s["StepName"] for s in manifest["Steps"]] == ["ExtractUsers", "MainLoop"]
     assert all(s["DurationMillis"] >= 0 for s in manifest["Steps"])
+    # R19 parity: per-step output row counts ride the write job as
+    # observed metrics (no second scan) and land in the manifest
+    assert [s["RowsOut"] for s in manifest["Steps"]] == [len(USERS), len(USERS)]
 
     # versions are immutable: a second run claims v=2, v=1 unchanged
     p.run(spark)
