@@ -26,6 +26,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .session import ensure_engine_conf
@@ -181,6 +182,8 @@ def write_versioned(
     step: str,
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    sort_partitions: int | None = None,
 ) -> tuple[int, str]:
     """Write ``df`` as the next version of ``step``: R7 on Spark.
 
@@ -188,8 +191,23 @@ def write_versioned(
     renames on job success, so a failed write leaves no committed data —
     the reference's delete-partial-output-on-error (etl.go:90-95,
     124-130) for free.
+
+    ``sort_by`` clusters the layout: rows are range-partitioned then
+    sorted within partitions on the given keys, so every parquet row
+    group covers a narrow, near-disjoint key range.  Readers filtering
+    on those keys then skip whole row groups on min/max statistics —
+    the cheap cousin of partitioning for high-cardinality keys (pay one
+    range shuffle at write; every subsequent selective scan reads only
+    the groups that can match).
     """
     version, path = claim_next_version(root, step)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        df = (
+            df.repartitionByRange(sort_partitions, *cols)
+            if sort_partitions
+            else df.repartitionByRange(*cols)
+        ).sortWithinPartitions(*cols)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -71,3 +71,48 @@ def test_versioned_json_requires_schema(spark, tmp_path):
         read_versioned(spark, root, "s", fmt="json")
     rows = read_versioned(spark, root, "s", fmt="json", schema=SCHEMA).collect()
     assert rows[0]["id"] == "1"
+
+
+def test_sorted_layout_row_groups_are_prunable(spark, sf_dir, tmp_path):
+    """write_versioned(sort_by=...) must produce a clustered layout:
+    every parquet row group covers a narrow l_shipdate range and the
+    ranges barely overlap, so a selective time filter can skip most
+    groups on min/max statistics alone — the physical property that
+    makes selective scans cheap at 100 TB."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_template_spark.io import load_table, write_versioned
+
+    root = str(tmp_path)
+    li = load_table(spark, sf_dir, "lineitem")
+    _, path = write_versioned(
+        li, root, "li_sorted", sort_by=["l_shipdate"], sort_partitions=6
+    )
+
+    spans = []  # (min, max) per row group across all range files
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    assert len(spans) >= 2, "need multiple row groups to demonstrate pruning"
+
+    # clustered: total overlap between groups is tiny — sort spans and
+    # check each group's range is (near-)disjoint from the next
+    spans.sort()
+    overlapping = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlapping <= len(spans) // 4, (overlapping, spans)
+
+    # and a selective filter can rule out most groups by min/max alone
+    lo = sorted(s[0] for s in spans)[len(spans) // 2]
+    hi = sorted(s[1] for s in spans)[len(spans) // 2]
+    candidates = sum(1 for a, b in spans if not (b < lo or a > hi))
+    assert candidates < len(spans), "filter should not touch every row group"
+
+    # content survives the re-layout
+    assert spark.read.parquet(path).count() == li.count()
