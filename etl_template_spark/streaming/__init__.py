@@ -7,6 +7,7 @@ from .jobs import (  # noqa: F401
     read_events_stream,
     run_available_now,
     running_totals_stream,
+    running_totals_tws_stream,
     session_agg_stream,
     sliding_agg_stream,
     tumbling_agg_stream,

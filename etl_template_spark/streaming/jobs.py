@@ -174,6 +174,60 @@ def running_totals_stream(
     )
 
 
+def running_totals_tws_stream(
+    events: DataFrame, watermark: str = "1 hour", state_ttl_ms: int | None = None
+) -> DataFrame:
+    """``running_totals_stream`` on the Spark 4 ``transformWithState``
+    API: named TYPED state variables (ValueState here; ListState/
+    MapState available), per-key timers, and optional state TTL — the
+    successor to ``applyInPandasWithState``'s single untyped tuple.
+
+    TTL is the 100 TB lever the old API lacks: idle keys age out of the
+    store automatically instead of growing it forever.  Requires the
+    RocksDB state store provider (``ROCKSDB_STATE_CONF``).
+
+    Runtime gate: Spark's transformWithState Python workers speak
+    protobuf to the state server; in environments without
+    ``google.protobuf`` the query fails at stream start (plan
+    construction is fine).  ``applyInPandasWithState``
+    (``running_totals_stream``) is the dependency-free fallback."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, s double", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Totals(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> StreamingQuery:

@@ -176,3 +176,69 @@ def test_rocksdb_state_store_provider(spark, events_dir, tmp_path):
     finally:
         for k in ROCKSDB_STATE_CONF:
             spark.conf.unset(k)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def test_transform_with_state_plan_constructs(spark, events_dir):
+    """transformWithStateInPandas plan construction is environment-free:
+    the unstarted streaming DataFrame must carry the declared output
+    schema (execution needs protobuf — gated test below)."""
+    from etl_template_spark.streaming import running_totals_tws_stream
+
+    totals = running_totals_tws_stream(read_events_stream(spark, events_dir))
+    assert totals.isStreaming
+    assert [f.name for f in totals.schema.fields] == [
+        "user_id", "n_events", "sum_value",
+    ]
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python workers require google.protobuf "
+    "(absent in this container); running_totals_stream covers the same "
+    "semantics on applyInPandasWithState",
+)
+def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
+    """transformWithStateInPandas (typed ValueState on RocksDB): the
+    per-user totals must equal both the batch aggregation and the
+    applyInPandasWithState implementation's output."""
+    from etl_template_spark.streaming import running_totals_tws_stream
+    from etl_template_spark.streaming.jobs import ROCKSDB_STATE_CONF
+
+    old = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = read_events_stream(spark, events_dir)
+        totals = running_totals_tws_stream(stream)
+        run_available_now(
+            totals, "tws_totals_out", str(tmp_path / "ckpt_tws"), output_mode="update"
+        )
+        final = {}
+        for r in spark.table("tws_totals_out").collect():
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+        batch = (
+            spark.read.schema(
+                "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+                "value double, props string"
+            )
+            .json(events_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        )
+        expect = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+        assert final == expect
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
