@@ -7,6 +7,8 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
     topk.py       per-group top-k (rank window) and global top-k
     dedup.py      exact / MinHash / SimHash deduplication
     skew.py       key-salting helpers for pathological skew
+    heavy.py      exact heavy hitters via Misra-Gries candidates +
+                  broadcast-restricted verify pass
 """
 
 from .asof import asof_join  # noqa: F401
@@ -17,6 +19,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     verified_jaccard,
 )
+from .heavy import heavy_hitters, mg_candidates  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import replicate_join, salted_agg, with_salt  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

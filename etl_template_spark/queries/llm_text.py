@@ -600,3 +600,43 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", F.col("tf").cast("bigint").alias("tf"), "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_heavy_hitters — corpus-dominating tokens via Misra-Gries + exact verify
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token,
+           COUNT(*) AS cnt,
+           COUNT(*) / (SELECT n FROM tot) AS share
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * 100 >= (SELECT n FROM tot) * 1
+    ORDER BY token
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering >= 1% of the corpus token stream (vocabulary
+    heads a curation pipeline caps or down-weights).
+
+    Two passes (operators/heavy.py): a per-partition Misra-Gries sketch
+    bounds shuffled keys to ceil(1/theta) per partition — at 100 TB the
+    token column has billions of distinct values and a naive
+    groupBy(token) shuffles all of them — then an exact count restricted
+    to the broadcast candidate set.  The sketch only prunes, so the
+    result is exact and the threshold is the integer cross-product
+    ``cnt*den >= N*num`` (bit-identical in DuckDB; no float threshold).
+    The MG eviction guarantee is unit-tested on Zipf data in
+    tests/test_operators.py."""
+    from ..operators.heavy import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens_col()).alias("token"))
+    return heavy_hitters(tok, "token", 1, 100).orderBy("token")

@@ -207,6 +207,39 @@ def test_replicate_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+# -------------------------------------------------------- heavy hitters ----
+
+
+def test_heavy_hitters_exact_under_zipf_eviction(spark):
+    """MG capacity (k=50) << distinct keys (2000), spread over 8
+    partitions, so every partition's sketch evicts heavily — the
+    candidate superset guarantee is what makes the result exact."""
+    from etl_template_spark.operators.heavy import heavy_hitters, mg_candidates
+
+    rows = []
+    for i in range(1, 2001):  # Zipf: key i appears max(1, 600//i) times
+        rows.extend([(f"k{i:05d}",)] * max(1, 600 // i))
+    df = _df(spark, rows, "k string").repartition(8)
+
+    got = {
+        r["k"]: (r["cnt"], r["share"])
+        for r in heavy_hitters(df, "k", 1, 50).collect()
+    }
+
+    from collections import Counter
+
+    exact = Counter(k for (k,) in rows)
+    n = len(rows)
+    want = {k: c for k, c in exact.items() if c * 50 >= n}
+    assert set(got) == set(want)
+    for k, c in want.items():
+        assert got[k] == (c, c / n)
+    # eviction really ran: candidate set far below distinct-key count,
+    # bounded by k * numPartitions
+    n_cands = mg_candidates(df, "k", 1, 50).count()
+    assert len(want) <= n_cands <= 50 * 8
+
+
 # -------------------------------------------------------- versioned io ----
 
 
