@@ -199,3 +199,44 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("double").alias("total_qty"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars, CAST(bucket AS INT) AS bucket
+    FROM bucketed
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+    ORDER BY doc_id
+    """,
+    tags=("etl", "llm", "sampling"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap the dominant language
+    at 10%, keep tail languages at 50% (the corpus-rebalancing step of
+    a training-data pipeline).
+
+    Sampling predicate is a pure projection over a content-derived hash
+    bucket — ``sha2(doc_id)`` first 8 hex digits → 32-bit int % 100 —
+    NOT ``rand()``/``sample()``: the same row is kept on every engine,
+    every retry, and every cluster size (task-retry idempotence; see
+    operators/skew.py's with_salt for the same discipline), and the
+    sample composes with incremental ingest (a re-run over an appended
+    corpus keeps the identical prior rows).  No shuffle at all: the
+    plan is scan → project → filter, fully pushdown-friendly at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )

@@ -162,3 +162,35 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rnk")
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_totalprice,
+      CAST(NTILE(4) OVER w AS INT) AS quartile,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST()    OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_totalprice, o_orderkey
+    """,
+    tags=("window",),
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution family: ntile / percent_rank / cume_dist per
+    customer.  All three collapse into the single Window node of the
+    rank family (one shuffle on o_custkey); percent_rank and cume_dist
+    are integer-ratio doubles ((rank-1)/(n-1), n_le/n), so the values
+    are bit-identical cross-engine given the total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
