@@ -221,3 +221,57 @@ def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("kept_ts"),
         )
     )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT
+      c.user_id,
+      c.event_id  AS click_id,
+      c.ts        AS click_ts,
+      p.event_id  AS purchase_id,
+      p.ts        AS purchase_ts,
+      p.value     AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-attribution interval join: each purchase matched to
+    same-user clicks at most 2 hours before it — the batch twin of the
+    watermarked stream-stream join (streaming/jobs.py::join_streams).
+
+    Shape at scale: equi-join on user_id (the time bound is a post-join
+    band predicate on co-partitioned rows, NOT a crossJoin), so it
+    shuffles both sides once on the join key; in streaming the same
+    predicate doubles as the state-eviction bound."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .select(
+            "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+            "purchase_value",
+        )
+    )

@@ -228,6 +228,43 @@ def running_totals_tws_stream(
     )
 
 
+def join_streams(
+    clicks: DataFrame, purchases: DataFrame, within: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to same-user
+    clicks at most ``within`` before it (q_stream_join's incremental
+    twin).
+
+    Both sides carry a watermark and the join predicate carries the
+    time bound — together they let Spark EVICT join state: a buffered
+    click older than (watermark horizon - within) can never match a
+    future purchase and is dropped.  Without the time bound both sides
+    buffer forever, which is the unbounded-state bug that kills
+    stream-stream joins at scale; with it, state is O(traffic within
+    the horizon) regardless of stream age."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    ).withWatermark("click_ts", within)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", within)
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {within}"
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(
     df: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> StreamingQuery:

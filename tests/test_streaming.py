@@ -242,3 +242,41 @@ def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream interval join over a bounded backlog
+    must equal the batch interval join over the same rows (append mode
+    emits a joined row once both sides' watermarks pass it)."""
+    from etl_template_spark.streaming import join_streams
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 9.0),   # joins #1 (30 min)
+        (3, "2024-01-01 13:00:00", 1, "purchase", 7.0),   # > 2h after #1: no
+        (4, "2024-01-01 10:05:00", 2, "click", 1.0),
+        (5, "2024-01-01 11:00:00", 2, "purchase", 5.0),   # joins #4 (55 min)
+        (6, "2024-01-01 09:00:00", 2, "purchase", 3.0),   # before #4: no
+        (7, "2024-01-01 23:00:00", 3, "click", 1.0),      # advances watermark
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in rows:
+            f.write(json.dumps({
+                "event_id": e[0], "ts": e[1], "user_id": e[2],
+                "event_type": e[3], "value": e[4], "props": "{}",
+            }) + "\n")
+
+    stream = read_events_stream(spark, path)
+    joined = join_streams(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="2 hours",
+    )
+    run_available_now(joined, "ssjoin_out", str(tmp_path / "ckpt"))
+    got = sorted(
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.table("ssjoin_out").collect()
+    )
+    assert got == [(1, 2, 9.0), (4, 5, 5.0)]
