@@ -6,6 +6,8 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
     sessionize.py gap-based sessionization (lag + cumulative sum)
     topk.py       per-group top-k (rank window) and global top-k
     dedup.py      exact / MinHash / SimHash deduplication
+    rangejoin.py  binned range join (interval containment without an
+                  equi key, as a bin-id equi-join — no BNLJ/cartesian)
     skew.py       key-salting helpers for pathological skew
     heavy.py      exact heavy hitters via Misra-Gries candidates +
                   broadcast-restricted verify pass
@@ -20,6 +22,7 @@ from .dedup import (  # noqa: F401
     verified_jaccard,
 )
 from .heavy import heavy_hitters, mg_candidates  # noqa: F401
+from .rangejoin import range_join_binned  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import replicate_join, salted_agg, with_salt  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..compat import dsum, dsum_sql
 from ..io import load_table
 from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join_binned
 from ..registry import register
 
 
@@ -321,4 +322,60 @@ def q_join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * dsum(promo_rev) / dsum(rev), 4).alias("promo_share_pct"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT
+      o_orderkey,
+      o_orderdate AS win_start,
+      l_orderkey,
+      l_linenumber,
+      l_shipdate,
+      l_quantity
+    FROM orders
+    JOIN lineitem
+      ON l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 3 DAY
+    WHERE o_totalprice > 450000 AND l_quantity >= 48
+    ORDER BY o_orderkey, l_orderkey, l_linenumber
+    """,
+    tags=("join", "range"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big interval join with NO equi key: every high-quantity
+    shipment falling in a 3-day window after a high-value order's date
+    (both sides fact-scaled — the shape q_join_theta's broadcast
+    nested-loop can NOT survive at 100 TB).
+
+    Planned via operators/rangejoin.py::range_join_binned: the interval
+    side explodes to the (at most 2) 3-day bins it overlaps, both sides
+    hash-partition on the bin id, and the exact containment predicate
+    re-checks after the bin equi-join — a shuffle join, never a
+    cartesian/BNLJ (asserted in tests/test_plans.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    intervals = (
+        orders.where(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("win_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("win_end"),
+        )
+    )
+    points = li.where(F.col("l_quantity") >= 48).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    return range_join_binned(
+        points,
+        intervals,
+        point_col="l_shipdate",
+        start_col="win_start",
+        end_col="win_end",
+        width_seconds=3 * 86400,
+    ).select(
+        "o_orderkey", "win_start", "l_orderkey", "l_linenumber",
+        "l_shipdate", "l_quantity",
     )

@@ -313,3 +313,39 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for k, ests in approx.items():
         for est, ex in zip(ests, exact[k]):
             assert abs(est - ex) <= 0.01 * ex + 1e-9, (k, est, ex)
+
+
+def test_range_join_binned_edges(spark):
+    """Containment edges: start inclusive, end exclusive by default
+    (inclusive on request); intervals longer than the bin width still
+    match points in every bin they span (the explode covers them)."""
+    from etl_template_spark.operators.rangejoin import range_join_binned
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 02:00:00"),
+         (3, "2024-01-01 05:00:00"), (4, "2024-01-01 07:00:00")],
+        "pid long, t string",
+    ).select("pid", F.col("t").cast("timestamp").alias("t"))
+    ivs = spark.createDataFrame(
+        # 5h interval spans many 1h bins; second interval's end == point 3's t
+        [(10, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),
+         (20, "2024-01-01 04:30:00", "2024-01-01 05:00:00")],
+        "iid long, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pts, ivs, "t", "s", "e", 3600).collect()
+    )
+    assert got == [(1, 10), (2, 10)]  # end-exclusive: pid 3 out
+
+    got_incl = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_binned(
+            pts, ivs, "t", "s", "e", 3600, end_inclusive=True
+        ).collect()
+    )
+    assert got_incl == [(1, 10), (2, 10), (3, 10), (3, 20)]

@@ -155,3 +155,18 @@ def test_tpch_q19_band_prefilter_prunes_build_side(spark, sf_dir):
     assert "CartesianProduct" not in p
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l or "Or(" in l for l in pushed)
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash/sort-merge EQUI join on
+    the bin id — never BNLJ or cartesian (the whole point of the
+    operator: both sides are fact-scaled, neither may broadcast as the
+    join's build strategy at 100 TB)."""
+    p = plan_of(spark, sf_dir, "q_join_range")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        # AQE may legitimately downgrade to broadcast at tiny SF — but
+        # the JOIN KEY must still be the bin equi-key
+        "BroadcastHashJoin" in p and "__range_bin" in p
+    )
