@@ -5,6 +5,8 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
                   never materializes the m×n candidate space)
     sessionize.py gap-based sessionization (lag + cumulative sum)
     topk.py       per-group top-k (rank window) and global top-k
+    cluster.py    connected components over pair graphs (duplicate-
+                  cluster resolution: pairs → groups → one survivor)
     dedup.py      exact / MinHash / SimHash deduplication
     rangejoin.py  binned range join (interval containment without an
                   equi key, as a bin-id equi-join — no BNLJ/cartesian)
@@ -14,6 +16,7 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
 """
 
 from .asof import asof_join  # noqa: F401
+from .cluster import connected_components  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_exact,
     lsh_candidate_pairs,

@@ -38,6 +38,7 @@ from ..operators.dedup import (
     tokens_col,
     verified_jaccard as _verified_jaccard,
 )
+from ..operators.cluster import connected_components
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -178,6 +179,67 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _verified_jaccard(
         candidates, sh, threshold=0.5, sizes=mins.select("doc_id", "n_sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_cluster — connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+def _cluster_oracle() -> str:
+    # Same pair semantics as q_dedup_fuzzy's oracle, then transitive
+    # closure via a recursive CTE: a vertex's component is the minimum
+    # doc_id it can reach (UNION, not UNION ALL — dedup per step is
+    # what terminates the recursion on cycles).
+    return """
+    WITH RECURSIVE sh AS (%s),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id d1, b.doc_id d2, COUNT(*) c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM common
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5),
+    edges AS (SELECT d1 s, d2 t FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t)
+    SELECT
+      id                        AS doc_id,
+      MIN(lbl)                  AS cluster_id,
+      CAST(id = MIN(lbl) AS INT) AS keep
+    FROM reach
+    GROUP BY id
+    ORDER BY doc_id
+    """ % _SHINGLES_SQL
+
+
+@register("q_dedup_cluster", oracle=_cluster_oracle(), tags=("llm", "dedup"))
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS (q_dedup_fuzzy's
+    LSH + verification) → connected components → one deterministic
+    survivor per cluster (``keep = doc_id == cluster_id`` = component
+    min).  The step every dedup pipeline needs after pair detection —
+    pairs alone can't answer "which rows do I drop" once groups chain
+    (A~B, B~C but not A~C).
+
+    Components via iterative min-label propagation
+    (operators/cluster.py): one equi-join + one aggregate per round,
+    O(cluster diameter) rounds, lineage truncated per round.  The
+    oracle states the same fixpoint declaratively as a recursive CTE —
+    Spark's loop and DuckDB's recursion must land on the identical
+    labeling."""
+    pairs = q_dedup_fuzzy(spark, sf_dir)
+    comp = connected_components(pairs, src="d1", dst="d2")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).cast("int").alias("keep"),
     )
 
 

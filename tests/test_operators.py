@@ -349,3 +349,25 @@ def test_range_join_binned_edges(spark):
         ).collect()
     )
     assert got_incl == [(1, 10), (2, 10), (3, 10), (3, 20)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chaining (A-B, B-C ⇒ one component), separate islands
+    stay separate, and the label is the component minimum."""
+    from etl_template_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter > 1 forces multiple propagation
+        # rounds), island {10, 11}, self-contained pair {7, 8}
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 8)],
+        "src long, dst long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (7, 7), (8, 7),
+    }
