@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         # let Python data sources (datasource.py) receive pushed filters
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # runtime row-level filtering: when a shuffle join's build side
+        # carries a selective filter, inject a bloom filter of its join
+        # keys into the probe side's scan — at 100 TB this prunes most
+        # of the fact table BEFORE the shuffle (the sort-merge analog of
+        # what broadcast joins get for free).  Default size thresholds
+        # retained: creation side must be small enough to aggregate
+        # cheaply, probe side big enough to be worth it.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -170,3 +170,37 @@ def test_range_join_binned_is_equi_join(spark, sf_dir):
         # the JOIN KEY must still be the bin equi-key
         "BroadcastHashJoin" in p and "__range_bin" in p
     )
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering (session.py enables it): a shuffle
+    join whose build side is selectively filtered must inject a bloom
+    filter of build-side join keys into the probe side's scan —
+    `bloom_filter_agg` on the build side, `might_contain` in the probe
+    filter.  Thresholds are forced here because the fixture tables are
+    tiny; at production scale the defaults trigger on their own."""
+    from etl_template_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    forced = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in forced}
+    try:
+        for k, v in forced.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        p = j._jdf.queryExecution().explainString(mode)
+        assert "bloom_filter_agg" in p and "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
