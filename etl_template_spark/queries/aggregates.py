@@ -296,3 +296,30 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("l_quantity"))
         .withColumnsRenamed({"O": "qty_O", "F": "qty_F"})
     )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_quantity >= 49)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    tags=("agg", "reshape"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (inverse of q_agg_pivot): one row per
+    (line, measure).  ``unpivot`` is a narrow projection — each input
+    row expands to 4 output rows in place, no shuffle, no Python; at
+    100 TB it's a map-only stage that composes with pushdown (the
+    quantity filter still reaches the scan)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -203,3 +203,45 @@ def q_udtf_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _doc_metrics, schema="doc_id long, metric string, value long"
     )
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS i FROM t)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+    FROM e
+    WHERE length(toks[i]) > 7
+    ORDER BY doc_id, pos
+    """,
+    tags=("udf", "text"),
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 ``@udtf`` table function) applied per
+    row via SQL LATERAL: each document yields one row per long token
+    with its position.
+
+    Coverage-of-API query: the same semantics stay JVM-side as
+    ``posexplode(split(...))`` (q_udtf_explode is the scale path);
+    ``@udtf(useArrow=True)`` keeps the Python path on Arrow batches
+    rather than pickled rows when a table function genuinely needs
+    Python.  The UDTF class is created inside the builder — module
+    import stays session-free (round-1 udfs.py import-time lesson)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string", useArrow=True)
+    class LongTokens:
+        def eval(self, doc_id, text):
+            for i, t in enumerate(text.split(" ")):
+                if len(t) > 7:
+                    yield doc_id, i, t
+
+    spark.udtf.register("long_tokens", LongTokens)
+    d = load_table(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM __udtf_docs, LATERAL long_tokens(doc_id, text) t"
+    )
