@@ -40,6 +40,7 @@ HEADLINE = [
     "q_tpch_q6",         # pure scan-bound aggregate (TPC-H Q6)
     "q_tpch_q8",         # 7-table broadcast star (TPC-H Q8)
     "q_tpch_q21",        # per-order EXISTS/NOT-EXISTS collapse (TPC-H Q21)
+    "q_join_range",      # binned big×big range join (no equi key)
 ]
 
 

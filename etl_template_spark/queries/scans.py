@@ -215,3 +215,33 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(root)
         .where(F.col("n_regionkey") == 2)
     )
+
+
+@register(
+    "q_scan_text",
+    oracle="""
+    SELECT text AS value,
+           length(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    ORDER BY value
+    """,
+    tags=("source", "llm"),
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines source (``spark.read.text``): one row per line,
+    single ``value`` column — the entry format of most web-scale
+    training corpora (one document per line, metadata joined later by
+    content hash).  Fixture derived from ``documents.text`` once per
+    scale factor; the oracle reads the parquet view, so a match proves
+    the text round-trip is byte-lossless.  Line-splitting parallelizes
+    by HDFS-style byte ranges, so a single huge file still fans out
+    across executors."""
+    path = _scratch(sf_dir, "documents", "documents_txt")
+    if not _derived_ready(path):
+        load_table(spark, sf_dir, "documents").select("text").write.mode(
+            "overwrite"
+        ).text(path)
+    return spark.read.text(path).select(
+        "value",
+        F.size(F.split("value", " ", -1)).alias("n_tokens"),
+    )
