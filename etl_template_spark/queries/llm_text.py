@@ -244,6 +244,119 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_dedup_incremental — dedup an incoming shard AGAINST an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle() -> str:
+    # doc_id % 10 == 0 plays the incoming shard; the rest is the corpus.
+    # Verdict precedence: exact (byte-identical to any corpus doc) >
+    # near (3-shingle Jaccard >= 0.5 vs any corpus doc) > keep.
+    return """
+    WITH sh AS (%s),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    exact AS (
+      SELECT DISTINCT i.doc_id
+      FROM documents i JOIN documents c
+        ON sha256(i.text) = sha256(c.text)
+      WHERE i.doc_id %% 10 = 0 AND c.doc_id %% 10 != 0),
+    common AS (
+      SELECT a.doc_id i_id, b.doc_id c_id, COUNT(*) c
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id %% 10 = 0 AND b.doc_id %% 10 != 0
+      GROUP BY 1, 2),
+    near AS (
+      SELECT DISTINCT i_id AS doc_id FROM common
+      JOIN sizes s1 ON s1.doc_id = i_id
+      JOIN sizes s2 ON s2.doc_id = c_id
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'keep' END AS verdict
+    FROM documents d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near  n ON n.doc_id = d.doc_id
+    WHERE d.doc_id %% 10 = 0
+    ORDER BY d.doc_id
+    """ % _SHINGLES_SQL
+
+
+@register(
+    "q_dedup_incremental", oracle=_incremental_oracle(), tags=("llm", "dedup")
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) dedup — the production shape: a new
+    crawl shard is deduped AGAINST the existing corpus, not within
+    itself.  Per incoming doc: ``exact`` (byte-identical to a corpus
+    doc, sha2 semi-join), ``near`` (MinHash-band collision with a
+    corpus doc, then exact-Jaccard verification), else ``keep``.
+
+    Scale shape: the corpus side's signatures/band keys are the big
+    side — in steady state they are a MAINTAINED index (appended per
+    accepted ingest), so each ingest costs O(|shard|) new signatures
+    plus equi-joins against the index, never a corpus rescan.  The band
+    join is incoming-bands ⋈ corpus-bands (asymmetric — no self-join,
+    no d1<d2), and the exact check is a semi-join on the 32-byte
+    digest.  Both are plain equi-joins: broadcast when the shard is
+    small, shuffle otherwise — AQE picks."""
+    d = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % 10 == 0
+
+    inc_hash = d.where(is_inc).select("doc_id", F.sha2("text", 256).alias("h"))
+    cor_hash = d.where(~is_inc).select(F.sha2("text", 256).alias("h")).distinct()
+    exact_ids = inc_hash.join(cor_hash, "h", "left_semi").select("doc_id")
+
+    from ..operators.dedup import minhash_signature
+
+    sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
+    mins = minhash_signature(sh).persist()
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(i), F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")
+                    )
+                    for i in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    inc_bands = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("d1"), "band_key"
+    )
+    cor_bands = bands.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("d2"), "band_key"
+    )
+    candidates = (
+        inc_bands.join(cor_bands, "band_key").select("d1", "d2").distinct()
+    )
+    near_ids = (
+        _verified_jaccard(
+            candidates, sh, threshold=0.5, sizes=mins.select("doc_id", "n_sh")
+        )
+        .select(F.col("d1").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        d.where(is_inc)
+        .select("doc_id")
+        .join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("__e").isNotNull(), "exact")
+            .when(F.col("__n").isNotNull(), "near")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_dedup_ngram — inverted-index exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
