@@ -25,6 +25,7 @@ Layout:
 __version__ = "0.2.0"
 
 from .io import (  # noqa: F401,E402
+    compact_versioned,
     load_table,
     read_csv,
     read_jsonl,
@@ -36,6 +37,7 @@ from .session import get_spark  # noqa: F401,E402
 
 __all__ = [
     "Pipeline",
+    "compact_versioned",
     "PipelineRun",
     "Step",
     "StepFailed",

@@ -22,6 +22,7 @@ size.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -242,3 +243,50 @@ def read_versioned(
             raise ValueError("JSON versioned reads require an explicit schema")
         return spark.read.schema(schema).json(path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> tuple[int, str]:
+    """Small-file compaction: rewrite the latest version of ``step`` as a
+    new version with ~``target_file_bytes`` files (optionally re-sorted
+    into a clustered layout).
+
+    The operational problem at scale: incremental ingest (streaming
+    foreachBatch, per-shard pipeline steps) accretes thousands of small
+    files per dataset; every subsequent scan then pays per-file open/
+    footer/schema costs and the driver pays listing time — at 100 TB,
+    small files dominate query latency long before data volume does.
+
+    Shape: one job, no driver-side data movement.  File count is sized
+    from the CURRENT version's on-disk bytes (sum of data-file sizes —
+    compressed, which is what the new files will be too), then either a
+    range-partition + sort (clustered layout: row-group pruning keeps
+    working after compaction) or a plain ``coalesce`` (narrow — avoids
+    a shuffle entirely when only the file count needs fixing).
+    Compaction writes a NEW immutable version via the same atomic claim
+    as every other write; readers of the old version are never
+    disturbed, and a crashed compaction leaves no committed output
+    (Spark's commit protocol) — re-run it idempotently.
+    """
+    version = latest_version(root, step)
+    if version is None:
+        raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    src = os.path.join(_step_dir(root, step), f"v={version}")
+    on_disk = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(src)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(on_disk / target_file_bytes))
+    df = read_versioned(spark, root, step, version=version)
+    if sort_by:
+        return write_versioned(
+            df, root, step, sort_by=sort_by, sort_partitions=n_files
+        )
+    return write_versioned(df.coalesce(n_files), root, step)

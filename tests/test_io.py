@@ -8,6 +8,7 @@ import os
 import pytest
 
 from etl_template_spark.io import (
+    load_table,
     read_jsonl,
     read_versioned,
     write_versioned,
@@ -116,3 +117,69 @@ def test_sorted_layout_row_groups_are_prunable(spark, sf_dir, tmp_path):
 
     # content survives the re-layout
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_compact_versioned_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction must write a NEW version with fewer files and the
+    identical row multiset; the source version stays untouched."""
+    from etl_template_spark.io import (
+        compact_versioned,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "store")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # simulate small-file accretion: 16 files for a tiny table
+    v1, p1 = write_versioned(o.repartition(16), root, "orders_step")
+    n_before = sum(1 for f in os.listdir(p1) if f.endswith(".parquet"))
+    assert n_before == 16
+
+    v2, p2 = compact_versioned(spark, root, "orders_step")
+    assert v2 == v1 + 1 and latest_version(root, "orders_step") == v2
+    n_after = sum(1 for f in os.listdir(p2) if f.endswith(".parquet"))
+    assert n_after == 1  # tiny data « target_file_bytes → one file
+
+    before = sorted(map(tuple, read_versioned(spark, root, "orders_step", v1).collect()))
+    after = sorted(map(tuple, read_versioned(spark, root, "orders_step", v2).collect()))
+    assert before == after
+    # old version untouched
+    assert sum(1 for f in os.listdir(p1) if f.endswith(".parquet")) == 16
+
+
+def test_compact_versioned_sorted_keeps_clustered_layout(spark, sf_dir, tmp_path):
+    """sort_by compaction re-clusters: row groups in the compacted
+    version cover near-disjoint key ranges (pruning keeps working)."""
+    import pyarrow.parquet as pq
+
+    from etl_template_spark.io import compact_versioned, write_versioned
+
+    root = str(tmp_path / "store")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_versioned(li.repartition(8), root, "li_step")
+    _, p2 = compact_versioned(
+        spark, root, "li_step",
+        target_file_bytes=64 * 1024, sort_by=["l_orderkey"],
+    )
+    files = [f for f in os.listdir(p2) if f.endswith(".parquet")]
+    assert len(files) >= 2  # 64 KiB target forces multiple files
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(p2, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b
+    )
+    assert overlaps <= len(spans) // 4  # near-disjoint after re-sort
