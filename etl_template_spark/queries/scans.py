@@ -245,3 +245,30 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.size(F.split("value", " ", -1)).alias("n_tokens"),
     )
+
+
+@register(
+    "q_compact_versioned",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("sink", "etl"),
+)
+def q_compact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end (io.py::compact_versioned):
+    ``supplier`` is committed as a deliberately fragmented version
+    (16 files), compacted into a new sorted version, and read back.
+    The oracle reads the original parquet — a match proves compaction
+    is lossless; tests/test_io.py additionally asserts the file-count
+    and clustered-layout (row-group min/max) properties."""
+    from ..io import compact_versioned
+
+    root = tempfile.mkdtemp(prefix="etl_compact_")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    write_versioned(sup.repartition(16), root, "suppliers")
+    compact_versioned(spark, root, "suppliers", sort_by=["s_suppkey"])
+    return read_versioned(spark, root, "suppliers")
