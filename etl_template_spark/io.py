@@ -116,6 +116,42 @@ def read_jsonl(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL scan that QUARANTINES malformed lines instead of dying:
+    ``(good, bad)`` where ``good`` carries the declared schema and
+    ``bad`` carries the raw offending line.
+
+    The production third option beyond the reference's two (die on
+    first bad line / silently zero-fill): at 100 TB a single bad line
+    must neither kill an hours-long job nor vanish — it lands in a
+    quarantine sink for offline triage, and the split is one PERMISSIVE
+    scan, not a validate-then-rescan double read.  (Spark requires the
+    corrupt column to be selected before filtering on it, hence the
+    explicit column juggling.)"""
+    ensure_engine_conf(spark)
+    base = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    with_corrupt = T.StructType(
+        base.fields + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()  # one scan feeds both splits
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -183,3 +183,26 @@ def test_compact_versioned_sorted_keeps_clustered_layout(spark, sf_dir, tmp_path
         1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b
     )
     assert overlaps <= len(spans) // 4  # near-disjoint after re-sort
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    """PERMISSIVE quarantine: good rows parse with the declared schema,
+    malformed lines land intact in the quarantine frame — one scan, no
+    dead job, nothing silently dropped."""
+    from etl_template_spark.io import read_jsonl_quarantine
+
+    p = str(tmp_path / "mixed.jsonl")
+    _write(p, [
+        '{"id": "1", "name": "alice"}',
+        'this is not json at all',
+        '{"id": "2", "name": "bob"}',
+        '{"id": "3", "name": broken}',
+    ])
+    good, bad = read_jsonl_quarantine(spark, p, SCHEMA)
+    assert sorted((r["id"], r["name"]) for r in good.collect()) == [
+        ("1", "alice"), ("2", "bob"),
+    ]
+    assert sorted(r["raw_line"] for r in bad.collect()) == [
+        "this is not json at all",
+        '{"id": "3", "name": broken}',
+    ]
