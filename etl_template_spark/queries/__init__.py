@@ -18,6 +18,7 @@ from . import (  # noqa: F401,E402
     functions_scalar,
     udfs,
     etl_ops,
+    events_analytics,
     llm_text,
     similarity,
     streaming_batch,
