@@ -93,7 +93,8 @@ def test_sim_search_single_scan_topk(spark, sf_dir):
     "name",
     [
         "q_dedup_exact", "q_dedup_fuzzy", "q_dedup_ngram", "q_tfidf",
-        "q_knn_join_blocked", "q_dedup_embedding",
+        "q_knn_join_blocked", "q_dedup_embedding", "q_dedup_incremental",
+        "q_events_funnel", "q_events_retention",
     ],
 )
 def test_llm_operators_never_cartesian(spark, sf_dir, name):
