@@ -206,3 +206,53 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
         "this is not json at all",
         '{"id": "3", "name": broken}',
     ]
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering: after range-sort on the interleaved z-value,
+    a selective range filter on EITHER participating column rules out a
+    large share of row groups by footer min/max — unlike a single-key
+    sort, where every non-leading column reads everything."""
+    import pyarrow.parquet as pq
+
+    from etl_template_spark.io import write_versioned
+    from etl_template_spark.layout import Z_COL, with_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    root = str(tmp_path)
+    _, zpath = write_versioned(
+        with_zorder(li, ["l_orderkey", "l_partkey"], bits=16),
+        root, "z", sort_by=[Z_COL], sort_partitions=16,
+    )
+    _, spath = write_versioned(
+        li, root, "plain", sort_by=["l_orderkey"], sort_partitions=16
+    )
+
+    def candidates(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append((st.min, st.max))
+        flo = min(a for a, _ in spans)
+        fhi = max(b for _, b in spans)
+        lo = flo + (fhi - flo) * 0.20  # off-center 5%-wide range
+        hi = flo + (fhi - flo) * 0.25
+        n = sum(1 for a, b in spans if not (b < lo or a > hi))
+        return n, len(spans)
+
+    # z-layout: both dims prune (each skips >30% of groups)
+    for col in ("l_orderkey", "l_partkey"):
+        n, total = candidates(zpath, col)
+        assert n <= 0.7 * total, (col, n, total)
+    # single-key sort: leading key prunes hard, non-leading reads ~all
+    n_lead, total = candidates(spath, "l_orderkey")
+    assert n_lead <= 0.25 * total
+    n_other, total = candidates(spath, "l_partkey")
+    assert n_other >= 0.9 * total
