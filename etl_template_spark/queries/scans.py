@@ -272,3 +272,32 @@ def q_compact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_versioned(sup.repartition(16), root, "suppliers")
     compact_versioned(spark, root, "suppliers", sort_by=["s_suppkey"])
     return read_versioned(spark, root, "suppliers")
+
+
+@register(
+    "q_sink_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    """,
+    tags=("sink", "etl"),
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered versioned write + read-back (layout.py): lineitem is
+    clustered on the interleaved (l_orderkey, l_partkey) Morton value,
+    range-sorted, committed, and read back.  The oracle reads the
+    source parquet — a match proves the re-layout is lossless;
+    tests/test_io.py asserts the physical property (row-group min/max
+    pruning effective on BOTH dimensions)."""
+    from ..layout import Z_COL, with_zorder
+
+    root = tempfile.mkdtemp(prefix="etl_zorder_")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    z = with_zorder(li, ["l_orderkey", "l_partkey"], bits=16)
+    write_versioned(z, root, "li_z", sort_by=[Z_COL], sort_partitions=8)
+    return read_versioned(spark, root, "li_z").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
