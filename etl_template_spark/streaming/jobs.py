@@ -135,6 +135,26 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicates(keys + ["ts"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: dedup on the KEY ALONE — two
+    records with the same key but different event times still collapse,
+    as long as they arrive within the watermark horizon of each other.
+
+    This is the at-least-once-ingest reality ``dedup_stream`` can't
+    express: a redelivered event usually carries a fresh/late timestamp,
+    so keying on (id, ts) lets the duplicate through, while keying on id
+    without the within-watermark bound would grow state forever.  State
+    per key is evicted one watermark horizon after first sight — the
+    same bounded-state guarantee, correct semantics for retried
+    delivery."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def running_totals_stream(
     events: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -229,7 +249,10 @@ def running_totals_tws_stream(
 
 
 def join_streams(
-    clicks: DataFrame, purchases: DataFrame, within: str = "2 hours"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to same-user
     clicks at most ``within`` before it (q_stream_join's incremental
@@ -241,7 +264,12 @@ def join_streams(
     future purchase and is dropped.  Without the time bound both sides
     buffer forever, which is the unbounded-state bug that kills
     stream-stream joins at scale; with it, state is O(traffic within
-    the horizon) regardless of stream age."""
+    the horizon) regardless of stream age.
+
+    ``how='left_outer'`` emits unconverted clicks too (null purchase
+    columns) — but only once the watermark proves no future purchase
+    can still match, which is why outer stream-stream joins REQUIRE
+    the time bound: without it the null side could never be finalized."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
@@ -259,6 +287,7 @@ def join_streams(
             f"user_id = p_user_id AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + INTERVAL {within}"
         ),
+        how,
     ).select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
         "purchase_value",

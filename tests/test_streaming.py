@@ -280,3 +280,82 @@ def test_stream_stream_join_matches_batch_twin(spark, tmp_path):
         for r in spark.table("ssjoin_out").collect()
     )
     assert got == [(1, 2, 9.0), (4, 5, 5.0)]
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer interval join: converted clicks join their purchase;
+    unconverted clicks emit with NULL purchase columns once the
+    watermark proves no match can still arrive."""
+    from etl_template_spark.streaming import join_streams
+
+    # outer-join nulls flush when the GLOBAL watermark (the MIN across
+    # both inputs' watermarks) passes the row's eviction point, and the
+    # watermark only moves at micro-batch boundaries — so later batches
+    # must advance BOTH the click and the purchase side, and the flush
+    # lands one batch after that (exactly like late traffic on a real
+    # stream; one file per trigger, mtime-ordered)
+    batches = [
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 9.0),   # joins #1
+            (3, "2024-01-01 10:05:00", 2, "click", 1.0),      # never converts
+        ],
+        [(4, "2024-01-01 23:00:00", 3, "click", 1.0)],        # click wm push
+        [(5, "2024-01-02 23:00:00", 3, "purchase", 0.0)],     # purchase wm push
+        [(6, "2024-01-02 23:30:00", 3, "click", 1.0)],        # flush batch
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    for i, rows in enumerate(batches):
+        fp = os.path.join(path, f"part-{i}.json")
+        with open(fp, "w") as f:
+            for e in rows:
+                f.write(json.dumps({
+                    "event_id": e[0], "ts": e[1], "user_id": e[2],
+                    "event_type": e[3], "value": e[4], "props": "{}",
+                }) + "\n")
+        os.utime(fp, (1000 + i, 1000 + i))  # deterministic batch order
+
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    joined = join_streams(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="2 hours",
+        how="left_outer",
+    )
+    run_available_now(joined, "ssjoin_lo_out", str(tmp_path / "ckpt"))
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("ssjoin_lo_out").collect()
+        if r["click_id"] in (1, 3)
+    )
+    assert got == [(1, 2), (3, None)]
+
+
+def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered event with a
+    DIFFERENT timestamp still collapses (same event_id, within the
+    horizon) — the at-least-once-delivery case plain (id, ts) dedup
+    lets through."""
+    from etl_template_spark.streaming import dedup_stream_within_watermark
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 10:04:00", 1, "click", 1.0),  # redelivery, new ts
+        (2, "2024-01-01 10:01:00", 2, "view", 2.0),
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in rows:
+            f.write(json.dumps({
+                "event_id": e[0], "ts": e[1], "user_id": e[2],
+                "event_type": e[3], "value": e[4], "props": "{}",
+            }) + "\n")
+
+    deduped = dedup_stream_within_watermark(
+        read_events_stream(spark, path), watermark="1 hour"
+    )
+    run_available_now(deduped, "dedup_ww_out", str(tmp_path / "ckpt"))
+    ids = sorted(r["event_id"] for r in spark.table("dedup_ww_out").collect())
+    assert ids == [1, 2]
