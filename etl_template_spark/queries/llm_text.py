@@ -815,3 +815,81 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens_col()).alias("token"))
     return heavy_hitters(tok, "token", 1, 100).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_curation — the composed end-to-end curation decision
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corpus_curation",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             length(text)                                        AS n_chars,
+             len(string_split(text, ' '))                        AS n_tokens,
+             len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS stop_hits,
+             len(regexp_extract_all(text, '[0-9]'))              AS n_digits,
+             MIN(doc_id) OVER (PARTITION BY sha256(text))        AS canon
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, canon,
+             0.5 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(stop_hits * 5.0 / n_tokens, 1.0)
+           + 0.2 * (1.0 - n_digits * 1.0 / n_chars) AS quality
+      FROM m)
+    SELECT doc_id, lang,
+           round(quality, 6) AS quality,
+           CASE WHEN doc_id != canon THEN 'dup'
+                WHEN quality < 0.6   THEN 'low_quality'
+                ELSE 'kept' END AS reason
+    FROM q
+    ORDER BY doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation decision — what an actual
+    pre-training data pipeline runs nightly: exact-dedup survivorship
+    (min doc_id per content hash) + heuristic quality gate
+    (q_quality_score's exact formula), folded into one per-doc verdict
+    with precedence dup > low_quality > kept.
+
+    One pass, two shuffles: the dedup window partitions by the 32-byte
+    content digest (same shuffle a groupBy dedup would pay), quality is
+    pure projection arithmetic riding the same scan.  Composition is
+    the point: every stage is an operator this engine already verifies
+    in isolation, and the composite still matches the oracle exactly."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.min("doc_id").over(
+        Window.partitionBy(F.sha2("text", 256))
+    )
+    quality = (
+        0.5 * F.least(F.size(tokens_col()) / 100.0, F.lit(1.0))
+        + 0.3
+        * F.least(
+            F.regexp_count("text", F.lit(r"\b(the|a|of|and|to)\b")) * 5.0
+            / F.size(tokens_col()),
+            F.lit(1.0),
+        )
+        + 0.2
+        * (1.0 - F.regexp_count("text", F.lit("[0-9]")) * 1.0 / F.length("text"))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        canon.alias("canon"),
+        quality.alias("q"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.round("q", 6).alias("quality"),
+        F.when(F.col("doc_id") != F.col("canon"), "dup")
+        .when(F.col("q") < 0.6, "low_quality")
+        .otherwise("kept")
+        .alias("reason"),
+    )
