@@ -22,6 +22,7 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     verified_jaccard,
 )
 from .heavy import heavy_hitters, mg_candidates  # noqa: F401

