@@ -5,6 +5,7 @@ streaming rows; batch-equivalent twins live in queries/streaming_batch.py).
 from .jobs import (  # noqa: F401
     dedup_stream,
     dedup_stream_within_watermark,
+    funnel_stream,
     join_streams,
     read_events_stream,
     run_available_now,

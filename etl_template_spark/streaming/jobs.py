@@ -334,3 +334,67 @@ def versioned_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming funnel (q_events_funnel's incremental twin): per user,
+    the earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click — emitted as the furthest ``stage``
+    reached so far, updated as events arrive.
+
+    Custom stateful operator via ``applyInPandasWithState``: state is
+    the typed triple (t_view, t_click, t_purchase); each batch's rows
+    are processed in event-time order and folded through the stage
+    machine.  In-order and bounded-late arrivals (anything the
+    watermark admits within a batch, which is sorted before folding)
+    produce exactly the batch semantics; an earlier-stage event
+    arriving AFTER a later batch already consumed its successors is
+    folded conservatively (stages never regress) — the standard
+    monotone approximation every incremental funnel makes, because
+    exact retraction would require buffering the full horizon per user.
+    State is three timestamps per user — O(users) regardless of event
+    volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _update(key, pdfs, state: GroupState):
+        tv, tc, tp = state.get if state.exists else (None, None, None)
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            for _, r in rows.sort_values("ts").iterrows():
+                et, ts = r["event_type"], r["ts"]
+                if et == "view" and tv is None:
+                    tv = ts
+                elif et == "click" and tc is None and tv is not None and ts > tv:
+                    tc = ts
+                elif et == "purchase" and tp is None and tc is not None and ts > tc:
+                    tp = ts
+        state.update((tv, tc, tp))
+        if tv is not None:
+            stage = 3 if tp is not None else (2 if tc is not None else 1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "t_view": [tv],
+                    "t_click": [tc],
+                    "t_purchase": [tp],
+                    "stage": [stage],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=(
+                "user_id bigint, t_view timestamp, t_click timestamp, "
+                "t_purchase timestamp, stage int"
+            ),
+            stateStructType="tv timestamp, tc timestamp, tp timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

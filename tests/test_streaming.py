@@ -359,3 +359,41 @@ def test_dedup_within_watermark_collapses_redelivery(spark, tmp_path):
     run_available_now(deduped, "dedup_ww_out", str(tmp_path / "ckpt"))
     ids = sorted(r["event_id"] for r in spark.table("dedup_ww_out").collect())
     assert ids == [1, 2]
+
+
+def test_funnel_stream_matches_batch_twin_over_backlog(spark, tmp_path):
+    """Streaming funnel over a bounded in-order backlog must land on
+    the batch funnel's final per-user stage (update mode: keep each
+    user's LAST emission)."""
+    from etl_template_spark.streaming import funnel_stream
+
+    rows = [
+        # user 1 completes the funnel, strictly ordered
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+        # user 2: click BEFORE first view must not count → stage 1
+        (4, "2024-01-01 09:00:00", 2, "click", 0.0),
+        (5, "2024-01-01 10:00:00", 2, "view", 0.0),
+        # user 3: view then click, no purchase → stage 2
+        (6, "2024-01-01 11:00:00", 3, "view", 0.0),
+        (7, "2024-01-01 11:30:00", 3, "click", 0.0),
+        # user 4: purchase only (no view) → no funnel entry
+        (8, "2024-01-01 12:00:00", 4, "purchase", 9.0),
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in rows:
+            f.write(json.dumps({
+                "event_id": e[0], "ts": e[1], "user_id": e[2],
+                "event_type": e[3], "value": e[4], "props": "{}",
+            }) + "\n")
+
+    out = funnel_stream(read_events_stream(spark, path))
+    run_available_now(out, "funnel_out", str(tmp_path / "ckpt"),
+                      output_mode="update")
+    got = {
+        r["user_id"]: r["stage"] for r in spark.table("funnel_out").collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2}
