@@ -275,3 +275,61 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@register(
+    "q_sessionize_native",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    ses AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq)
+    SELECT user_id,
+           MIN(ts)                               AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE          AS session_end,
+           COUNT(*)                              AS n_events,
+           {dsum_sql('value')}                   AS sum_value
+    FROM ses
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH — the same operator the
+    streaming job uses (streaming/jobs.py::session_agg_stream), proving
+    the built-in's semantics against the explicit lag+cumsum oracle.
+
+    Two deliberate semantic edges the oracle mirrors: the window end is
+    ``last event + gap`` (not the last event), and a gap of EXACTLY the
+    duration starts a new session (merge requires ``next < prev + gap``)
+    — the lag formulation flips both (> vs >=, max ts as end), which is
+    why q_sessionize and this query carry different oracles.  One
+    shuffle on user_id; the session merge is a single pass over each
+    partition's sorted run."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
