@@ -55,3 +55,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feat_dim",
         F.round(F.element_at("feat", 1).cast("double"), 6).alias("f0"),
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH t AS (SELECT doc_id AS media_id, text FROM documents),
+    e AS (
+      SELECT media_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 1024.0) AS INT))) AS i
+      FROM t)
+    SELECT media_id,
+           CAST(i AS INT)                 AS frame_no,
+           substr(text, i * 1024 + 1, 64) AS frame_str
+    FROM e
+    ORDER BY media_id, frame_no
+    """,
+    tags=("multimodal", "udf"),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling (multimodal.py::sample_frames): one media
+    row explodes to fixed-stride frame rows through mapInPandas Arrow
+    batches — the demuxer contract with a byte-window stand-in.  The
+    fixture media bytes are ASCII text, so the frame bytes decode
+    losslessly to strings and the whole one-to-many binary pipeline is
+    SQL-checkable (a rarity for the multimodal family — the other
+    queries settle for rows-only)."""
+    from ..multimodal import sample_frames
+
+    media = _media_frame(spark, sf_dir)
+    frames = sample_frames(media, every_n_bytes=1024, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.col("frame").cast("string").alias("frame_str"),
+    )
