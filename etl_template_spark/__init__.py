@@ -26,6 +26,7 @@ __version__ = "0.2.0"
 
 from .io import (  # noqa: F401,E402
     compact_versioned,
+    delete_versioned,
     load_table,
     read_csv,
     read_jsonl,
@@ -38,6 +39,7 @@ from .session import get_spark  # noqa: F401,E402
 __all__ = [
     "Pipeline",
     "compact_versioned",
+    "delete_versioned",
     "PipelineRun",
     "Step",
     "StepFailed",

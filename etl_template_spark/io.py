@@ -326,3 +326,50 @@ def compact_versioned(
             df, root, step, sort_by=sort_by, sort_partitions=n_files
         )
     return write_versioned(df.coalesce(n_files), root, step)
+
+
+def delete_versioned(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    keys: DataFrame,
+    on: str,
+) -> tuple[int, str]:
+    """Targeted delete (right-to-be-forgotten shape): rewrite the latest
+    version of ``step`` WITHOUT the rows whose ``on`` value appears in
+    ``keys``, as a new immutable version.
+
+    The delete is a single left-anti join against the (usually tiny)
+    key set — broadcast when small, shuffle otherwise; AQE picks.  The
+    rewrite inherits every guarantee of ``write_versioned``: atomic
+    claim, commit-or-nothing, old versions untouched (auditable until
+    their retention rewrite).  At 100 TB pair this with a partitioned/
+    clustered layout so the rewrite can restrict itself to affected
+    partitions; the operator itself stays one declarative plan."""
+    df = read_versioned(spark, root, step)
+    keep = df.join(F.broadcast(keys.select(on).distinct()), on, "left_anti")
+    return write_versioned(keep, root, step)
+
+
+def read_versioned_merged(
+    spark: SparkSession,
+    root: str,
+    step: str,
+) -> DataFrame:
+    """Read ALL versions of ``step`` as one frame with a ``_version``
+    column and a schema UNIONED across versions (``mergeSchema``):
+    columns added by later pipeline revisions surface as nulls in rows
+    from older versions — the additive-evolution contract (the engine's
+    R3/R4 reader pins one version; this is the audit/backfill view).
+    Version pruning works like partition pruning: a ``_version``
+    predicate prunes whole version directories at planning time."""
+    ensure_engine_conf(spark)
+    step_dir = _step_dir(root, step)
+    if not list_versions(root, step):
+        raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", step_dir)
+        .parquet(os.path.join(step_dir, "v=*"))
+        .withColumnRenamed("v", "_version")
+    )

@@ -7,6 +7,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_template_spark.io import (
     load_table,
     read_jsonl,
@@ -256,3 +258,48 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     assert n_lead <= 0.25 * total
     n_other, total = candidates(spath, "l_partkey")
     assert n_other >= 0.9 * total
+
+
+def test_delete_versioned_removes_keys_as_new_version(spark, sf_dir, tmp_path):
+    """Targeted delete: the new version lacks exactly the requested
+    keys; the old version still holds them (auditable immutability)."""
+    from etl_template_spark.io import delete_versioned, write_versioned
+
+    root = str(tmp_path / "store")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    v1, _ = write_versioned(o, root, "orders_step")
+    doomed = o.select("o_custkey").distinct().limit(3)
+    doomed_keys = {r["o_custkey"] for r in doomed.collect()}
+
+    v2, _ = delete_versioned(spark, root, "orders_step", doomed, on="o_custkey")
+    assert v2 == v1 + 1
+    after = read_versioned(spark, root, "orders_step", v2)
+    assert after.where(F.col("o_custkey").isin(doomed_keys)).count() == 0
+    assert after.count() == o.count() - o.where(
+        F.col("o_custkey").isin(doomed_keys)
+    ).count()
+    # old version untouched
+    assert read_versioned(spark, root, "orders_step", v1).count() == o.count()
+
+
+def test_read_versioned_merged_schema_evolution(spark, tmp_path):
+    """Additive schema evolution across versions: the merged read
+    unions schemas (old rows null-fill new columns) and exposes
+    ``_version`` for pruning."""
+    from etl_template_spark.io import read_versioned_merged, write_versioned
+
+    root = str(tmp_path / "store")
+    v1_df = spark.createDataFrame([(1, "a")], "id long, name string")
+    write_versioned(v1_df, root, "s")
+    v2_df = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    write_versioned(v2_df, root, "s")
+
+    merged = read_versioned_merged(spark, root, "s")
+    assert set(merged.columns) == {"id", "name", "score", "_version"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[1]["_version"] == 1
+    assert rows[2]["score"] == 0.5 and rows[2]["_version"] == 2
+    # version predicate prunes directories like a partition filter
+    assert merged.where(F.col("_version") == 2).count() == 1
