@@ -301,3 +301,34 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_versioned(spark, root, "li_z").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
+
+
+@register(
+    "q_delete_versioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey % 100 != 0
+    ORDER BY o_orderkey
+    """,
+    tags=("sink", "etl"),
+)
+def q_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted delete end-to-end (io.py::delete_versioned — the
+    right-to-be-forgotten shape): ``orders`` is committed, every row of
+    the customers with ``o_custkey % 100 == 0`` is deleted via one
+    anti-join rewrite into a NEW immutable version, and the survivor
+    set is read back.  The oracle states the complement directly over
+    the source — a match proves the rewrite deleted exactly the
+    requested keys and nothing else (the prior version keeps the full
+    data for audit; tests/test_io.py asserts that immutability)."""
+    from ..io import delete_versioned
+
+    root = tempfile.mkdtemp(prefix="etl_delete_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_versioned(o, root, "orders")
+    doomed = o.select("o_custkey").where(F.col("o_custkey") % 100 == 0)
+    delete_versioned(spark, root, "orders", doomed, on="o_custkey")
+    return read_versioned(spark, root, "orders")
