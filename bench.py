@@ -41,6 +41,9 @@ HEADLINE = [
     "q_tpch_q8",         # 7-table broadcast star (TPC-H Q8)
     "q_tpch_q21",        # per-order EXISTS/NOT-EXISTS collapse (TPC-H Q21)
     "q_join_range",      # binned big×big range join (no equi key)
+    "q_events_funnel",   # ordered funnel (stage-conditioned aggregates)
+    "q_corpus_curation", # composed dedup+quality curation verdict
+    "q_sim_search_pq",   # product-quantization ANN (code scan + rerank)
 ]
 
 

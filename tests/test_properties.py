@@ -114,3 +114,79 @@ def test_topk_is_prefix_of_group_sort(spark, rows, k):
         )[:k]
         got_sorted = [(-x, uid) for _, x, uid in sorted(members)]
         assert got_sorted == expect
+
+
+@given(
+    points=st.lists(st.integers(0, 86_400), min_size=1, max_size=20, unique=True),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 86_400), st.integers(1, 14_400)),
+        min_size=1,
+        max_size=15,
+    ),
+    width=st.sampled_from([600, 3600, 7200]),
+)
+@settings(**_SETTINGS)
+def test_range_join_binned_matches_naive(spark, points, intervals, width):
+    """The binned range join must equal the naive O(n·m) containment
+    join for every bin width — binning is a physical rewrite only."""
+    from etl_template_spark.operators.rangejoin import range_join_binned
+
+    from datetime import datetime, timezone
+
+    def _dt(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    pts = spark.createDataFrame(
+        [(i, _dt(t)) for i, t in enumerate(points)],
+        "pid long, t timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, _dt(s), _dt(s + d)) for j, (s, d) in enumerate(intervals)],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_binned(pts, ivs, "t", "lo", "hi", width).collect()
+    )
+    naive = sorted(
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, d) in enumerate(intervals)
+        if s <= t < s + d
+    )
+    assert got == naive
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a classic
+    driver-side union-find on every random graph (self-loops included)."""
+    from etl_template_spark.operators.cluster import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expect
