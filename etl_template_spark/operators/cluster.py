@@ -64,23 +64,23 @@ def connected_components(
             .groupBy(F.col("s").alias("id"))
             .agg(F.min("lbl").alias("neigh_lbl"))
         )
-        new_labels = (
+        # carry the changed-flag through the checkpoint so convergence
+        # is read off the materialized frame — no second join per round
+        upd = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("neigh_lbl"), F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce(F.col("neigh_lbl"), F.col("lbl")) < F.col("lbl")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = upd.select("id", "lbl")
+        if upd.where(F.col("__chg")).isEmpty():
             break
     else:
         raise RuntimeError(
