@@ -205,3 +205,44 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (session.py turns it on): a pathologically
+    hot join key must be SPLIT at runtime — the final adaptive plan
+    carries SortMergeJoin(skew=true) with a skewed AQEShuffleRead —
+    instead of one straggler task processing the whole key.  Thresholds
+    are lowered because the fixture is tiny; at production scale the
+    defaults (256 MB, factor 5) trigger on real hot keys."""
+    from pyspark.sql import functions as F
+
+    forced = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in forced}
+    try:
+        for k, v in forced.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        )
+        tail = spark.range(0, 1_000).select(
+            (F.col("id") % 8 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 9).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = hot.union(tail).join(right, "k")
+        # collect() drives THIS DataFrame's query execution to its final
+        # adaptive plan (count() would spawn a separate execution)
+        assert len(j.collect()) == 201_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
