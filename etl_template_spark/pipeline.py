@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import traceback
 from collections.abc import Callable
@@ -120,6 +121,9 @@ class PipelineRun:
         if self.run_id is None:
             # wall-clock run id, as the reference does (tools.go:87)
             self.run_id = time.strftime("%Y%m%d-%H%M%S") + f"-{_now_millis() % 1000:03d}"
+        # manifest writes may come from several step threads (parallel
+        # run mode); the lock serializes the read-modify-write
+        self._status_lock = threading.RLock()
 
     # -- status manifest ----------------------------------------------------
 
@@ -133,12 +137,14 @@ class PipelineRun:
 
     def save_status(self) -> None:
         """Persist the manifest (tools.go:233-250); atomic rename so a
-        crash mid-write never leaves a truncated manifest."""
-        os.makedirs(os.path.dirname(self.status_path) or ".", exist_ok=True)
-        tmp = f"{self.status_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(self.to_json(), f, indent=2)
-        os.replace(tmp, self.status_path)
+        crash mid-write never leaves a truncated manifest (and a lock so
+        concurrent step threads never interleave a write)."""
+        with self._status_lock:
+            os.makedirs(os.path.dirname(self.status_path) or ".", exist_ok=True)
+            tmp = f"{self.status_path}.tmp.{os.getpid()}-{threading.get_ident()}"
+            with open(tmp, "w") as f:
+                json.dump(self.to_json(), f, indent=2)
+            os.replace(tmp, self.status_path)
 
     @classmethod
     def load_status(cls, name: str, status_path: str) -> "PipelineRun | None":
@@ -268,14 +274,44 @@ class Pipeline:
         self.steps.append(Step(name=name, fn=fn, input_step=input_step, **kw))
         return self
 
-    def run(self, spark: SparkSession, resume: bool = False) -> PipelineRun:
+    def _levels(self) -> list[list[Step]]:
+        """Topological levels of the step DAG: a step depends on
+        ``input_step`` when that name is produced by an earlier declared
+        step; level N steps only read outputs of levels < N, so each
+        level's steps are mutually independent."""
+        produced: dict[str, int] = {}
+        levels: list[list[Step]] = []
+        for s in self.steps:
+            dep_level = produced.get(s.input_step, -1) if s.input_step else -1
+            lvl = dep_level + 1
+            while len(levels) <= lvl:
+                levels.append([])
+            levels[lvl].append(s)
+            produced[s.name] = lvl
+        return levels
+
+    def run(
+        self,
+        spark: SparkSession,
+        resume: bool = False,
+        parallel: bool = False,
+        max_workers: int = 4,
+    ) -> PipelineRun:
+        """Execute the pipeline.  ``parallel=True`` runs each dependency
+        LEVEL's independent steps concurrently (thread pool → concurrent
+        Spark job submission; the scheduler interleaves their stages
+        across the cluster) with a barrier between levels — on a large
+        cluster this keeps executors busy while a sibling step waits on
+        its own shuffle.  Fail-fast is preserved: a failing step stops
+        later levels; its level's siblings finish (their writes are
+        versioned and resumable either way)."""
         prev = PipelineRun.load_status(self.name, self.status_path) if resume else None
         run = PipelineRun(name=self.name, status_path=self.status_path)
         for s in self.steps:
             run.steps[s.name] = StepStatus(s.name)
             run.step_order.append(s.name)
 
-        for s in self.steps:
+        def _run_one(s: Step) -> None:
             done = (
                 prev is not None
                 and s.name in prev.steps
@@ -286,7 +322,7 @@ class Pipeline:
                 # step-level checkpoint hit: carry the prior result forward
                 run.steps[s.name] = prev.steps[s.name]
                 run.steps[s.name].message = "skipped (resume: already completed)"
-                continue
+                return
 
             def _body(s: Step = s) -> int:
                 df_in = (
@@ -314,5 +350,19 @@ class Pipeline:
                 retry_delay_seconds=s.retry_delay_seconds,
             )
 
-        run.stow()
+        try:
+            if not parallel:
+                for s in self.steps:
+                    _run_one(s)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                for level in self._levels():
+                    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                        futures = [pool.submit(_run_one, s) for s in level]
+                    errors = [f.exception() for f in futures if f.exception()]
+                    if errors:
+                        raise errors[0]
+        finally:
+            run.stow()
         return run

@@ -167,3 +167,82 @@ def test_knoll_wipes_scratch(tmp_path):
         f.write("old")
     knoll(scratch)
     assert os.path.isdir(scratch) and os.listdir(scratch) == []
+
+
+def test_parallel_run_levels_and_results(spark, tmp_path):
+    """parallel=True: independent steps run concurrently within a
+    level, dependent steps still see their input's committed version,
+    and the manifest ends Completed with every step accounted for."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import read_versioned
+    from etl_template_spark.pipeline import Pipeline
+
+    root = str(tmp_path / "data")
+    concurrency = {"active": 0, "peak": 0}
+    lock = threading.Lock()
+
+    def _tracked(fn):
+        def wrapped(spark_, df_in):
+            with lock:
+                concurrency["active"] += 1
+                concurrency["peak"] = max(concurrency["peak"], concurrency["active"])
+            try:
+                import time as _t
+
+                _t.sleep(0.5)  # hold the slot so siblings overlap
+                return fn(spark_, df_in)
+            finally:
+                with lock:
+                    concurrency["active"] -= 1
+
+        return wrapped
+
+    p = (
+        Pipeline("par", root)
+        .step("a", _tracked(lambda sp, _: sp.range(0, 10).select(F.col("id"))))
+        .step("b", _tracked(lambda sp, _: sp.range(10, 20).select(F.col("id"))))
+        .step(
+            "c",
+            lambda sp, df: df.select((F.col("id") * 2).alias("id")),
+            input_step="a",
+        )
+    )
+    run = p.run(spark, parallel=True)
+    assert run.overall_status == "Completed"
+    assert concurrency["peak"] >= 2  # a and b overlapped
+    assert sorted(
+        r["id"] for r in read_versioned(spark, root, "c").collect()
+    ) == [i * 2 for i in range(10)]
+
+
+def test_parallel_run_fail_fast_skips_later_levels(spark, tmp_path):
+    """A level-1 failure must stop level 2 but still stow a manifest
+    with the failure recorded."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.pipeline import Pipeline, StepFailed
+
+    root = str(tmp_path / "data")
+
+    def _boom(sp, df):
+        raise RuntimeError("boom")
+
+    p = (
+        Pipeline("parfail", root)
+        .step("a", lambda sp, _: sp.range(0, 5).select(F.col("id")))
+        .step("b", _boom, input_step="a")
+        .step("c", lambda sp, df: df, input_step="b")
+    )
+    with _pytest.raises(StepFailed):
+        p.run(spark, parallel=True)
+    import json as _json
+
+    manifest = _json.load(open(p.status_path))
+    by_name = {st["StepName"]: st["Status"] for st in manifest["Steps"]}
+    assert by_name["a"] == "Completed"
+    assert by_name["b"] == "Failed"
+    assert by_name["c"] == "Pending"
