@@ -332,3 +332,50 @@ def q_delete_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = o.select("o_custkey").where(F.col("o_custkey") % 100 == 0)
     delete_versioned(spark, root, "orders", doomed, on="o_custkey")
     return read_versioned(spark, root, "orders")
+
+
+@register(
+    "q_scan_versioned_merged",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(NULL AS DOUBLE) AS acctbal_eur,
+           1 AS _version
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(round(CAST(s_acctbal AS DECIMAL(30, 6)) * 0.9, 2) AS DOUBLE)
+             AS acctbal_eur,
+           2 AS _version
+    FROM supplier
+    ORDER BY _version, s_suppkey
+    """,
+    tags=("source", "etl"),
+)
+def q_scan_versioned_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution across versions
+    (io.py::read_versioned_merged): v=1 is written with the original
+    supplier columns, v=2 with a new ``acctbal_eur`` column; the merged
+    read unions the schemas (old rows null-fill the new column) and
+    exposes ``_version`` for directory-level pruning.  The oracle
+    states the union explicitly — a match proves no column is dropped,
+    no row is double-read, and old data surfaces under the evolved
+    schema exactly as NULLs."""
+    root = tempfile.mkdtemp(prefix="etl_evolve_")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    write_versioned(sup, root, "suppliers")
+    write_versioned(
+        sup.withColumn(
+            "acctbal_eur",
+            F.round(F.col("s_acctbal").cast("decimal(30,6)") * F.lit("0.9").cast("decimal(3,1)"), 2).cast("double"),
+        ),
+        root,
+        "suppliers",
+    )
+    from ..io import read_versioned_merged
+
+    return read_versioned_merged(spark, root, "suppliers").select(
+        "s_suppkey", "s_name", "s_acctbal", "acctbal_eur",
+        F.col("_version").cast("int").alias("_version"),
+    )
