@@ -323,3 +323,36 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register("q_agg_sketch_rollup", oracle=None, tags=("agg", "approx"))
+def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count rollup via Apache DataSketches HLL
+    (`hll_sketch_agg` / `hll_union_agg`): per-month sketches of
+    distinct customers, unioned upward to per-year estimates WITHOUT
+    re-scanning the fact table.
+
+    This is the pre-aggregation pattern exact COUNT(DISTINCT) forbids:
+    distinct counts don't add, but sketches union — so at 100 TB you
+    materialize small per-partition sketches once (a few KB each) and
+    answer every coarser rollup (year, region, all-time) from the
+    sketch table alone.  Estimates are approximate ⇒ rows-only;
+    tests/test_operators.py asserts accuracy vs exact and that union
+    == direct-sketch within HLL determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    return (
+        monthly.groupBy("o_year")
+        .agg(F.hll_union_agg("sk").alias("u"), F.count(F.lit(1)).alias("n_months"))
+        .select(
+            "o_year",
+            F.hll_sketch_estimate(F.col("u")).alias("approx_customers"),
+            "n_months",
+        )
+    )

@@ -399,3 +399,36 @@ def test_ngram_prefix_filter_identical_to_full_join(spark):
     full = sorted(map(tuple, ngram_jaccard_pairs(sh, 0.5).collect()))
     pref = sorted(map(tuple, ngram_jaccard_pairs_prefix(sh, 0.5).collect()))
     assert full == pref and len(full) >= 2
+
+
+def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """The unioned per-month sketches must estimate per-year distinct
+    customers within HLL error (<5% at default lgK), and union-of-parts
+    must equal sketching the year directly (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    got = {
+        r["o_year"]: r["approx_customers"]
+        for r in REGISTRY["q_agg_sketch_rollup"].build(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["y"]: r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for y, est in got.items():
+        assert abs(est - exact[y]) / exact[y] < 0.05, (y, est, exact[y])
+
+    direct = {
+        r["y"]: r["e"]
+        for r in o.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("e"))
+        .collect()
+    }
+    assert got == direct  # union of month sketches == year sketch
