@@ -28,6 +28,7 @@ from .io import (  # noqa: F401,E402
     compact_versioned,
     delete_versioned,
     load_table,
+    prune_versions,
     read_csv,
     read_jsonl,
     read_versioned,
@@ -46,6 +47,7 @@ __all__ = [
     "get_spark",
     "knoll",
     "load_table",
+    "prune_versions",
     "read_csv",
     "read_jsonl",
     "read_versioned",

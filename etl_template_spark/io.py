@@ -25,6 +25,7 @@ from __future__ import annotations
 import math
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -373,3 +374,29 @@ def read_versioned_merged(
         .parquet(os.path.join(step_dir, "v=*"))
         .withColumnRenamed("v", "_version")
     )
+
+
+def prune_versions(
+    root: str,
+    step: str,
+    keep_last: int = 3,
+) -> list[int]:
+    """Retention GC: delete all but the newest ``keep_last`` versions of
+    ``step``; returns the pruned version numbers.
+
+    The dataset-level generalization of the reference's temp-input GC
+    (etl.go:137-141): old versions exist for audit and rollback, not
+    forever — at 100 TB each version is a full dataset copy, so
+    retention is what keeps the store linear in CURRENT data rather
+    than in history.  Deletion order is oldest-first and each directory
+    is removed atomically-enough for readers (a reader pinned to a
+    pruned version fails fast on its next scan with a missing-path
+    error rather than reading partial data; readers of the kept
+    versions are untouched — versions are immutable).  Never prunes the
+    latest version, even with ``keep_last=0``."""
+    keep_last = max(1, keep_last)
+    versions = list_versions(root, step)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for n in doomed:
+        shutil.rmtree(os.path.join(_step_dir(root, step), f"v={n}"))
+    return doomed

@@ -303,3 +303,27 @@ def test_read_versioned_merged_schema_evolution(spark, tmp_path):
     assert rows[2]["score"] == 0.5 and rows[2]["_version"] == 2
     # version predicate prunes directories like a partition filter
     assert merged.where(F.col("_version") == 2).count() == 1
+
+
+def test_prune_versions_keeps_newest(spark, tmp_path):
+    """Retention GC drops the oldest versions, never the latest, and
+    the kept versions stay readable."""
+    from etl_template_spark.io import (
+        list_versions,
+        prune_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    for i in range(5):
+        write_versioned(
+            spark.createDataFrame([(str(i), "x")], SCHEMA), root, "s"
+        )
+    assert list_versions(root, "s") == [1, 2, 3, 4, 5]
+    assert prune_versions(root, "s", keep_last=2) == [1, 2, 3]
+    assert list_versions(root, "s") == [4, 5]
+    assert read_versioned(spark, root, "s").collect()[0]["id"] == "4"
+    # keep_last floor: never deletes the only remaining versions to zero
+    assert prune_versions(root, "s", keep_last=0) == [4]
+    assert list_versions(root, "s") == [5]
