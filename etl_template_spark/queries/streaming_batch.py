@@ -333,3 +333,35 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_stream_distinct_users",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS win_start,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*)                AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY win_start
+    """,
+    tags=("streaming", "agg"),
+)
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly window — the audience-size metric.
+    Batch is EXACT (count_distinct inside a tumbling window); the
+    incremental twin (streaming/jobs.py::distinct_users_stream) uses
+    ``approx_count_distinct``, because exact streaming distinct would
+    hold every user id per open window in state — HLL state is a few KB
+    per window regardless of audience size, the only version that
+    survives an unbounded stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
+    )

@@ -5,6 +5,7 @@ streaming rows; batch-equivalent twins live in queries/streaming_batch.py).
 from .jobs import (  # noqa: F401
     dedup_stream,
     dedup_stream_within_watermark,
+    distinct_users_stream,
     funnel_stream,
     join_streams,
     read_events_stream,

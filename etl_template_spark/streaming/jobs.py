@@ -398,3 +398,23 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def distinct_users_stream(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """q_stream_distinct_users, incremental: windowed
+    ``approx_count_distinct`` (HyperLogLog++).  Exact distinct is not
+    merge-able, so an exact streaming version would buffer every user
+    id per open window; the HLL register set is constant-size state per
+    window and merges across micro-batches — the 100 TB-stream shape.
+    Default rsd 5%; tests bound the error vs the exact batch twin."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
+    )

@@ -397,3 +397,30 @@ def test_funnel_stream_matches_batch_twin_over_backlog(spark, tmp_path):
         r["user_id"]: r["stage"] for r in spark.table("funnel_out").collect()
     }
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_distinct_users_stream_within_hll_error(spark, events_dir, tmp_path):
+    """The approximate streaming audience count must land within HLL
+    error of the exact batch twin over the same backlog (tiny corpus →
+    should be exact here, but the assertion allows the documented rsd)."""
+    from etl_template_spark.streaming import distinct_users_stream
+
+    stream = read_events_stream(spark, events_dir)
+    out = distinct_users_stream(stream, width="1 hour", watermark="10 minutes")
+    run_available_now(out, "du_out", str(tmp_path / "ckpt"), output_mode="update")
+    got = {
+        str(r["win_start"]): r["n_users"] for r in spark.table("du_out").collect()
+    }
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .json(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n"))
+    )
+    exact = {str(r["w"]["start"]): r["n"] for r in batch.collect()}
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.1 * exact[k])
