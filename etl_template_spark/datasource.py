@@ -256,9 +256,33 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self._starting == "earliest":
             return {"version": -1}  # first batch replays all history
-        # default: start AFTER the newest version present at stream start
-        latest = latest_version(self._root, self._step)
-        return {"version": -1 if latest is None else latest}
+        # default: start AFTER the newest COMMITTED version at stream
+        # start — an in-flight claim beyond it is future data, not history
+        committed = self._max_committed()
+        return {"version": -1 if committed is None else committed}
+
+    def _max_committed(self) -> int | None:
+        """Greatest version of the contiguous committed prefix.
+
+        Versions are claimed (dir created) before they are committed
+        (_SUCCESS written), so the directory listing can contain a gap:
+        v=7 committed, v=8 claimed by an in-flight writer, v=9 committed.
+        Advancing the offset past 8 would skip 8's rows forever once its
+        writer commits — so the offset only ever moves through the
+        contiguous prefix of committed versions (here: 7), and 8/9 are
+        delivered together by a later micro-batch once 8 commits.  A
+        writer that dies after claiming but before committing stalls the
+        stream at its claim until the claim is GC'd (prune_versions),
+        which is the correct at-least-once posture: stall loudly rather
+        than lose the batch silently."""
+        hi: int | None = None
+        for v in sorted(list_versions(self._root, self._step)):
+            d = _version_dir(self._root, self._step, v)
+            if os.path.isfile(os.path.join(d, "_SUCCESS")):
+                hi = v
+            else:
+                break
+        return hi
 
     def _rows_between(self, lo: int, hi: int) -> list[tuple]:
         import pyarrow.parquet as pq
@@ -277,8 +301,8 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = start["version"]
-        latest = latest_version(self._root, self._step)
-        hi = lo if latest is None else max(lo, latest)
+        committed = self._max_committed()
+        hi = lo if committed is None else max(lo, committed)
         return iter(self._rows_between(lo, hi)), {"version": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -26,6 +26,8 @@ import math
 import os
 import re
 import shutil
+from collections.abc import Callable
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,8 +95,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Scope the legacy conf to this one scan: Spark resolves the
+        # parquet schema at DataFrame *definition* time, so the conf can
+        # be restored immediately after spark.read — leaving it set
+        # session-wide would make every later TIMESTAMP(NANOS) scan
+        # silently return raw longs instead of failing loudly.
+        try:
+            prev: str | None = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prev = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while the conf is in effect
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
 
         return df.withColumn(
@@ -117,15 +135,31 @@ def read_jsonl(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+class QuarantineSplit(NamedTuple):
+    """Result of ``read_jsonl_quarantine``.
+
+    ``good``/``bad`` share ONE cached PERMISSIVE scan; the cache pins
+    executor storage until ``unpersist()`` is called, so a long-lived
+    pipeline processing many inputs MUST call it once both splits have
+    been consumed (written / counted) or the entries accumulate
+    unboundedly."""
+
+    good: DataFrame
+    bad: DataFrame
+    unpersist: Callable[[], None]
+
+
 def read_jsonl_quarantine(
     spark: SparkSession,
     path: str,
     schema: T.StructType | str,
     corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
+) -> QuarantineSplit:
     """JSONL scan that QUARANTINES malformed lines instead of dying:
-    ``(good, bad)`` where ``good`` carries the declared schema and
-    ``bad`` carries the raw offending line.
+    ``QuarantineSplit(good, bad, unpersist)`` where ``good`` carries the
+    declared schema, ``bad`` carries the raw offending line, and
+    ``unpersist()`` releases the shared cached scan (call it after both
+    splits are consumed — see ``QuarantineSplit``).
 
     The production third option beyond the reference's two (die on
     first bad line / silently zero-fill): at 100 TB a single bad line
@@ -150,7 +184,7 @@ def read_jsonl_quarantine(
     bad = df.where(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")
     )
-    return good, bad
+    return QuarantineSplit(good, bad, lambda: df.unpersist())
 
 
 def read_csv(
@@ -340,15 +374,17 @@ def delete_versioned(
     version of ``step`` WITHOUT the rows whose ``on`` value appears in
     ``keys``, as a new immutable version.
 
-    The delete is a single left-anti join against the (usually tiny)
-    key set — broadcast when small, shuffle otherwise; AQE picks.  The
+    The delete is a single left-anti join against the key set — no
+    forced broadcast: a bulk erasure request can carry millions of keys,
+    so the join strategy is left to size stats + AQE, which still
+    broadcasts genuinely small key sets.  The
     rewrite inherits every guarantee of ``write_versioned``: atomic
     claim, commit-or-nothing, old versions untouched (auditable until
     their retention rewrite).  At 100 TB pair this with a partitioned/
     clustered layout so the rewrite can restrict itself to affected
     partitions; the operator itself stays one declarative plan."""
     df = read_versioned(spark, root, step)
-    keep = df.join(F.broadcast(keys.select(on).distinct()), on, "left_anti")
+    keep = df.join(keys.select(on).distinct(), on, "left_anti")
     return write_versioned(keep, root, step)
 
 

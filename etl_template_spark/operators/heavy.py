@@ -53,6 +53,10 @@ def _mg_partition(key_col: str, k: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
         for batch in batches:
+            # dropna default: null keys are intentionally excluded from
+            # the sketch (NaN index labels break pandas alignment);
+            # heavy_hitters adds the null key as an always-candidate, so
+            # exactness is preserved.
             vc = batch[key_col].value_counts()
             counters = counters.add(vc, fill_value=0)
             if len(counters) > k:
@@ -69,9 +73,12 @@ def _mg_partition(key_col: str, k: int):
 def mg_candidates(
     df: DataFrame, key_col: str, theta_num: int, theta_den: int
 ) -> DataFrame:
-    """Distinct candidate keys: superset of all keys with global
-    frequency >= theta_num/theta_den, at most ceil(theta_den/theta_num)
-    keys per input partition."""
+    """Distinct NON-NULL candidate keys: superset of all non-null keys
+    with global frequency >= theta_num/theta_den, at most
+    ceil(theta_den/theta_num) keys per input partition.  Null keys are
+    not sketched (see ``_mg_partition``) — callers that admit null as a
+    key must treat it as an unconditional candidate, as
+    ``heavy_hitters`` does."""
     if not (0 < theta_num <= theta_den):
         raise ValueError(f"need 0 < theta_num <= theta_den, got {theta_num}/{theta_den}")
     k = math.ceil(theta_den / theta_num)
@@ -100,10 +107,23 @@ def heavy_hitters(
 
     ``extra_cols`` are carried through the candidate restriction and
     grouped with the key (for per-(key, stratum) accounting).
+
+    A null key COUNTS: nulls are excluded from the MG sketch (pandas
+    alignment can't carry NaN index labels), so the null key — a single
+    extra candidate, no capacity cost — is unioned in unconditionally
+    and the candidate restriction is a null-safe (``<=>``) semi-join;
+    a null value exceeding the threshold therefore surfaces as a
+    ``NULL`` heavy-hitter row rather than being silently dropped.
     """
     cands = mg_candidates(df, key_col, theta_num, theta_den)
+    null_cand = df.sparkSession.range(1).select(
+        F.lit(None).cast("string").alias(key_col)
+    )
+    probe = cands.unionAll(null_cand).select(F.col(key_col).alias("__cand"))
     keyed = df.withColumn(key_col, F.col(key_col).cast("string"))
-    restricted = keyed.join(F.broadcast(cands), key_col, "left_semi")
+    restricted = keyed.join(
+        F.broadcast(probe), F.col(key_col).eqNullSafe(F.col("__cand")), "left_semi"
+    )
     counts = restricted.groupBy(key_col, *extra_cols).agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -172,12 +172,17 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     associatively in the partial-agg phase, so the shuffle carries one
     bounded sketch per group instead of every value.  accuracy=10000
     bounds rank error at 1/10000; tests/test_operators.py asserts the
-    estimates against the exact interpolated percentiles."""
+    estimates against the exact interpolated percentiles.
+
+    The three quantiles are projected as scalar double columns (not one
+    array<double>) so downstream row canonicalizers can sort/hash the
+    result."""
     li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "approx_pcts"
-        ),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -365,10 +365,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_ngram",
     oracle="""
     WITH sh AS (%s),
-    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    kept AS (
+      SELECT sh.doc_id, sh.s
+      FROM sh JOIN dfreq USING (s)
+      WHERE dfreq.df <= greatest(5,
+        CAST(ceil((SELECT COUNT(*) FROM documents) / 100.0) AS BIGINT))),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM kept GROUP BY doc_id),
     common AS (
       SELECT a.doc_id d1, b.doc_id d2, COUNT(*) c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT d1, d2,
            round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
@@ -382,16 +388,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard near-dup pairs via the inverted
-    index: explode shingles → self equi-join on the shingle → count
-    co-occurrences → Jaccard.  The join is on the shingle value, so only
-    docs SHARING a shingle ever meet — no all-pairs.  At corpus scale the
-    guard is document-frequency pruning (drop shingles with DF above a
-    cap — stopword-like shingles generate quadratic bucket blowup);
-    not applied here so the oracle states the unpruned contract."""
+    index WITH the document-frequency guard: explode shingles → drop
+    shingles present in more than max(5, 1% of corpus) documents → self
+    equi-join on the shingle → count co-occurrences → Jaccard over the
+    pruned shingle sets.  The join is on the shingle value, so only docs
+    SHARING a kept shingle ever meet — no all-pairs — and the DF cap is
+    the 100 TB guard: stopword-like shingles (df up to ~corpus size on
+    Zipfian web text) otherwise generate quadratic bucket blowup in the
+    self-join.  The oracle states the same pruned contract, so the cap
+    is part of the checked semantics, not a silent approximation.  The
+    cap is relative (1% of N, floored at 5) so it binds identically at
+    every scale; an output-identical exact alternative for threshold-
+    guaranteed recall is operators/dedup.py:ngram_jaccard_pairs_prefix
+    (prefix filtering, Bayardo et al. WWW'07), kept library-side because
+    its DF-ordering pass costs more than it saves below bucket-skew
+    scale."""
     sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("d1"), "s")
-    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
+    # Keep-list join on the shingle value (no forced broadcast: the kept
+    # vocabulary is corpus-scaled; AQE broadcasts it only when small).
+    kept = sh.join(
+        dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
+        "s",
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("d1"), "s")
+    b = kept.select(F.col("doc_id").alias("d2"), "s")
     common = (
         a.join(b, "s")
         .where(F.col("d1") < F.col("d2"))
@@ -746,8 +772,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by tf-idf.  Three hash aggregations (tf,
-    df, N) + one broadcast of the tiny df/N sides + a windowed top-k —
-    every stage is partial-aggregated before its shuffle.  Ranking is on
+    df, N), a shuffle equi-join of tf with the vocabulary-scaled df table
+    (AQE broadcasts it only when genuinely small), a broadcast of the
+    1-row N, and a windowed top-k — every stage is partial-aggregated
+    before its shuffle.  Ranking is on
     the ROUNDED score with the term as tiebreaker, so ranks are total-
     order deterministic cross-engine."""
     d = load_table(spark, sf_dir, "documents")
@@ -756,7 +784,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        # df is vocabulary-scaled (one row per distinct term): at web scale
+        # it does not fit an executor, so no forced broadcast — the equi-join
+        # on `term` shuffles, and AQE still broadcasts when df is small.
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

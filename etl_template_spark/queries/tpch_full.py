@@ -577,8 +577,12 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_qty.where(
             (F.col("total_qty") > 2 * F.col("recent_qty")) & (F.col("recent_qty") > 0)
         )
+        # No broadcast hint: promo_parts is a LIKE-filtered subset of the
+        # fact-scaled `part` table (~billions of rows at 100 TB), so the
+        # join strategy is left to size stats + AQE — broadcast when the
+        # subset is genuinely small, shuffle otherwise.
         .join(
-            F.broadcast(promo_parts),
+            promo_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )

@@ -345,7 +345,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(bad_supp), ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        # bad_supp is a predicate-filtered subset of the fact-scaled
+        # supplier table — no forced broadcast; AQE picks the strategy.
+        ps.join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -147,3 +147,46 @@ def test_stream_versions_as_microbatches(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM versioned_stream").collect()[0].n
     assert got == 7  # both historical versions replayed
+
+
+def test_stream_offset_stops_at_uncommitted_claim(spark, tmp_path):
+    """An in-flight writer's claim (dir without _SUCCESS) must HOLD the
+    offset: advancing past it would skip the version's rows forever once
+    its writer commits.  The offset moves only through the contiguous
+    committed prefix, and the held-back versions arrive together in a
+    later micro-batch after the claim commits."""
+    from etl_template_spark.datasource import VersionedStreamReader
+
+    root = str(tmp_path)
+    _seed(spark, root, n=3)  # v=1 committed
+    _seed(spark, root, n=4)  # v=2 committed
+    claim = os.path.join(root, "seed", "v=3")
+    os.makedirs(claim)  # in-flight writer: claimed, not committed
+    _seed(spark, root, n=5)  # v=4 committed, beyond the open claim
+
+    r = VersionedStreamReader(root, "seed", "earliest")
+    it, off = r.read({"version": -1})
+    assert off == {"version": 2}  # held at the committed prefix
+    assert len(list(it)) == 7  # v1 + v2 only
+
+    # a second batch before the claim commits delivers nothing new
+    it2, off2 = r.read(off)
+    assert off2 == {"version": 2} and list(it2) == []
+
+    # latest-mode stream starting now must also begin at the prefix
+    assert VersionedStreamReader(root, "seed").initialOffset() == {"version": 2}
+
+    # writer finishes: drop a parquet file + _SUCCESS into the claim
+    spark.range(2).write.mode("overwrite").parquet(os.path.join(claim, "part"))
+    import glob
+    import shutil
+
+    for f in glob.glob(os.path.join(claim, "part", "*.parquet")):
+        shutil.move(f, os.path.join(claim, os.path.basename(f)))
+    shutil.rmtree(os.path.join(claim, "part"))
+    with open(os.path.join(claim, "_SUCCESS"), "w"):
+        pass
+
+    it3, off3 = r.read(off2)
+    assert off3 == {"version": 4}  # both v3 and v4 released together
+    assert len(list(it3)) == 2 + 5

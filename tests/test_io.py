@@ -200,7 +200,7 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
         '{"id": "2", "name": "bob"}',
         '{"id": "3", "name": broken}',
     ])
-    good, bad = read_jsonl_quarantine(spark, p, SCHEMA)
+    good, bad, unpersist = read_jsonl_quarantine(spark, p, SCHEMA)
     assert sorted((r["id"], r["name"]) for r in good.collect()) == [
         ("1", "alice"), ("2", "bob"),
     ]
@@ -208,6 +208,9 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
         "this is not json at all",
         '{"id": "3", "name": broken}',
     ]
+    # release the shared cached scan once both splits are consumed
+    # (session is shared across tests, so no global cache assertion here)
+    unpersist()
 
 
 def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):

@@ -297,7 +297,7 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     from etl_template_spark.queries import REGISTRY
 
     approx = {
-        r["l_returnflag"]: r["approx_pcts"]
+        r["l_returnflag"]: [r["p50"], r["p95"], r["p99"]]
         for r in REGISTRY["q_agg_approx_percentile"].build(spark, sf_dir).collect()
     }
     li = load_table(spark, sf_dir, "lineitem")
@@ -432,3 +432,16 @@ def test_hll_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
         .collect()
     }
     assert got == direct  # union of month sketches == year sketch
+
+
+def test_heavy_hitters_null_key_counts(spark):
+    """A null key above threshold must surface as a NULL heavy-hitter
+    row: nulls bypass the MG sketch (pandas index alignment), so the
+    candidate restriction unions the null key in unconditionally and
+    joins null-safely."""
+    from etl_template_spark.operators.heavy import heavy_hitters
+
+    rows = [("a",)] * 40 + [(None,)] * 30 + [(f"r{i}",) for i in range(30)]
+    df = _df(spark, rows, "k string").repartition(4)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 1, 5).collect()}
+    assert got == {"a": 40, None: 30}  # 100 rows, theta=1/5 → cnt >= 20
