@@ -9,6 +9,7 @@ from .jobs import (  # noqa: F401
     funnel_stream,
     join_streams,
     read_events_stream,
+    retention_stream,
     run_available_now,
     running_totals_stream,
     running_totals_tws_stream,

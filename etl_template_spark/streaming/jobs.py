@@ -400,6 +400,82 @@ def funnel_stream(
     )
 
 
+def retention_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming cohort retention (q_events_retention's incremental
+    twin): rows ``(cohort_week, week_offset, n_users)``, updated as
+    events arrive.
+
+    Two chained stateful stages:
+
+    1. **Per-user delta emission** (``applyInPandasWithState``, append
+       output): state is the user's cohort week plus the set of
+       activity weeks already emitted; the FIRST time a user is seen
+       active in a week, exactly one ``delta = 1`` row for
+       ``(cohort_week, week_offset)`` is emitted — never again, so the
+       emission is genuinely append-only (a requirement for chaining a
+       streaming aggregation after a stateful operator).  State is
+       O(active weeks) per user, independent of event volume.
+    2. **Exact rollup**: ``SUM(delta)`` per (cohort_week, week_offset).
+       Because stage 1 already deduplicated per (user, week), the sum
+       IS the exact distinct-user count — a plain mergeable aggregate,
+       no distinct and no per-window user-id state downstream (the HLL
+       fallback ``distinct_users_stream`` needs is unnecessary here).
+
+    Approximation bound (same monotone discipline as
+    ``funnel_stream``): each micro-batch folds its rows in event-time
+    order, so an in-order or bounded-late backlog reproduces the batch
+    result exactly.  A user's first-ever event arriving AFTER a later
+    week of theirs was already emitted cannot re-assign the cohort
+    (append emissions are final); such pre-cohort activity is dropped
+    rather than emitted with a rewritten history.  ``watermark`` bounds
+    how long stage 1 waits for stragglers before window state downstream
+    finalizes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    weekly = events.withWatermark("ts", watermark).select(
+        "user_id", "ts", F.date_trunc("week", "ts").alias("wk")
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        cohort, seen = state.get if state.exists else (None, [])
+        seen = list(seen or [])
+        out_cohort, out_offset = [], []
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            for wk in sorted(rows.sort_values("ts")["wk"].unique()):
+                wk = pd.Timestamp(wk).to_pydatetime()
+                if cohort is None:
+                    cohort = wk
+                if wk < cohort or wk in seen:
+                    continue  # pre-cohort straggler / already emitted
+                seen.append(wk)
+                out_cohort.append(cohort)
+                out_offset.append((wk - cohort).days // 7)
+        state.update((cohort, seen))
+        if out_cohort:
+            yield pd.DataFrame(
+                {
+                    "cohort_week": out_cohort,
+                    "week_offset": out_offset,
+                    "delta": [1] * len(out_cohort),
+                }
+            )
+
+    deltas = weekly.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType="cohort_week timestamp, week_offset int, delta int",
+        stateStructType="cohort timestamp, seen array<timestamp>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return deltas.groupBy("cohort_week", "week_offset").agg(
+        F.sum("delta").alias("n_users")
+    )
+
+
 def distinct_users_stream(
     events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

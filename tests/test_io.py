@@ -330,3 +330,77 @@ def test_prune_versions_keeps_newest(spark, tmp_path):
     # keep_last floor: never deletes the only remaining versions to zero
     assert prune_versions(root, "s", keep_last=0) == [4]
     assert list_versions(root, "s") == [5]
+
+
+def test_hilbert_matches_reference_and_is_unit_step(spark):
+    """The expression-compiled Hilbert transform must equal the classic
+    xy2d automaton on a full grid (bijection included), and consecutive
+    curve positions must be ADJACENT cells (|dx|+|dy| == 1) — the
+    locality property that makes Hilbert runs tighter than Morton's
+    quadrant jumps."""
+    from etl_template_spark.layout import with_hilbert
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 4, 16
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["__hilbert"]
+        for r in with_hilbert(df, ["x", "y"], bits=bits).collect()
+    }
+    assert got == {(x, y): xy2d(n, x, y) for x, y in rows}
+    assert len(set(got.values())) == n * n  # bijection
+    cell_of = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = cell_of[d], cell_of[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, cell_of[d], cell_of[d + 1])
+
+
+def test_hilbert_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Hilbert clustering must deliver the same both-dimension row-group
+    pruning contract as Z-order (the curve is strictly more local, so
+    the bounding boxes can only be as tight or tighter)."""
+    import pyarrow.parquet as pq
+
+    from etl_template_spark.io import write_versioned
+    from etl_template_spark.layout import H_COL, with_hilbert
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    _, hpath = write_versioned(
+        with_hilbert(li, ["l_orderkey", "l_partkey"], bits=16),
+        str(tmp_path), "h", sort_by=[H_COL], sort_partitions=16,
+    )
+
+    def candidates(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                spans.append((st.min, st.max))
+        flo = min(a for a, _ in spans)
+        fhi = max(b for _, b in spans)
+        lo = flo + (fhi - flo) * 0.20
+        hi = flo + (fhi - flo) * 0.25
+        return sum(1 for a, b in spans if not (b < lo or a > hi)), len(spans)
+
+    for col in ("l_orderkey", "l_partkey"):
+        n, total = candidates(hpath, col)
+        assert n <= 0.7 * total, (col, n, total)

@@ -424,3 +424,55 @@ def test_distinct_users_stream_within_hll_error(spark, events_dir, tmp_path):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(1, 0.1 * exact[k])
+
+
+def test_retention_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming cohort retention over a multi-batch in-order backlog
+    must equal the exact batch computation: per-user week-deltas are
+    emitted once (append), the downstream SUM is the exact distinct
+    count.  Two files forced into separate micro-batches proves the
+    state (cohort + seen weeks) carries across batches — a re-emission
+    would double-count, a lost cohort would shift offsets."""
+    from etl_template_spark.streaming import retention_stream
+
+    # weeks (Mondays): 2024-01-01, 01-08, 01-15
+    batches = [
+        [  # batch 0: users 1,2 start in week 0
+            (1, "2024-01-01 10:00:00", 1),
+            (2, "2024-01-02 11:00:00", 1),   # same week, same user → no new row
+            (3, "2024-01-03 09:00:00", 2),
+        ],
+        [  # batch 1: u1 returns week 1; u2 skips to week 2; u3 starts week 1
+            (4, "2024-01-08 10:00:00", 1),
+            (5, "2024-01-09 10:00:00", 1),   # dup week across rows
+            (6, "2024-01-15 10:00:00", 2),
+            (7, "2024-01-10 10:00:00", 3),
+        ],
+    ]
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    for i, rows in enumerate(batches):
+        fp = os.path.join(path, f"part-{i}.json")
+        with open(fp, "w") as f:
+            for eid, ts, uid in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": uid,
+                    "event_type": "view", "value": 0.0, "props": "{}",
+                }) + "\n")
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))  # stable order
+
+    src = read_events_stream(spark, path, max_files_per_trigger=1)
+    out = retention_stream(src)
+    run_available_now(out, "retention_out", str(tmp_path / "ckpt"),
+                      output_mode="update")
+    latest = {}  # update mode: last emission per key wins
+    for r in spark.table("retention_out").collect():
+        latest[(str(r["cohort_week"]), r["week_offset"])] = r["n_users"]
+
+    w0 = "2024-01-01 00:00:00"
+    assert latest == {
+        (w0, 0): 2,                      # u1, u2 start week 0
+        (w0, 1): 1,                      # u1 active week 1
+        (w0, 2): 1,                      # u2 active week 2
+        ("2024-01-08 00:00:00", 0): 1,   # u3's own cohort
+    }
