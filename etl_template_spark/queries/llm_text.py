@@ -411,6 +411,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
     # Keep-list join on the shingle value (no forced broadcast: the kept
     # vocabulary is corpus-scaled; AQE broadcasts it only when small).
+    # Deliberately agg+join rather than a COUNT() OVER (PARTITION BY s)
+    # filter (measured ~equal locally): the window form funnels every
+    # occurrence of a hot shingle into ONE un-splittable task, while
+    # this shape partial-aggregates the DF count map-side and lets AQE
+    # skew-split the probe side of the keep-join — the hot keys being
+    # filtered out is exactly when the shuffle must not serialize them.
     kept = sh.join(
         dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
         "s",
