@@ -23,6 +23,9 @@ from . import (  # noqa: F401,E402
     similarity,
     streaming_batch,
     multimodal_q,
+    # curation MUST stay the last import: its queries register behind the
+    # pinned round-3 correctness window (tests/test_entry_contract.py)
+    curation,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -445,3 +445,35 @@ def test_heavy_hitters_null_key_counts(spark):
     df = _df(spark, rows, "k string").repartition(4)
     got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 1, 5).collect()}
     assert got == {"a": 40, None: 30}  # 100 rows, theta=1/5 → cnt >= 20
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    """The fixture corpus has no PII, so the oracle check only proves
+    plumbing; here planted email/IP/phone must be redacted (in the
+    email -> ip -> phone contract order) and counted."""
+    from etl_template_spark.queries.curation import pii_scrub_cols
+
+    df = _df(
+        spark,
+        [
+            (1, "contact bob.smith+x@corp.example.org for details"),
+            (2, "server at 10.0.255.7 answered"),
+            (3, "call +1-555-867-5309 or +44-207-946-0958 now"),
+            (4, "plain text with no identifiers at all"),
+        ],
+        "doc_id int, text string",
+    )
+    cols = pii_scrub_cols("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    assert got[1]["n_emails"] == 1 and "[EMAIL]" in got[1]["scrubbed"]
+    assert "bob.smith" not in got[1]["scrubbed"]
+    assert got[2]["n_ips"] == 1 and "[IP]" in got[2]["scrubbed"]
+    assert got[3]["n_phones"] == 2
+    assert got[3]["scrubbed"] == "call [PHONE] or [PHONE] now"
+    assert got[4]["scrubbed"] == "plain text with no identifiers at all"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
