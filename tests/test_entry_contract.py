@@ -48,8 +48,43 @@ def test_round3_window_is_pinned():
     """The first 50 exposed queries are exactly the intended round-3
     correctness window, in order.  If this fails after adding a query,
     register it in a module imported late enough (or extend the pin
-    deliberately) so it doesn't evict a window entry."""
+    deliberately) so it doesn't evict a window entry.  Once round-3
+    results land (CORRECTNESS_r03.json), the exposure order re-ranks
+    itself from the files and this static pin retires — the invariant
+    tests below keep holding."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.exists(os.path.join(repo, "CORRECTNESS_r03.json")):
+        import pytest
+
+        pytest.skip("round-3 results recorded; window re-ranked from files")
     assert list(entry_mod.queries())[:50] == ROUND3_WINDOW
+
+
+def test_exposure_promotes_unrecorded_queries():
+    """Exposure-order invariants that hold in EVERY round: crashed
+    official rows lead (they need a recordable re-run), then queries
+    with no official row yet (oracle-backed before rows-only — window
+    slots are scarce and the hash check is the strong one), then the
+    already-recorded tail."""
+    recorded_ok = entry_mod._recorded_names()
+    errored = entry_mod._attempted_names() - recorded_ok
+
+    def bucket(name: str) -> int:
+        if name in errored:
+            return 0
+        if name not in recorded_ok:
+            return 1 if REGISTRY[name].oracle is not None else 2
+        return 3
+
+    buckets = [bucket(n) for n in entry_mod.queries()]
+    assert buckets == sorted(buckets)
+    # and the scarce front window is spent on not-yet-recorded queries
+    # as long as enough of them exist
+    n_unrecorded = sum(1 for b in buckets if b < 3)
+    for name in list(entry_mod.queries())[: min(50, n_unrecorded)]:
+        assert bucket(name) < 3, f"{name} is already recorded but leads"
 
 
 def test_oracles_follow_exposure_order():
