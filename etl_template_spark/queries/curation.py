@@ -150,6 +150,126 @@ def q_token_type_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 32  # tokens per chunk
+_SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           array_to_string(toks[(i-1)*{_CHUNK}+1 : i*{_CHUNK}], ' ') AS chunk_text,
+           CAST(least({_CHUNK}, n - (i-1)*{_CHUNK}) AS INT) AS n_tokens
+    FROM (SELECT doc_id, toks, n,
+                 unnest(range(1, CAST(ceil(n / {_CHUNK}.0) AS BIGINT) + 1)) AS i
+          FROM d)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "curation"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Fixed-size token chunking: every document split into consecutive
+    {_CHUNK}-token chunks (tail chunk shorter) — the step that turns a
+    variable-length corpus into trainer-shaped pieces.  One generator
+    projection (HOF slice inside ``transform`` + ``posexplode``), no
+    shuffle, no UDF; the chunk count is data-derived per row, so the
+    operator streams at any document length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(_CHUNK))).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * _CHUNK + 1, _CHUNK)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", n.alias("__n"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_idx"),
+            F.col("col").alias("chunk_text"),
+            F.least(F.lit(_CHUNK), F.col("__n") - F.col("pos") * _CHUNK)
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source, lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM d)
+    SELECT source, lang, doc_id, n_tokens,
+           cum_before // {_SEQ_BUDGET}                            AS seq_idx,
+           cum_before % {_SEQ_BUDGET}                             AS seq_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (cum_before + n_tokens - 1) // {_SEQ_BUDGET}
+                     - cum_before // {_SEQ_BUDGET} + 1
+                END AS BIGINT)                                    AS n_seqs_spanned
+    FROM c
+    ORDER BY source, lang, doc_id
+    """,
+    tags=("llm", "curation"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f"""Sequence packing by concatenation: within each (source, lang)
+    packing domain, documents are laid end-to-end in doc_id order and
+    cut into {_SEQ_BUDGET}-token training sequences (documents may
+    straddle a cut — the GPT-style packing contract, zero padding
+    waste).  Each document's placement is fully determined by the
+    running token count BEFORE it: the sequence it starts in, its
+    offset there, and how many sequences it spans — all exact integer
+    arithmetic over one windowed prefix sum.
+
+    Scale shape: the prefix sum partitions by packing domain, so
+    domains pack in parallel and the serial portion is one domain's
+    metadata (counts, not text).  A global single-stream packing would
+    serialize the corpus; domain-sharded packing is what a real
+    pretraining pipeline runs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", F.size(tokens_col()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    b = F.lit(_SEQ_BUDGET)
+    seq_idx = F.floor(cum_before / b)
+    return d.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_tokens",
+        seq_idx.alias("seq_idx"),
+        (cum_before % b).alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(F.floor((cum_before + F.col("n_tokens") - 1) / b) - seq_idx + 1)
+        .cast("bigint")
+        .alias("n_seqs_spanned"),
+    )
+
+
 @register(
     "q_sink_hilbert",
     oracle="""

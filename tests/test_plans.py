@@ -246,3 +246,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_scrub_is_zero_shuffle_projection(spark, sf_dir):
+    """PII scrubbing must stay a pure scan+project: no Exchange, no
+    aggregate — the whole pass is regexp work inside codegen."""
+    p = plan_of(spark, sf_dir, "q_pii_scrub")
+    assert "Exchange" not in p
+    assert "codegen id" in p  # the projection runs inside codegen
+
+
+def test_ngram_freq_is_partial_topk(spark, sf_dir):
+    """The vocabulary top-20 must plan as TakeOrderedAndProject (per-
+    partition top-k + merge) over a partial-aggregated count — never a
+    global Sort of the vocabulary table."""
+    p = plan_of(spark, sf_dir, "q_ngram_freq")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "Sort [" not in p  # no global sort node
+
+
+def test_pack_sequences_single_domain_shuffle(spark, sf_dir):
+    """Sequence packing must shuffle ONCE (by packing domain) and run
+    the prefix sum inside per-domain windows; a plan with a global
+    single-partition window would serialize the corpus."""
+    p = plan_of(spark, sf_dir, "q_pack_sequences")
+    assert p.count("Exchange (") == 1  # one node in the plan tree
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+    assert "Window (" in p
