@@ -1,0 +1,170 @@
+"""Official-verification bookkeeping: which queries have a *currently
+valid* recorded correctness row.
+
+The driver records a bounded window (~50 entries) from the front of
+``__spark_entry__.queries()`` into ``CORRECTNESS_r{N}.json`` each round.
+``__spark_entry__`` rotates already-recorded queries behind that window
+so never-recorded ones get their first official row.  That rotation has
+a failure mode (flagged by round-3 ADVICE): a query counted as
+"recorded" *by name only*, so a later semantic change to its builder or
+oracle kept a stale official "pass" forever.
+
+This module closes that hole with a content-hash snapshot:
+
+- ``query_content_hash(name)`` hashes the query's builder source, its
+  defining module's full source, and its oracle SQL.  Hashing the whole
+  defining module is deliberately conservative: editing any query in a
+  module invalidates its neighbours too, which at worst costs window
+  slots, never correctness.  (Limitation: edits to *shared* modules —
+  io.py, compat.py — are not captured per-query; the staleness rotation
+  below bounds that exposure to a couple of rounds, since every recorded
+  query cycles back through the window oldest-first.)
+- ``QUERY_CONTENT_HASHES.json`` (repo root, committed) maps each
+  officially recorded query to the hash of its content as of the round
+  that recorded it.
+- A recorded query whose current hash no longer matches the snapshot is
+  *invalidated*: ``__spark_entry__`` promotes it back into the recording
+  window ahead of the already-valid tail.
+- ``refresh_snapshot()`` is run at the START of each builder round,
+  before any code edits, when working-tree content still equals the
+  content the just-landed CORRECTNESS round executed.  It (re)stamps
+  hashes only for queries whose latest successful record round is newer
+  than the stamped round, so an invalidated entry stays invalidated
+  until the driver actually re-records the query.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import inspect
+import json
+import os
+import re
+
+from .registry import REGISTRY
+
+SNAPSHOT_BASENAME = "QUERY_CONTENT_HASHES.json"
+
+
+def _ensure_registry() -> None:
+    """REGISTRY fills as a side effect of importing the queries package;
+    make that explicit so this module works standalone."""
+    if not REGISTRY:
+        from . import queries  # noqa: F401
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def query_content_hash(name: str) -> str:
+    """sha256 over (builder fn source, defining-module source, oracle)."""
+    _ensure_registry()
+    q = REGISTRY[name]
+    mod = inspect.getmodule(q.build)
+    parts = [
+        inspect.getsource(q.build),
+        inspect.getsource(mod) if mod is not None else "",
+        q.oracle if q.oracle is not None else "<rows-only>",
+    ]
+    return hashlib.sha256("\0".join(parts).encode()).hexdigest()
+
+
+def _correctness_rows(root: str) -> dict[int, dict]:
+    """{round_number: parsed CORRECTNESS_r{N}.json} for committed rounds."""
+    out: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                out[int(m.group(1))] = json.load(f)
+        except Exception:
+            continue
+    return out
+
+
+def _row_ok(row: object) -> bool:
+    """A row counts as successfully recorded when it ran to completion:
+    err is null (oracle-checked) or 'no_oracle' (rows-only by design)."""
+    return isinstance(row, dict) and row.get("err") in (None, "no_oracle")
+
+
+def latest_recorded_round(root: str | None = None) -> dict[str, int]:
+    """name -> latest round with a successful official row."""
+    root = root or repo_root()
+    latest: dict[str, int] = {}
+    for rnd, rows in _correctness_rows(root).items():
+        for name, row in rows.items():
+            if _row_ok(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def attempted_names(root: str | None = None) -> frozenset[str]:
+    """Every name appearing in any official row, successful or not."""
+    root = root or repo_root()
+    seen: set[str] = set()
+    for rows in _correctness_rows(root).values():
+        seen.update(rows)
+    return frozenset(seen)
+
+
+def load_snapshot(root: str | None = None) -> dict[str, dict]:
+    path = os.path.join(root or repo_root(), SNAPSHOT_BASENAME)
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+        return snap if isinstance(snap, dict) else {}
+    except Exception:
+        return {}
+
+
+def invalidated_names(root: str | None = None) -> frozenset[str]:
+    """Recorded queries whose content changed since their snapshot.
+
+    A recorded name *missing* from the snapshot is treated as valid:
+    the snapshot may simply postdate the recording (it was introduced in
+    round 4), and the staleness rotation re-records such queries within
+    a couple of rounds anyway.
+    """
+    root = root or repo_root()
+    _ensure_registry()
+    recorded = latest_recorded_round(root)
+    snap = load_snapshot(root)
+    out = set()
+    for name in recorded:
+        if name not in REGISTRY:
+            continue
+        entry = snap.get(name)
+        if entry and entry.get("hash") != query_content_hash(name):
+            out.add(name)
+    return frozenset(out)
+
+
+def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
+    """(Re)stamp snapshot hashes from current content — call at round
+    start, BEFORE editing code, so current content == recorded content.
+
+    Only stamps names whose latest successful record round is newer than
+    the round already stamped (or not stamped at all); content drift
+    without a fresh official record keeps the old stamp, i.e. stays
+    invalidated.  Returns the new snapshot (also written to disk).
+    """
+    root = root or repo_root()
+    _ensure_registry()
+    recorded = latest_recorded_round(root)
+    snap = load_snapshot(root)
+    for name, rnd in sorted(recorded.items()):
+        if name not in REGISTRY:
+            continue
+        entry = snap.get(name)
+        if entry is None or int(entry.get("round", -1)) < rnd:
+            snap[name] = {"round": rnd, "hash": query_content_hash(name)}
+    path = os.path.join(root, SNAPSHOT_BASENAME)
+    with open(path, "w") as f:
+        json.dump(dict(sorted(snap.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    return snap

@@ -66,25 +66,109 @@ def test_exposure_promotes_unrecorded_queries():
     """Exposure-order invariants that hold in EVERY round: crashed
     official rows lead (they need a recordable re-run), then queries
     with no official row yet (oracle-backed before rows-only — window
-    slots are scarce and the hash check is the strong one), then the
-    already-recorded tail."""
+    slots are scarce and the hash check is the strong one), then
+    recorded-but-content-changed (invalidated) queries, then the
+    validly recorded tail, stalest recording first."""
+    from etl_template_spark import verification
+
     recorded_ok = entry_mod._recorded_names()
     errored = entry_mod._attempted_names() - recorded_ok
+    invalid = verification.invalidated_names()
 
     def bucket(name: str) -> int:
         if name in errored:
             return 0
         if name not in recorded_ok:
             return 1 if REGISTRY[name].oracle is not None else 2
-        return 3
+        return 3 if name in invalid else 4
 
-    buckets = [bucket(n) for n in entry_mod.queries()]
+    order = list(entry_mod.queries())
+    buckets = [bucket(n) for n in order]
     assert buckets == sorted(buckets)
-    # and the scarce front window is spent on not-yet-recorded queries
-    # as long as enough of them exist
-    n_unrecorded = sum(1 for b in buckets if b < 3)
-    for name in list(entry_mod.queries())[: min(50, n_unrecorded)]:
-        assert bucket(name) < 3, f"{name} is already recorded but leads"
+    # and the scarce front window is spent on queries that need a
+    # (re-)recording, as long as enough of them exist
+    n_needy = sum(1 for b in buckets if b < 4)
+    for name in order[: min(50, n_needy)]:
+        assert bucket(name) < 4, f"{name} is validly recorded but leads"
+    # the valid tail rotates stalest-first so official re-confirmation
+    # cycles through the whole surface round-over-round
+    latest = verification.latest_recorded_round()
+    tail_rounds = [latest[n] for n in order if bucket(n) == 4]
+    assert tail_rounds == sorted(tail_rounds)
+
+
+def test_content_change_invalidates_recorded_row(tmp_path):
+    """ADVICE r3 (medium): a recorded name must stop counting as
+    verified when its builder/oracle content changes.  Simulated with a
+    fake repo root: one recorded query whose snapshot hash is stale."""
+    import json
+
+    from etl_template_spark import verification
+
+    root = str(tmp_path)
+    rows = {
+        "q_filter": {"err": None},
+        "q_project": {"err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    snap = {
+        "q_filter": {"round": 1, "hash": "0" * 64},  # stale
+        "q_project": {
+            "round": 1,
+            "hash": verification.query_content_hash("q_project"),  # current
+        },
+    }
+    (tmp_path / "QUERY_CONTENT_HASHES.json").write_text(json.dumps(snap))
+    inv = verification.invalidated_names(root)
+    assert "q_filter" in inv
+    assert "q_project" not in inv
+
+
+def test_refresh_snapshot_keeps_stale_stamp_until_rerecorded(tmp_path):
+    """refresh_snapshot must NOT re-stamp a drifted hash unless the
+    driver actually re-recorded the query in a newer round — otherwise
+    an invalidated query would silently count as verified again."""
+    import json
+
+    from etl_template_spark import verification
+
+    root = str(tmp_path)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_filter": {"err": None}})
+    )
+    stale = {"q_filter": {"round": 1, "hash": "0" * 64}}
+    (tmp_path / "QUERY_CONTENT_HASHES.json").write_text(json.dumps(stale))
+    snap = verification.refresh_snapshot(root)
+    assert snap["q_filter"]["hash"] == "0" * 64  # stamp unchanged
+    assert "q_filter" in verification.invalidated_names(root)
+    # a newer official recording re-stamps with current content
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_filter": {"err": None}})
+    )
+    snap = verification.refresh_snapshot(root)
+    assert snap["q_filter"]["hash"] == verification.query_content_hash("q_filter")
+    assert snap["q_filter"]["round"] == 2
+    assert "q_filter" not in verification.invalidated_names(root)
+
+
+def test_crashed_row_does_not_count_as_recorded(tmp_path):
+    import json
+
+    from etl_template_spark import verification
+
+    root = str(tmp_path)
+    rows = {
+        "q_filter": {"err": "boom"},
+        "q_project": {"err": "no_oracle"},
+        "q_distinct": {"err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
+    latest = verification.latest_recorded_round(root)
+    assert "q_filter" not in latest
+    assert latest == {"q_project": 1, "q_distinct": 1}
+    assert verification.attempted_names(root) == {
+        "q_filter", "q_project", "q_distinct",
+    }
 
 
 def test_oracles_follow_exposure_order():
