@@ -62,21 +62,25 @@ def main() -> int:
         "noop"
     ).save()
 
-    # Two passes per query, keep the min: this VM sees multi-second CPU
-    # steal bursts from the host (observed 10-100x spreads on identical
-    # plans), and min-of-2 rejects a burst that lands on one pass.
-    # clearCache between queries so internally-persisted frames
-    # (fuzzy/ngram dedup) never distort a later query's memory budget.
+    # Three passes per query, keep the MEDIAN: this VM sees multi-second
+    # CPU steal bursts from the host (observed 10-100x spreads on
+    # identical plans).  min-of-2 rejected a single burst but made
+    # round-over-round regression flags unactionable (±15-30% swings on
+    # 1-3 s queries); the median tolerates one burst pass AND one
+    # suspiciously-fast pass, so a >1.5x median move is a real
+    # regression.  clearCache between passes so internally-persisted
+    # frames (fuzzy/ngram dedup) never distort a later pass's memory
+    # budget.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
-        best = float("inf")
-        for _ in range(2):
+        passes = []
+        for _ in range(3):
             t0 = time.perf_counter()
             q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            passes.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(sorted(passes)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

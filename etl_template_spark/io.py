@@ -82,42 +82,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Columnar Parquet scan — Catalyst prunes
     columns and pushes predicates into the row-group/page level for free.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS, isAdjustedToUTC=false),
-    which Spark 4 refuses to scan as a timestamp (PARQUET_TYPE_ILLEGAL).
-    With ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
-    raw nanos-since-epoch long; the fixture values are whole microseconds
-    (verified: nanos % 1000 == 0 across all rows), so ``ts div 1000`` →
-    ``timestamp_micros`` is lossless.  The result is cast to
-    TIMESTAMP_NTZ (naive wall-clock, via the UTC session zone) to match
-    how the other fixture tables' timestamps load and how the DuckDB
-    oracle sees them.
+    ``events.ts`` has shipped with two physical types across driver
+    fixture generations, and this reader normalizes both to
+    TIMESTAMP_NTZ (naive wall-clock, matching how the other tables'
+    timestamps load and how the DuckDB oracle sees them):
+
+    - TIMESTAMP(MICROS) (round-4 fixtures): scans directly (Spark 4
+      infers TIMESTAMP_NTZ for unadjusted micros); instant-typed scans
+      cast losslessly under the UTC session zone.
+    - TIMESTAMP(NANOS, isAdjustedToUTC=false) (earlier fixtures), which
+      Spark 4 refuses to scan as a timestamp (PARQUET_TYPE_ILLEGAL):
+      retried under ``spark.sql.legacy.parquet.nanosAsLong`` so the
+      column arrives as a raw nanos-since-epoch long; those fixture
+      values are whole microseconds (verified: nanos % 1000 == 0), so
+      ``ts div 1000`` → ``timestamp_micros`` is lossless.
     """
     ensure_engine_conf(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Scope the legacy conf to this one scan: Spark resolves the
-        # parquet schema at DataFrame *definition* time, so the conf can
-        # be restored immediately after spark.read — leaving it set
-        # session-wide would make every later TIMESTAMP(NANOS) scan
-        # silently return raw longs instead of failing loudly.
-        try:
-            prev: str | None = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
-        except Exception:
-            prev = None
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-            df.schema  # force analysis while the conf is in effect
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         from pyspark.sql import functions as F
 
-        return df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis so an illegal nanos type fails HERE
+        except Exception:
+            # TIMESTAMP(NANOS) fixture: rescan with the legacy conf,
+            # scoped to this one read — Spark resolves the parquet schema
+            # at DataFrame *definition* time, so the conf is restored
+            # immediately after; leaving it set session-wide would make
+            # every later TIMESTAMP(NANOS) scan silently return raw
+            # longs instead of failing loudly.
+            try:
+                prev: str | None = spark.conf.get(
+                    "spark.sql.legacy.parquet.nanosAsLong"
+                )
+            except Exception:
+                prev = None
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            try:
+                df = spark.read.parquet(path)
+                df.schema  # force analysis while the conf is in effect
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+                else:
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanosAsLong raw longs
+            df = df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        elif ts_type != "timestamp_ntz":  # instant-typed; UTC session zone
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
 
