@@ -15,7 +15,7 @@ engines' internal streaming accumulators, which differ in merge order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..compat import davg_sql, dsum_sql
@@ -165,20 +165,78 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "stats"),
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``).  Exact percentile sorts per group — fine for
-    bounded groups; the unbounded-cardinality scale path is
-    ``approx_percentile`` (t-digest), checked rows-only in q_agg_approx's
-    family because estimates are engine-specific."""
+    """Exact interpolated percentiles via sort-based rank selection.
+
+    Spark's ``percentile`` aggregate buffers every group's values in an
+    in-memory ObjectHashAggregate buffer that cannot spill — with 3
+    ``l_returnflag`` groups one task would hold ~1/3 of lineitem's
+    values, an un-splittable scale-killer at 100 TB.  This formulation
+    keeps memory bounded at any group size:
+
+    1. ``row_number`` per (group, value-sort) — WindowExec's partition
+       buffer spills to disk, and the sort itself is a spillable
+       sort-merge;
+    2. group counts are a tiny pre-aggregate broadcast back onto the
+       ranked rows;
+    3. rows are PRUNED to the <=2 ranks each target percentile can
+       touch before the final (tiny) aggregate interpolates
+       ``lo + frac * (hi - lo)`` — 0-based position ``(n-1)*p``,
+       exactly DuckDB's ``quantile_cont`` arithmetic.
+
+    One full sort per distinct measure column is the cost; bounded
+    memory and splittable tasks are what it buys.  The unbounded-
+    cardinality fast path remains ``approx_percentile`` (t-digest,
+    q_agg_approx_percentile), checked rows-only because estimates are
+    engine-specific."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
-            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    key = "l_returnflag"
+    counts = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    # targets grouped by measure column so each column sorts once
+    per_col: list[tuple[str, list[tuple[str, float, int]]]] = [
+        ("l_quantity", [("p50_qty", 0.5, 6), ("p90_qty", 0.9, 6)]),
+        ("l_extendedprice", [("p99_price", 0.99, 4)]),
+    ]
+    out = counts.select(key)
+    for col, targets in per_col:
+        w = Window.partitionBy(key).orderBy(F.col(col))
+        ranked = (
+            li.select(key, col)
+            .withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(counts), key)
         )
-    )
+        pos = {a: (F.col("n") - F.lit(1)).cast("double") * F.lit(p) for a, p, _ in targets}
+        keep = F.lit(False)
+        for a, _, _ in targets:
+            lo_rn = F.floor(pos[a]).cast("bigint") + F.lit(1)
+            hi_rn = F.ceil(pos[a]).cast("bigint") + F.lit(1)
+            keep = keep | (F.col("rn") == lo_rn) | (F.col("rn") == hi_rn)
+        aggs = []
+        for a, _, _ in targets:
+            lo_rn = F.floor(pos[a]).cast("bigint") + F.lit(1)
+            hi_rn = F.ceil(pos[a]).cast("bigint") + F.lit(1)
+            v = F.col(col).cast("double")
+            aggs += [
+                F.max(F.when(F.col("rn") == lo_rn, v)).alias(f"_{a}_lo"),
+                F.max(F.when(F.col("rn") == hi_rn, v)).alias(f"_{a}_hi"),
+                F.max(pos[a] - F.floor(pos[a])).alias(f"_{a}_frac"),
+            ]
+        interp = ranked.where(keep).groupBy(key).agg(*aggs)
+        out = out.join(
+            interp.select(
+                key,
+                *[
+                    F.round(
+                        F.col(f"_{a}_lo")
+                        + F.col(f"_{a}_frac")
+                        * (F.col(f"_{a}_hi") - F.col(f"_{a}_lo")),
+                        nd,
+                    ).alias(a)
+                    for a, _, nd in targets
+                ],
+            ),
+            key,
+        )
+    return out.select(key, "p50_qty", "p90_qty", "p99_price")
 
 
 @register(

@@ -275,3 +275,16 @@ def test_pack_sequences_single_domain_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in p
     assert "SinglePartition" not in p
     assert "Window (" in p
+
+
+def test_exact_percentile_is_spillable_sort_not_object_agg(spark, sf_dir):
+    """Exact percentiles must plan as spillable sort-based rank
+    selection: Spark's `percentile` aggregate buffers whole groups in an
+    in-memory ObjectHashAggregate that cannot spill — an un-splittable
+    scale-killer when one group holds 1/3 of a 100 TB fact table."""
+    p = plan_of(spark, sf_dir, "q_agg_percentile")
+    assert "ObjectHashAggregate" not in p
+    assert "percentile" not in p.lower()
+    assert "Window" in p  # row_number rank selection
+    # the tiny group-count frame broadcasts back onto the ranked rows
+    assert "BroadcastHashJoin" in p
