@@ -18,6 +18,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def knn_join_blocked(
+    probes: DataFrame,
+    corpus: DataFrame,
+    block_col: str,
+    probe_id_cols: Sequence[str],
+    corpus_id_col: str,
+    score: Column,
+    k: int,
+    score_name: str = "score",
+    pair_filter: Column | None = None,
+    n_salts: int = 8,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k corpus neighbors per probe within its block — with the
+    block fanout CAPPED by salting, so one hot block key cannot
+    serialize into a quadratic single partition.
+
+    Un-salted blocked k-NN joins probe×corpus on ``block_col`` and ranks
+    per probe: per-partition work is O(|probes∩block|·|block|), so a
+    skewed block (one giant label / LSH bucket) lands whole on one task.
+    Here the corpus side of each block is split into ``n_salts``
+    deterministic sub-blocks (hash of the corpus id — no RNG, stable
+    across runs/engines) and probes replicate to every sub-block:
+
+    1. equi-join on (block, salt)  — each task sees ≤ |block|/n_salts
+       candidates per block, and AQE can still split further;
+    2. per-(probe, salt) top-k     — WindowGroupLimit keeps state at k;
+    3. re-merge: top-k per probe over the n_salts·k survivors.
+
+    Result is IDENTICAL to the un-salted join (the global top-k is a
+    subset of the per-salt top-ks; each candidate lives in exactly one
+    sub-block) — only the parallelism changes.  Probe replication costs
+    n_salts× the probe rows, the right trade when probes ≪ corpus;
+    callers with huge probe sides should route through bounded blocks
+    (LSH/IVF cells) instead.  ``score`` / ``pair_filter`` are Column
+    expressions over the joined frame's columns.
+    """
+    salt = F.pmod(F.xxhash64(F.col(corpus_id_col)), F.lit(n_salts)).cast("int")
+    corpus_s = corpus.withColumn("_salt", salt)
+    probes_s = probes.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    pairs = probes_s.join(corpus_s, [block_col, "_salt"])
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    scored = pairs.withColumn(score_name, score)
+    order = [F.col(score_name).desc(), F.col(corpus_id_col)]
+    w_partial = Window.partitionBy(*probe_id_cols, "_salt").orderBy(*order)
+    survivors = (
+        scored.withColumn(rank_col, F.row_number().over(w_partial))
+        .where(F.col(rank_col) <= k)
+        .drop(rank_col, "_salt")
+    )
+    w_final = Window.partitionBy(*probe_id_cols).orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(w_final)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

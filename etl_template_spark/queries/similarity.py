@@ -245,10 +245,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors (by cosine) for each probe vector (vec_id < 50)
-    within its label block: equi-join on the block key, per-pair JVM
-    cosine, windowed top-k (WindowGroupLimit keeps per-group state at
-    k).  The k-NN-join shape behind dedup clustering and retrieval-
-    augmented data curation; block key generalizes to LSH/IVF cells."""
+    within its label block, via the SALTED blocked k-NN join
+    (operators/topk.py::knn_join_blocked): the corpus side of each block
+    splits into 8 deterministic sub-blocks, probes replicate across
+    them, per-(probe, salt) top-k runs under WindowGroupLimit, and a
+    final per-probe top-k re-merges the survivors — identical rows to
+    the naive blocked join, but a hot block key can no longer serialize
+    into one quadratic partition.  The k-NN-join shape behind dedup
+    clustering and retrieval-augmented curation; block key generalizes
+    to LSH/IVF cells."""
+    from ..operators.topk import knn_join_blocked
+
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") < 50).select(
         F.col("label"), F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
@@ -256,17 +263,17 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("label"), F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
     )
-    pairs = (
-        probes.join(corpus, "label")
-        .where(F.col("v1") != F.col("v2"))
-        .select("v1", "v2", cosine_col(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
-    )
-    w = Window.partitionBy("v1").orderBy(F.col("cos_sim").desc(), F.col("v2"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 3)
-        .select("v1", "v2", "cos_sim", "rnk")
-    )
+    return knn_join_blocked(
+        probes,
+        corpus,
+        block_col="label",
+        probe_id_cols=("v1",),
+        corpus_id_col="v2",
+        score=cosine_col(F.col("emb1"), F.col("emb2")),
+        k=3,
+        score_name="cos_sim",
+        pair_filter=F.col("v1") != F.col("v2"),
+    ).select("v1", "v2", "cos_sim", "rnk")
 
 
 # ---------------------------------------------------------------------------

@@ -56,3 +56,91 @@ def test_pq_recall(results):
     exact = [r["vec_id"] for r in results["q_sim_search"]]
     pq = [r["vec_id"] for r in results["q_sim_search_pq"]]
     assert len(set(exact) & set(pq)) / len(exact) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# salted blocked k-NN join: skew bound + result identity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_vectors(spark):
+    """One pathological block ('hot', 160 of 200 vectors) plus small
+    blocks — the shape that serializes an un-salted blocked k-NN join."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(200):
+        label = "hot" if vid < 160 else f"cold{vid % 4}"
+        rows.append((vid, label, [rng.uniform(-1, 1) for _ in range(8)]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>"
+    )
+
+
+def test_salted_knn_identical_to_naive(spark, skewed_vectors):
+    """Salting must change the PLAN, never the rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.operators.topk import knn_join_blocked
+    from etl_template_spark.queries.similarity import cosine_col
+
+    e = skewed_vectors
+    probes = e.where(F.col("vec_id") < 30).select(
+        "label", F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
+    )
+    corpus = e.select(
+        "label", F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+    )
+    salted = knn_join_blocked(
+        probes, corpus,
+        block_col="label", probe_id_cols=("v1",), corpus_id_col="v2",
+        score=cosine_col(F.col("emb1"), F.col("emb2")), k=3,
+        score_name="cos_sim", pair_filter=F.col("v1") != F.col("v2"),
+    ).select("v1", "v2", "cos_sim", "rnk")
+
+    w = Window.partitionBy("v1").orderBy(F.col("cos_sim").desc(), F.col("v2"))
+    naive = (
+        probes.join(corpus, "label")
+        .where(F.col("v1") != F.col("v2"))
+        .select("v1", "v2", cosine_col(F.col("emb1"), F.col("emb2")).alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_salted_knn_bounds_hot_block_fanout(spark, skewed_vectors):
+    """The quadratic term per task is |probes∩block| * |(block, salt)|:
+    every salted sub-block must be a strict fraction of the hot block,
+    and the hash must not degenerate (all salts populated)."""
+    from pyspark.sql import functions as F
+
+    n_salts = 8
+    corpus_salted = skewed_vectors.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_salts)).cast("int")
+    )
+    per_bucket = {
+        (r["label"], r["_salt"]): r["count"]
+        for r in corpus_salted.groupBy("label", "_salt").count().collect()
+    }
+    hot_total = 160
+    hot_buckets = {s: c for (lab, s), c in per_bucket.items() if lab == "hot"}
+    assert len(hot_buckets) == n_salts  # no empty salt → real split
+    # xxhash64 spreads ~uniformly: every sub-block well under half the
+    # block, i.e. the single-task quadratic term is gone
+    assert max(hot_buckets.values()) <= hot_total // 2
+    assert max(hot_buckets.values()) < 2 * (hot_total // n_salts + 1)
+
+
+def test_salted_knn_rank_limit_pushed_into_both_windows(spark, sf_dir):
+    """Both the per-salt partial top-k and the re-merge top-k must run
+    under WindowGroupLimit (bounded per-group state), and the pair space
+    must stay an equi-join — no cartesian."""
+    df = REGISTRY["q_knn_join_blocked"].build(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = df._jdf.queryExecution().explainString(mode)
+    assert p.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in p
