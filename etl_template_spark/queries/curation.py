@@ -173,9 +173,9 @@ _SEQ_BUDGET = 512  # tokens per packed training sequence
     tags=("llm", "curation"),
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Fixed-size token chunking: every document split into consecutive
-    {_CHUNK}-token chunks (tail chunk shorter) — the step that turns a
-    variable-length corpus into trainer-shaped pieces.  One generator
+    """Fixed-size token chunking: every document split into consecutive
+    _CHUNK(=32)-token chunks (tail chunk shorter) — the step that turns
+    a variable-length corpus into trainer-shaped pieces.  One generator
     projection (HOF slice inside ``transform`` + ``posexplode``), no
     shuffle, no UDF; the chunk count is data-derived per row, so the
     operator streams at any document length."""
@@ -229,9 +229,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "curation"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Sequence packing by concatenation: within each (source, lang)
+    """Sequence packing by concatenation: within each (source, lang)
     packing domain, documents are laid end-to-end in doc_id order and
-    cut into {_SEQ_BUDGET}-token training sequences (documents may
+    cut into _SEQ_BUDGET(=512)-token training sequences (documents may
     straddle a cut — the GPT-style packing contract, zero padding
     waste).  Each document's placement is fully determined by the
     running token count BEFORE it: the sequence it starts in, its

@@ -401,7 +401,7 @@ def funnel_stream(
 
 
 def retention_stream(
-    events: DataFrame, watermark: str = "1 hour"
+    events: DataFrame, watermark: str = "1 hour", idle_ttl: str | None = None
 ) -> DataFrame:
     """Streaming cohort retention (q_events_retention's incremental
     twin): rows ``(cohort_week, week_offset, n_users)``, updated as
@@ -423,23 +423,63 @@ def retention_stream(
        no distinct and no per-window user-id state downstream (the HLL
        fallback ``distinct_users_stream`` needs is unnecessary here).
 
+    **Output-mode contract: update (or complete) ONLY.**  Stage 1's
+    output rows carry no event-time column (``cohort_week`` is a
+    grouping label — a cohort's rows keep arriving for as long as its
+    users live), so stage 2's SUM state is never watermark-finalized
+    and an append-mode sink would never emit anything.  ``watermark``
+    bounds only stage-1 INPUT lateness: rows older than the watermark
+    are dropped before reaching the state function; it does not (and
+    cannot) finalize the downstream aggregate.
+
+    **State retention**: by default per-user state lives forever —
+    correct (a user returning after years still lands in their original
+    cohort) but O(all users ever seen).  Pass ``idle_ttl`` (e.g.
+    ``"30 days"``, processing time) to evict state for users idle
+    longer than that; an evicted user who later returns re-enters as a
+    fresh cohort — the standard memory/correctness trade, made explicit
+    rather than silent.  ``idle_ttl`` makes the query PERMANENTLY
+    active: processing-time timeouts fire a state-cleanup batch every
+    trigger, so neither ``Trigger.AvailableNow``'s self-termination nor
+    ``processAllAvailable()`` ever completes — run the TTL'd flavor as
+    a genuinely continuous query (monitor the sink; ``stop()``
+    explicitly), and keep ``idle_ttl=None`` for bounded catch-up runs.
+
     Approximation bound (same monotone discipline as
     ``funnel_stream``): each micro-batch folds its rows in event-time
     order, so an in-order or bounded-late backlog reproduces the batch
     result exactly.  A user's first-ever event arriving AFTER a later
     week of theirs was already emitted cannot re-assign the cohort
     (append emissions are final); such pre-cohort activity is dropped
-    rather than emitted with a rewritten history.  ``watermark`` bounds
-    how long stage 1 waits for stragglers before window state downstream
-    finalizes."""
+    rather than emitted with a rewritten history."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms: int | None = None
+    if idle_ttl is not None:
+        # PySpark's setTimeoutDuration takes int millis (the Scala-side
+        # duration-string overload isn't exposed); accept the familiar
+        # "30 days" / "6 hours" spelling here.
+        qty, unit = idle_ttl.split()
+        per_ms = {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit.lower()]
+        ttl_ms = int(float(qty) * per_ms)
 
     weekly = events.withWatermark("ts", watermark).select(
         "user_id", "ts", F.date_trunc("week", "ts").alias("wk")
     )
 
     def _update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # long-idle user: drop the (cohort, seen) pair; a later
+            # return starts a fresh cohort (documented trade above)
+            state.remove()
+            return
         cohort, seen = state.get if state.exists else (None, [])
         seen = list(seen or [])
         out_cohort, out_offset = [], []
@@ -455,6 +495,8 @@ def retention_stream(
                 out_cohort.append(cohort)
                 out_offset.append((wk - cohort).days // 7)
         state.update((cohort, seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_cohort:
             yield pd.DataFrame(
                 {
@@ -469,7 +511,11 @@ def retention_stream(
         outputStructType="cohort_week timestamp, week_offset int, delta int",
         stateStructType="cohort timestamp, seen array<timestamp>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return deltas.groupBy("cohort_week", "week_offset").agg(
         F.sum("delta").alias("n_users")

@@ -186,3 +186,12 @@ def test_window_queries_are_oracle_backed():
     osql = entry_mod.oracle_sql()
     for name in ROUND3_WINDOW[1:]:
         assert name in osql, f"{name} burns a window slot without an oracle"
+
+
+def test_every_query_has_a_docstring():
+    """Registry docs feed the judge's parity check; an f-string
+    expression statement is NOT a docstring (__doc__ stays None) —
+    r3 ADVICE caught two queries losing their docs that way."""
+    for name, q in REGISTRY.items():
+        assert (q.build.__doc__ or "").strip(), f"{name} has no __doc__"
+        assert q.doc.strip(), f"{name} registered with empty doc"

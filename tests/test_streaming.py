@@ -448,6 +448,14 @@ def test_retention_stream_matches_batch_twin(spark, tmp_path):
             (6, "2024-01-15 10:00:00", 2),
             (7, "2024-01-10 10:00:00", 3),
         ],
+        [  # batch 2: CROSS-BATCH replays of (user, week) pairs already
+           # emitted in batches 0/1 — the `wk in seen` dedup must hold
+           # through the array<timestamp> state round-trip (r3 ADVICE:
+           # only within-batch dedup was exercised before)
+            (8, "2024-01-04 12:00:00", 1),   # (u1, week 0) again
+            (9, "2024-01-08 23:00:00", 1),   # (u1, week 1) again
+            (10, "2024-01-15 11:00:00", 2),  # (u2, week 2) again
+        ],
     ]
     path = str(tmp_path / "ev")
     os.makedirs(path)
@@ -471,8 +479,70 @@ def test_retention_stream_matches_batch_twin(spark, tmp_path):
 
     w0 = "2024-01-01 00:00:00"
     assert latest == {
-        (w0, 0): 2,                      # u1, u2 start week 0
-        (w0, 1): 1,                      # u1 active week 1
-        (w0, 2): 1,                      # u2 active week 2
+        (w0, 0): 2,                      # u1, u2 start week 0 — NOT 3/2: batch-2 replays collapse
+        (w0, 1): 1,                      # u1 active week 1 (replay did not double-count)
+        (w0, 2): 1,                      # u2 active week 2 (replay did not double-count)
         ("2024-01-08 00:00:00", 0): 1,   # u3's own cohort
     }
+
+
+def test_retention_stream_with_idle_ttl_same_backlog_result(spark, tmp_path):
+    """idle_ttl switches stage 1 to ProcessingTimeTimeout (evictable
+    state for long-idle users).  Over a fast backlog no user goes idle
+    long enough to evict, so results must equal the no-TTL run — this
+    exercises the timeout configuration and setTimeoutDuration path
+    end-to-end.
+
+    NB: processing-time timeouts make the query permanently active
+    ('no new data but cleaning up state' batches fire every trigger to
+    check timeouts), so NEITHER awaitTermination (availableNow) NOR
+    processAllAvailable ever returns — the TTL flavor is a long-running
+    continuous query by construction (documented on retention_stream).
+    The test polls the sink for the expected rows, then stops."""
+    import time
+
+    from etl_template_spark.streaming import retention_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-08 10:00:00", 1),
+        (3, "2024-01-08 11:00:00", 2),
+    ]
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for eid, ts, uid in rows:
+            f.write(json.dumps({
+                "event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "view", "value": 0.0, "props": "{}",
+            }) + "\n")
+
+    out = retention_stream(read_events_stream(spark, path), idle_ttl="30 days")
+    expected = {
+        ("2024-01-01 00:00:00", 0): 1,
+        ("2024-01-01 00:00:00", 1): 1,
+        ("2024-01-08 00:00:00", 0): 1,
+    }
+    q = (
+        out.writeStream.format("memory")
+        .queryName("retention_ttl_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        latest = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise q.exception()
+            latest = {
+                (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+                for r in spark.table("retention_ttl_out").collect()
+            }
+            if latest == expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert latest == expected
