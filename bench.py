@@ -52,6 +52,7 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else -1.0
 
+    from etl_template_spark.caching import release_tracked
     from etl_template_spark.session import get_spark
     from etl_template_spark.queries import REGISTRY
 
@@ -79,6 +80,7 @@ def main() -> int:
             t0 = time.perf_counter()
             q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
             passes.append(time.perf_counter() - t0)
+            release_tracked()  # drop builder-persisted intermediates
             spark.catalog.clearCache()
         timings[name] = round(sorted(passes)[1], 3)
 

@@ -38,6 +38,7 @@ from ..operators.dedup import (
     tokens_col,
     verified_jaccard as _verified_jaccard,
 )
+from ..caching import persist_tracked
 from ..operators.cluster import connected_components
 from ..registry import register
 
@@ -58,7 +59,7 @@ def _doc_shingles(
     dedup/fingerprint pass), not re-deriving it per query."""
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(shingles_col(tokens_col(), k)).alias("s")).distinct()
-    return sh.persist() if persist else sh
+    return persist_tracked(sh) if persist else sh
 
 
 _SHINGLES_SQL = """
@@ -151,7 +152,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
     # ONE aggregate yields both the 16-hash signature and the set size
     # (n_sh) — verification reuses it instead of re-scanning shingles
-    mins = minhash_signature(sh).persist()
+    mins = persist_tracked(minhash_signature(sh))
     # 8 band keys: band i = (mh_{2i}, mh_{2i+1}) packed into one string
     bands = mins.select(
         "doc_id",
@@ -310,7 +311,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_signature
 
     sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
-    mins = minhash_signature(sh).persist()
+    mins = persist_tracked(minhash_signature(sh))
     bands = mins.select(
         "doc_id",
         F.explode(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..io import load_table
 from ..registry import register
 
@@ -446,8 +447,8 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5000 vecs).  Approximate ⇒ rows-only; tests assert a recall
     floor vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_subvectors(e).persist()
-    books = _pq_codebooks(sub).persist()
+    sub = persist_tracked(_pq_subvectors(e))
+    books = persist_tracked(_pq_codebooks(sub))
     corpus_codes = _pq_assign(sub.where(F.col("vec_id") != 0), books)
 
     q_sub = sub.where(F.col("vec_id") == 0).select("s", F.col("sub").alias("qsub"))

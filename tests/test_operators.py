@@ -477,3 +477,19 @@ def test_pii_scrub_redacts_planted_pii(spark):
     assert got[3]["scrubbed"] == "call [PHONE] or [PHONE] now"
     assert got[4]["scrubbed"] == "plain text with no identifiers at all"
     assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_persist_tracked_lifecycle(spark):
+    """Builder-persisted intermediates must be releasable by the caller:
+    persist_tracked registers the handle, release_tracked unpersists
+    everything and empties the registry (r3 VERDICT: every persist needs
+    an owner)."""
+    from etl_template_spark.caching import persist_tracked, release_tracked
+
+    release_tracked()  # clean slate
+    df = persist_tracked(spark.range(100))
+    assert df.count() == 100
+    assert df.storageLevel.useMemory
+    assert release_tracked() == 1
+    assert not df.storageLevel.useMemory
+    assert release_tracked() == 0  # registry drained
