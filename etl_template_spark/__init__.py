@@ -32,6 +32,7 @@ from .io import (  # noqa: F401,E402
     read_csv,
     read_jsonl,
     read_versioned,
+    register_versioned_table,
     write_versioned,
 )
 from .pipeline import Pipeline, PipelineRun, Step, StepFailed, knoll  # noqa: F401,E402
@@ -51,5 +52,6 @@ __all__ = [
     "read_csv",
     "read_jsonl",
     "read_versioned",
+    "register_versioned_table",
     "write_versioned",
 ]

@@ -333,6 +333,40 @@ def read_versioned(
     raise ValueError(f"unsupported format: {fmt}")
 
 
+def register_versioned_table(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    version: int | None = None,
+    table: str | None = None,
+    analyze: bool = True,
+) -> str:
+    """Register a versioned output as a catalog table and collect table
+    + column statistics, so CBO join-reordering and broadcast selection
+    see versioned datasets the same way they see bucketed tables
+    (bucketing.py::write_bucketed does this at write; versioned writes
+    are path-based, and Spark's CBO only reads statistics from the
+    catalog — a bare ``spark.read.parquet(path)`` gets file-size
+    estimates only, no row counts or NDVs).
+
+    Call after ``write_versioned`` on datasets that downstream joins
+    will consume.  The table name defaults to ``<step>_v<N>`` so each
+    immutable version carries its own immutable stats; re-registering
+    the same version is idempotent (drop + recreate + re-analyze).
+    Returns the table name."""
+    if version is None:
+        version = latest_version(root, step)
+        if version is None:
+            raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    path = os.path.join(_step_dir(root, step), f"v={version}")
+    table = table or f"{step}_v{version}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.catalog.createTable(table, path=path, source="parquet")
+    if analyze:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return table
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,

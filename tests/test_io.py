@@ -404,3 +404,32 @@ def test_hilbert_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     for col in ("l_orderkey", "l_partkey"):
         n, total = candidates(hpath, col)
         assert n <= 0.7 * total, (col, n, total)
+
+
+def test_register_versioned_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """A versioned output registered via register_versioned_table must
+    carry table + column statistics in the catalog (rowCount and NDVs
+    are what CBO join-reorder and broadcast selection consume; a bare
+    path read only ever sees file sizes)."""
+    from etl_template_spark.io import register_versioned_table, write_versioned
+
+    df = load_table(spark, sf_dir, "supplier")
+    root = str(tmp_path / "out")
+    version, _ = write_versioned(df, root, "suppliers")
+    table = register_versioned_table(spark, root, "suppliers", version=version)
+    assert table == f"suppliers_v{version}"
+
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats_rows = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats_rows, "no table-level statistics recorded"
+    assert "rows" in stats_rows[0]["data_type"]  # "<bytes> bytes, <n> rows"
+
+    col_detail = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {table} s_suppkey"
+    ).collect()
+    info = {r["info_name"]: r["info_value"] for r in col_detail}
+    assert info.get("distinct_count") not in (None, "NULL")
+
+    # idempotent re-registration (immutable version, immutable stats)
+    assert register_versioned_table(spark, root, "suppliers") == table
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -246,3 +246,45 @@ def test_parallel_run_fail_fast_skips_later_levels(spark, tmp_path):
     assert by_name["a"] == "Completed"
     assert by_name["b"] == "Failed"
     assert by_name["c"] == "Pending"
+
+
+def test_worked_example_runs(spark, tmp_path, monkeypatch):
+    """examples/etl_template.py — the reference's 3-step pipeline as
+    living documentation — must actually run: Completed status, one
+    version per step, the Processed_<name>_Individually transform
+    applied (etl.go:57)."""
+    import importlib.util
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "etl_template_example", _os.path.join(repo, "examples", "etl_template.py")
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+
+    # reuse the test session instead of the example's own factory
+    import etl_template_spark as pkg
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+
+    root = str(tmp_path / "data")
+    ex.run(root)
+
+    from etl_template_spark import read_versioned
+    from etl_template_spark.pipeline import PipelineRun
+
+    manifest = PipelineRun.load_status(
+        "etl_template", _os.path.join(root, "status", "etl_template.json")
+    )
+    assert manifest is not None
+    assert all(s.status == "Completed" for s in manifest.steps.values())
+    assert list(manifest.steps) == ["ExtractUsers", "MainLoop", "LoadOutput"]
+
+    out = read_versioned(
+        spark, root, "LoadOutput", fmt="json",
+        schema="userId string, processedName string, timestamp string",
+    ).collect()
+    assert len(out) == len(ex.USERS)
+    by_id = {r["userId"]: r["processedName"] for r in out}
+    assert by_id["1"] == "Processed_Alice_Individually"
+    assert by_id["10"] == "Processed_Bad User Transform_Individually"
