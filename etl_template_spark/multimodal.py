@@ -49,14 +49,25 @@ def attach_media_meta(df: DataFrame, id_col: str, content_col: str = "content") 
 
 
 def partition_by_byte_budget(
-    df: DataFrame, bytes_col: str = "n_bytes", target_bytes: int = 128 * 1024 * 1024
+    df: DataFrame,
+    bytes_col: str = "n_bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+    total_bytes: int | None = None,
 ) -> DataFrame:
     """Repartition so each partition carries ~target_bytes of media.
     Media rows are KB-to-MB sized; row-count-based partitioning makes
-    wildly uneven tasks.  One cheap global agg sizes the job, then a
-    hash repartition spreads rows."""
-    total = df.agg(F.sum(bytes_col).alias("t")).collect()[0]["t"] or 0
-    n_parts = max(1, int(total / target_bytes) + 1)
+    wildly uneven tasks.
+
+    Sizing needs ONE driver-side scalar (the corpus byte total).  By
+    default one cheap global agg computes it — a driver-side scalar,
+    not a banned data collect, but it does cost an extra job per call;
+    callers that already know the total (dataset manifests record
+    per-version byte counts at write time, and pipelines usually call
+    this right after attach_media_meta + a counted write) pass it via
+    ``total_bytes`` and pay nothing."""
+    if total_bytes is None:
+        total_bytes = df.agg(F.sum(bytes_col).alias("t")).collect()[0]["t"] or 0
+    n_parts = max(1, int(total_bytes / target_bytes) + 1)
     return df.repartition(n_parts)
 
 
