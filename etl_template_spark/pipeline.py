@@ -253,6 +253,10 @@ class Step:
     partition_by: list[str] | None = None
     max_retries: int = 0
     retry_delay_seconds: float = 0.0
+    # register the written version as a catalog table with table+column
+    # statistics (io.register_versioned_table) so downstream steps'
+    # joins get CBO cardinalities; costs one stats scan per write.
+    register_stats: bool = False
 
 
 class Pipeline:
@@ -341,6 +345,12 @@ class Pipeline:
                 )
                 run.steps[s.name].output_version = version
                 run.steps[s.name].rows_out = obs.get["rows_out"]
+                if s.register_stats and s.fmt == "parquet":
+                    from .io import register_versioned_table
+
+                    register_versioned_table(
+                        spark, self.data_root, s.name, version=version
+                    )
                 return version
 
             run.execute_step(

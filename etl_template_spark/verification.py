@@ -123,12 +123,13 @@ def load_snapshot(root: str | None = None) -> dict[str, dict]:
 
 
 def invalidated_names(root: str | None = None) -> frozenset[str]:
-    """Recorded queries whose content changed since their snapshot.
+    """Recorded queries whose current content is not certified by the
+    snapshot: the stamped hash differs, OR no stamp exists at all.
 
-    A recorded name *missing* from the snapshot is treated as valid:
-    the snapshot may simply postdate the recording (it was introduced in
-    round 4), and the staleness rotation re-records such queries within
-    a couple of rounds anyway.
+    Missing-stamp-means-invalid is the fail-safe direction: a recorded
+    query that never got stamped (refresh skipped, snapshot lost) is
+    promoted back into the recording window and re-recorded — at worst
+    a wasted window slot, never a stale pass certifying changed code.
     """
     root = root or repo_root()
     _ensure_registry()
@@ -139,32 +140,92 @@ def invalidated_names(root: str | None = None) -> frozenset[str]:
         if name not in REGISTRY:
             continue
         entry = snap.get(name)
-        if entry and entry.get("hash") != query_content_hash(name):
+        if entry is None or entry.get("hash") != query_content_hash(name):
             out.add(name)
     return frozenset(out)
 
 
-def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
-    """(Re)stamp snapshot hashes from current content — call at round
-    start, BEFORE editing code, so current content == recorded content.
+def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
+    """Subset of ``paths`` (absolute) whose working-tree content equals
+    git HEAD — i.e. still exactly what the just-committed correctness
+    round executed.  If git is unavailable, every path is treated as
+    clean (round-start discipline is then the only guard)."""
+    import subprocess
 
-    Only stamps names whose latest successful record round is newer than
-    the round already stamped (or not stamped at all); content drift
-    without a fresh official record keeps the old stamp, i.e. stays
-    invalidated.  Returns the new snapshot (also written to disk).
+    clean: set[str] = set()
+    for path in sorted(paths):
+        rel = os.path.relpath(path, root)
+        try:
+            proc = subprocess.run(
+                ["git", "-C", root, "diff", "--quiet", "HEAD", "--", rel],
+                capture_output=True,
+                timeout=30,
+            )
+            # exit 0 = identical to HEAD; exit 1 with EMPTY stderr =
+            # genuinely differs (dirty).  Any stderr output means git
+            # could not compare at all (not a repo, unborn HEAD, path
+            # outside the work tree) → no history to check → trust the
+            # caller's round-start discipline.
+            if proc.returncode == 0 or proc.stderr:
+                clean.add(path)
+        except Exception:
+            clean.add(path)  # no git binary → trust the caller
+    return clean
+
+
+def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
+    """(Re)stamp snapshot hashes from current content — run at round
+    start (tests/conftest.py does it automatically; also
+    ``python -m etl_template_spark.verification``).
+
+    Two guards keep a stamp from ever certifying content the driver did
+    not execute:
+
+    - only names whose latest successful record round is NEWER than the
+      stamped round are (re)stamped; content drift without a fresh
+      official record keeps the old stamp, i.e. stays invalidated;
+    - a name is stamped only while its defining module is bit-identical
+      to git HEAD (the state the just-landed round ran, since the
+      driver commits before recording) — if the builder edited the
+      module first, the stamp is skipped and the query simply stays in
+      the re-record window.
+
+    Returns the new snapshot (also written to disk when changed).
     """
+    import inspect
+
     root = root or repo_root()
     _ensure_registry()
     recorded = latest_recorded_round(root)
     snap = load_snapshot(root)
+    pending: dict[str, int] = {}
     for name, rnd in sorted(recorded.items()):
         if name not in REGISTRY:
             continue
         entry = snap.get(name)
         if entry is None or int(entry.get("round", -1)) < rnd:
+            pending[name] = rnd
+    if not pending:
+        return snap
+    mod_files = {
+        name: inspect.getsourcefile(REGISTRY[name].build) or "" for name in pending
+    }
+    clean = _modules_clean_vs_head(root, set(mod_files.values()))
+    changed = False
+    for name, rnd in pending.items():
+        if mod_files[name] in clean:
             snap[name] = {"round": rnd, "hash": query_content_hash(name)}
-    path = os.path.join(root, SNAPSHOT_BASENAME)
-    with open(path, "w") as f:
-        json.dump(dict(sorted(snap.items())), f, indent=1, sort_keys=True)
-        f.write("\n")
+            changed = True
+    if changed:
+        path = os.path.join(root, SNAPSHOT_BASENAME)
+        with open(path, "w") as f:
+            json.dump(dict(sorted(snap.items())), f, indent=1, sort_keys=True)
+            f.write("\n")
     return snap
+
+
+if __name__ == "__main__":
+    snapshot = refresh_snapshot()
+    invalid = sorted(invalidated_names())
+    print(f"stamped entries: {len(snapshot)}")
+    print(f"currently invalidated ({len(invalid)}): {invalid}")

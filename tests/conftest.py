@@ -19,6 +19,20 @@ TABLES = (
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _refresh_correctness_snapshot():
+    """Stamp QUERY_CONTENT_HASHES.json for freshly recorded queries at
+    the first test run of a round (builders run tests before editing;
+    the refresh itself refuses to stamp modules already edited vs git
+    HEAD, so a late run is safe too — see verification.refresh_snapshot)."""
+    try:
+        from etl_template_spark import verification
+
+        verification.refresh_snapshot()
+    except Exception:
+        pass  # never block tests on snapshot bookkeeping
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="etl-tests", master="local[8]", shuffle_partitions=8)

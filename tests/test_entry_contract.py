@@ -122,6 +122,12 @@ def test_content_change_invalidates_recorded_row(tmp_path):
     inv = verification.invalidated_names(root)
     assert "q_filter" in inv
     assert "q_project" not in inv
+    # a recorded name with NO stamp at all is invalid too (fail-safe:
+    # re-record rather than trust an uncertified pass)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_distinct": {"err": None}})
+    )
+    assert "q_distinct" in verification.invalidated_names(root)
 
 
 def test_refresh_snapshot_keeps_stale_stamp_until_rerecorded(tmp_path):

@@ -288,3 +288,23 @@ def test_worked_example_runs(spark, tmp_path, monkeypatch):
     by_id = {r["userId"]: r["processedName"] for r in out}
     assert by_id["1"] == "Processed_Alice_Individually"
     assert by_id["10"] == "Processed_Bad User Transform_Individually"
+
+
+def test_step_register_stats_populates_catalog(spark, tmp_path):
+    """A step with register_stats=True must leave a catalog table named
+    <step>_v<N> carrying ANALYZE statistics after the run."""
+    from etl_template_spark import Pipeline
+
+    root = str(tmp_path / "data")
+    p = Pipeline("stats_pipe", root).step(
+        "Extract",
+        lambda s, _: s.range(500).withColumnRenamed("id", "k"),
+        register_stats=True,
+    )
+    run = p.run(spark)
+    assert run.steps["Extract"].status == "Completed"
+    v = run.steps["Extract"].output_version
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED Extract_v{v}").collect()
+    stats = [r for r in detail if r["col_name"] == "Statistics"]
+    assert stats and "rows" in stats[0]["data_type"]
+    spark.sql(f"DROP TABLE IF EXISTS Extract_v{v}")
