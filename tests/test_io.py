@@ -433,3 +433,39 @@ def test_register_versioned_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
     # idempotent re-registration (immutable version, immutable stats)
     assert register_versioned_table(spark, root, "suppliers") == table
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_load_table_events_handles_both_timestamp_generations(spark, tmp_path):
+    """Driver fixtures have shipped events.ts as TIMESTAMP(NANOS) (r1-3)
+    and TIMESTAMP(MICROS) (r4+); load_table must normalize BOTH to the
+    same TIMESTAMP_NTZ values.  Writes one fixture in each physical type
+    and asserts identical loads."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["view", "click"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    ts = [
+        datetime.datetime(2024, 1, 1, 10, 0, 0),
+        datetime.datetime(2024, 1, 2, 11, 30, 0),
+    ]
+    for unit, sub in (("us", "micros"), ("ns", "nanos")):
+        d = str(tmp_path / sub)
+        os.makedirs(d)
+        table = pa.table({**rows, "ts": pa.array(ts, type=pa.timestamp(unit))})
+        pq.write_table(table, os.path.join(d, "events.parquet"))
+
+    micros = load_table(spark, str(tmp_path / "micros"), "events")
+    nanos = load_table(spark, str(tmp_path / "nanos"), "events")
+    assert dict(micros.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(nanos.dtypes)["ts"] == "timestamp_ntz"
+    assert sorted(map(tuple, micros.collect())) == sorted(map(tuple, nanos.collect()))
+    got_ts = sorted(r["ts"] for r in micros.collect())
+    assert got_ts == ts

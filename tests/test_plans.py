@@ -288,3 +288,44 @@ def test_exact_percentile_is_spillable_sort_not_object_agg(spark, sf_dir):
     assert "Window" in p  # row_number rank selection
     # the tiny group-count frame broadcasts back onto the ranked rows
     assert "BroadcastHashJoin" in p
+
+
+# Queries whose plan legitimately contains BroadcastNestedLoopJoin.
+# Every entry broadcasts a BOUNDED frame — a scalar parameter or a
+# constant-size dim — against the big side; the loop is per-row constant
+# work, not a pair explosion.  Anything NOT listed that plans a BNLJ is
+# a bug.
+_BNLJ_ALLOWED = {
+    "q_join_theta": "3-row quantity-bands dim (non-equi by design)",
+    "q_tpch_q11": "1-row global value threshold scalar",
+    "q_tpch_q22": "1-row positive-balance threshold scalar",
+    "q_dedup_ngram": "1-row corpus count feeding the DF cap",
+    "q_tfidf": "1-row document count feeding idf",
+    "q_heavy_hitters": "1-row total count feeding the support threshold",
+    "q_sim_search": "1-row query vector",
+    "q_sim_search_lsh": "1-row query vector + probe buckets",
+    "q_sim_search_ivf": "1-row query vector + k centroids",
+    "q_sim_search_pq": "1-row query vector + k-entry code tables",
+    "q_stream_dedup_late": "1-row watermark-cutoff scalar (batch twin)",
+}
+
+
+def test_no_cartesian_product_in_any_query_plan(spark, sf_dir):
+    """Blanket scale assertion over the ENTIRE registry: no operator
+    may plan a CartesianProduct, and any BroadcastNestedLoopJoin outside
+    the explicit allowlist is a bug — at 100 TB an un-keyed pair source
+    is the difference between a job and an outage.  (Streaming twins
+    assert their own plans in test_streaming.py; sink queries execute
+    writes, which plan_of handles since builders are lazy.)"""
+    offenders = {}
+    for name in REGISTRY:
+        try:
+            p = plan_of(spark, sf_dir, name)
+        except Exception as e:  # pragma: no cover - builder must not fail
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        if "CartesianProduct" in p:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not offenders, offenders
