@@ -74,7 +74,13 @@ def _exposure_order() -> list[str]:
     latest = verification.latest_recorded_round()
     recorded_ok = frozenset(latest)
     errored = verification.attempted_names() - recorded_ok
-    invalid = verification.invalidated_names()
+    try:
+        invalid = verification.invalidated_names()
+    except Exception:
+        # the recording window must keep working even if content
+        # hashing breaks (e.g. source unavailable under a frozen
+        # importer): degrade to the plain recorded-rotation order
+        invalid = frozenset()
     names = list(REGISTRY)
     idx = {n: i for i, n in enumerate(names)}
 
