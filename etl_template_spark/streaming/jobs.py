@@ -336,8 +336,23 @@ def versioned_stream_sink(
     )
 
 
+def _duration_ms(duration: str) -> int:
+    """'30 days' / '6 hours' → milliseconds.  PySpark's
+    ``GroupState.setTimeoutDuration`` takes int millis only (the
+    Scala-side duration-string overload isn't exposed)."""
+    qty, unit = duration.split()
+    per_ms = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(float(qty) * per_ms)
+
+
 def funnel_stream(
-    events: DataFrame, watermark: str = "1 hour"
+    events: DataFrame, watermark: str = "1 hour", idle_ttl: str | None = None
 ) -> DataFrame:
     """Streaming funnel (q_events_funnel's incremental twin): per user,
     the earliest view, the earliest click AFTER that view, the earliest
@@ -355,11 +370,21 @@ def funnel_stream(
     monotone approximation every incremental funnel makes, because
     exact retraction would require buffering the full horizon per user.
     State is three timestamps per user — O(users) regardless of event
-    volume."""
+    volume; by default it lives forever (a user can complete the funnel
+    years later).  ``idle_ttl`` (processing time, e.g. ``"90 days"``)
+    evicts long-idle users — a returning evicted user restarts at
+    stage 1, and the query becomes permanently active (see
+    retention_stream for why TTL'd queries cannot self-terminate under
+    availableNow)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
+
     def _update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         tv, tc, tp = state.get if state.exists else (None, None, None)
         rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
         if len(rows):
@@ -372,6 +397,8 @@ def funnel_stream(
                 elif et == "purchase" and tp is None and tc is not None and ts > tc:
                     tp = ts
         state.update((tv, tc, tp))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if tv is not None:
             stage = 3 if tp is not None else (2 if tc is not None else 1)
             yield pd.DataFrame(
@@ -395,7 +422,11 @@ def funnel_stream(
             ),
             stateStructType="tv timestamp, tc timestamp, tp timestamp",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -455,20 +486,7 @@ def retention_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ttl_ms: int | None = None
-    if idle_ttl is not None:
-        # PySpark's setTimeoutDuration takes int millis (the Scala-side
-        # duration-string overload isn't exposed); accept the familiar
-        # "30 days" / "6 hours" spelling here.
-        qty, unit = idle_ttl.split()
-        per_ms = {
-            "millisecond": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit.lower()]
-        ttl_ms = int(float(qty) * per_ms)
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
 
     weekly = events.withWatermark("ts", watermark).select(
         "user_id", "ts", F.date_trunc("week", "ts").alias("wk")

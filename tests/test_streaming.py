@@ -546,3 +546,54 @@ def test_retention_stream_with_idle_ttl_same_backlog_result(spark, tmp_path):
     finally:
         q.stop()
     assert latest == expected
+
+
+def test_funnel_stream_with_idle_ttl_same_backlog_result(spark, tmp_path):
+    """funnel_stream's idle_ttl flavor (ProcessingTimeTimeout state
+    eviction) must produce the no-TTL results over a fast backlog; like
+    the retention twin, a TTL'd query is permanently active, so the
+    test polls the sink and stops explicitly."""
+    import time
+
+    from etl_template_spark.streaming import funnel_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:10:00", 1, "click"),
+        (3, "2024-01-01 10:20:00", 1, "purchase"),
+        (4, "2024-01-01 11:00:00", 2, "view"),
+    ]
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    with open(os.path.join(path, "p0.json"), "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(json.dumps({
+                "event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": et, "value": 0.0, "props": "{}",
+            }) + "\n")
+
+    out = funnel_stream(read_events_stream(spark, path), idle_ttl="90 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_ttl_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    expected = {1: 3, 2: 1}
+    try:
+        deadline = time.time() + 120
+        got = {}
+        while time.time() < deadline:
+            if q.exception():
+                raise q.exception()
+            got = {
+                r["user_id"]: r["stage"]
+                for r in spark.table("funnel_ttl_out").collect()
+            }
+            if got == expected:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == expected
