@@ -187,56 +187,27 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory and splittable tasks are what it buys.  The unbounded-
     cardinality fast path remains ``approx_percentile`` (t-digest,
     q_agg_approx_percentile), checked rows-only because estimates are
-    engine-specific."""
+    engine-specific.  Formulation lives in operators/percentiles.py
+    (property-tested vs numpy linear interpolation); this query is its
+    oracle-checked instantiation."""
+    from ..operators.percentiles import exact_group_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    key = "l_returnflag"
-    counts = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
-    # targets grouped by measure column so each column sorts once
-    per_col: list[tuple[str, list[tuple[str, float, int]]]] = [
-        ("l_quantity", [("p50_qty", 0.5, 6), ("p90_qty", 0.9, 6)]),
-        ("l_extendedprice", [("p99_price", 0.99, 4)]),
-    ]
-    out = counts.select(key)
-    for col, targets in per_col:
-        w = Window.partitionBy(key).orderBy(F.col(col))
-        ranked = (
-            li.select(key, col)
-            .withColumn("rn", F.row_number().over(w))
-            .join(F.broadcast(counts), key)
-        )
-        pos = {a: (F.col("n") - F.lit(1)).cast("double") * F.lit(p) for a, p, _ in targets}
-        keep = F.lit(False)
-        for a, _, _ in targets:
-            lo_rn = F.floor(pos[a]).cast("bigint") + F.lit(1)
-            hi_rn = F.ceil(pos[a]).cast("bigint") + F.lit(1)
-            keep = keep | (F.col("rn") == lo_rn) | (F.col("rn") == hi_rn)
-        aggs = []
-        for a, _, _ in targets:
-            lo_rn = F.floor(pos[a]).cast("bigint") + F.lit(1)
-            hi_rn = F.ceil(pos[a]).cast("bigint") + F.lit(1)
-            v = F.col(col).cast("double")
-            aggs += [
-                F.max(F.when(F.col("rn") == lo_rn, v)).alias(f"_{a}_lo"),
-                F.max(F.when(F.col("rn") == hi_rn, v)).alias(f"_{a}_hi"),
-                F.max(pos[a] - F.floor(pos[a])).alias(f"_{a}_frac"),
-            ]
-        interp = ranked.where(keep).groupBy(key).agg(*aggs)
-        out = out.join(
-            interp.select(
-                key,
-                *[
-                    F.round(
-                        F.col(f"_{a}_lo")
-                        + F.col(f"_{a}_frac")
-                        * (F.col(f"_{a}_hi") - F.col(f"_{a}_lo")),
-                        nd,
-                    ).alias(a)
-                    for a, _, nd in targets
-                ],
-            ),
-            key,
-        )
-    return out.select(key, "p50_qty", "p90_qty", "p99_price")
+    raw = exact_group_percentiles(
+        li,
+        "l_returnflag",
+        [
+            ("p50_qty", "l_quantity", 0.5),
+            ("p90_qty", "l_quantity", 0.9),
+            ("p99_price", "l_extendedprice", 0.99),
+        ],
+    )
+    return raw.select(
+        "l_returnflag",
+        F.round("p50_qty", 6).alias("p50_qty"),
+        F.round("p90_qty", 6).alias("p90_qty"),
+        F.round("p99_price", 4).alias("p99_price"),
+    )
 
 
 @register(

@@ -190,3 +190,46 @@ def test_connected_components_matches_union_find(spark, edges):
         r["id"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    fractions=st.lists(
+        st.sampled_from([0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_exact_group_percentiles_match_numpy_linear(spark, groups, fractions):
+    """The spillable sort-based percentile must equal numpy's 'linear'
+    interpolation (== DuckDB quantile_cont) on every group shape —
+    n=1 groups, duplicate values, p=0 / p=1 boundaries included."""
+    import math
+
+    import numpy as np
+
+    from etl_template_spark.operators.percentiles import exact_group_percentiles
+
+    rows = [(gi, float(v)) for gi, vals in enumerate(groups) for v in vals]
+    df = spark.createDataFrame(rows, "g int, x double")
+    targets = [(f"p{i}", "x", p) for i, p in enumerate(fractions)]
+    got = {
+        r["g"]: [r[f"p{i}"] for i in range(len(fractions))]
+        for r in exact_group_percentiles(df, "g", targets).collect()
+    }
+    assert set(got) == set(range(len(groups)))
+    for gi, vals in enumerate(groups):
+        expect = [float(np.percentile(vals, p * 100, method="linear"))
+                  for p in fractions]
+        for a, b in zip(got[gi], expect):
+            assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gi, a, b)
