@@ -15,7 +15,7 @@ engines' internal streaming accumulators, which differ in merge order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..compat import davg_sql, dsum_sql
