@@ -308,11 +308,27 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
 
 def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFrame:
     """Assign each vector to its ``n`` nearest centroids (cosine):
-    broadcast the k centroids, score, windowed top-n.  The n>1 flavor is
-    the query-side multiprobe."""
+    broadcast the k centroids, score, pick.
+
+    n=1 (the corpus-side hot path) is an argmax via
+    ``min(struct(-cdist, cell))`` — a hash aggregate that partial-
+    combines map-side with no sort; remaining vector columns ride along
+    as ``first()`` (constant within a vec_id group, so deterministic).
+    n>1 (the tiny query-side multiprobe) keeps the windowed top-n."""
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "cdist", cosine_col(F.col("embedding"), F.col("centroid"))
     )
+    if n == 1:
+        carried = [c for c in vecs.columns if c != "vec_id"]
+        best = F.min(F.struct((-F.col("cdist")).alias("d"), F.col("cell").alias("c")))
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                best.alias("__b"),
+                *[F.first(c).alias(c) for c in carried],
+            )
+            .select("vec_id", *carried, F.col("__b.c").alias("cell"))
+        )
     w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
     return (
         scored.withColumn("crnk", F.row_number().over(w))
@@ -410,19 +426,20 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
 
 def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
     """(vec_id, s, cell): nearest codebook entry per subvector (L2,
-    deterministic cell-id tiebreak); codebooks broadcast."""
-    from pyspark.sql import Window
+    deterministic cell-id tiebreak); codebooks broadcast.
 
+    argmin as ``min(struct(d2, cell)).cell`` — structs order
+    lexicographically, so the minimum IS (smallest distance, smallest
+    cell on ties).  A hash aggregate partial-combines map-side and
+    never sorts; the row_number-window formulation costs a full
+    (vec_id, s) shuffle-sort for the same answer."""
     scored = sub.join(F.broadcast(codebooks), "s").withColumn(
         "__d2", _l2_col(F.col("sub"), F.col("centroid"))
     )
-    w = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("__d2").asc(), F.col("cell").asc()
-    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "s", "cell")
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct(F.col("__d2"), F.col("cell"))).alias("__b"))
+        .select("vec_id", "s", F.col("__b.cell").alias("cell"))
     )
 
 
