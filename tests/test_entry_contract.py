@@ -3,10 +3,12 @@ registry completeness, and the bounded correctness window.
 
 The harness records a bounded window from the FRONT of ``queries()``
 (round 2 measured it at 50 entries), so the exposure order is part of
-the contract: round 3 promotes the 73 queries without an official
-round-2 row into the window.  The window-pinning test below freezes the
-first 50 exposed names — a new ``@register`` in an early module would
-otherwise silently displace a query out of the recorded window.
+the contract.  Since round 4 the order derives from the committed
+CORRECTNESS_r*.json files plus the content-hash snapshot
+(QUERY_CONTENT_HASHES.json): crashed rows first, then never-recorded
+queries, then recorded-but-content-changed (invalidated) ones, then the
+validly recorded tail stalest-first — so every query's official row is
+both fresh and still describes the code it certifies.
 """
 
 from __future__ import annotations

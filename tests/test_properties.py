@@ -233,3 +233,53 @@ def test_exact_group_percentiles_match_numpy_linear(spark, groups, fractions):
                   for p in fractions]
         for a, b in zip(got[gi], expect):
             assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gi, a, b)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # block label (small space → collisions)
+            # magnitudes bounded away from 0: cosine of a zero vector is
+            # 0/0, an ANSI-mode error by (documented) operator contract
+            st.lists(st.floats(0.125, 10, allow_nan=False, width=32),
+                     min_size=4, max_size=4),
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    k=st.integers(1, 4),
+    n_salts=st.sampled_from([1, 2, 8]),
+)
+@settings(**_SETTINGS)
+def test_salted_knn_equals_naive_under_random_blocks(spark, vecs, k, n_salts):
+    """knn_join_blocked(salted) must be row-identical to the naive
+    blocked window top-k for ANY block distribution, k, and salt count
+    (salting repartitions the work, never the answer)."""
+    from pyspark.sql import Window
+
+    from etl_template_spark.operators.topk import knn_join_blocked
+    from etl_template_spark.queries.similarity import cosine_col
+
+    rows = [(i, f"b{lab}", list(map(float, v))) for i, (lab, v) in enumerate(vecs)]
+    e = spark.createDataFrame(rows, "vec_id int, label string, embedding array<double>")
+    probes = e.select("label", F.col("vec_id").alias("v1"),
+                      F.col("embedding").alias("emb1"))
+    corpus = e.select("label", F.col("vec_id").alias("v2"),
+                      F.col("embedding").alias("emb2"))
+    score = cosine_col(F.col("emb1"), F.col("emb2"))
+    salted = knn_join_blocked(
+        probes, corpus, block_col="label", probe_id_cols=("v1",),
+        corpus_id_col="v2", score=score, k=k, score_name="cs",
+        pair_filter=F.col("v1") != F.col("v2"), n_salts=n_salts,
+    ).select("v1", "v2", "cs", "rnk")
+    w = Window.partitionBy("v1").orderBy(F.col("cs").desc(), F.col("v2"))
+    naive = (
+        probes.join(corpus, "label")
+        .where(F.col("v1") != F.col("v2"))
+        .select("v1", "v2", score.alias("cs"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+    got = sorted(map(tuple, salted.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want
