@@ -23,9 +23,13 @@ from . import (  # noqa: F401,E402
     similarity,
     streaming_batch,
     multimodal_q,
-    # curation MUST stay the last import: its queries register behind the
-    # pinned round-3 correctness window (tests/test_entry_contract.py)
     curation,
+    # extensions MUST stay the last import: new queries must register
+    # BEHIND every earlier never-recorded query so they append to the
+    # correctness window instead of displacing older entries out of it
+    # (__spark_entry__._exposure_order sorts fresh queries in registry
+    # order)
+    extensions,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]
