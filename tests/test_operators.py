@@ -493,3 +493,58 @@ def test_persist_tracked_lifecycle(spark):
     assert release_tracked() == 1
     assert not df.storageLevel.useMemory
     assert release_tracked() == 0  # registry drained
+
+
+def test_keep_best_dedup_prefers_quality_over_id(spark, tmp_path, sf_dir):
+    """q_dedup_keep_best must keep the LONGEST copy of duplicated
+    content (not the min-id copy q_dedup_exact keeps) — planted fixture
+    with two hash-groups."""
+    import os
+
+    from etl_template_spark.queries import REGISTRY
+
+    rows = [
+        # same text => same hash; doc 11 is "better" (longer n_chars
+        # column value) despite the higher id
+        (10, "alpha beta gamma", "en", "web", 5),
+        (11, "alpha beta gamma", "en", "web", 16),
+        (12, "unique text here", "en", "web", 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in REGISTRY["q_dedup_keep_best"].build(spark, d).collect()
+    }
+    assert got == {11: 2, 12: 1}  # 11 wins its pair; 10 dropped
+
+
+def test_contamination_check_flags_planted_overlap(spark, tmp_path):
+    """A train doc sharing a 5-gram with an eval doc (doc_id % 37 == 0)
+    must be flagged; unrelated docs must not."""
+    import os
+
+    from etl_template_spark.queries import REGISTRY
+
+    shared = "one two three four five"
+    rows = [
+        (0, f"eval prefix {shared} eval suffix", "en", "web", 1),   # eval (0 % 37 == 0)
+        (5, f"train stuff {shared} train tail", "en", "web", 1),    # contaminated
+        (6, "completely different words entirely here now", "en", "web", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: r["n_eval_docs"]
+        for r in REGISTRY["q_contamination_check"].build(spark, d).collect()
+    }
+    assert 5 in got and got[5] == 1
+    assert 6 not in got

@@ -329,3 +329,31 @@ def test_no_cartesian_product_in_any_query_plan(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin (not allowlisted)"
     assert not offenders, offenders
+
+
+def test_minmax_by_is_single_pass_no_window(spark, sf_dir):
+    """The argmax/argmin family must plan as ONE partial+final
+    aggregation pass — no Window over the fact table, no join-back.
+    Struct-valued max/min doesn't ride the HashAggregate unsafe-row
+    fast path, so Spark picks SortAggregate: still map-side partial
+    (state = one struct per group), still spillable — the shape that
+    survives any group size."""
+    p = plan_of(spark, sf_dir, "q_agg_minmax_by")
+    assert "Window" not in p and "Join" not in p
+    assert "partial_max" in p and "partial_min" in p
+    assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
+    assert p.count("Exchange (") == 1  # one shuffle of group partials
+
+
+def test_histogram_is_pure_partial_aggregate(spark, sf_dir):
+    """Fixed-bin histograms must be scan -> project -> partial agg ->
+    final agg: one shuffle of (group, bin) partials, nothing else."""
+    p = plan_of(spark, sf_dir, "q_histogram")
+    assert "Window" not in p and "Join" not in p
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange (") == 1
+
+
+def test_transitions_topk_is_bounded_heap(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_events_transitions")
+    assert "TakeOrderedAndProject" in p
