@@ -15,6 +15,7 @@ from .jobs import (  # noqa: F401
     running_totals_tws_stream,
     session_agg_stream,
     sliding_agg_stream,
+    transitions_stream,
     tumbling_agg_stream,
     versioned_stream_sink,
 )

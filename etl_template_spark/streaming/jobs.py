@@ -540,6 +540,82 @@ def retention_stream(
     )
 
 
+def transitions_stream(
+    events: DataFrame, watermark: str = "1 hour", idle_ttl: str | None = None
+) -> DataFrame:
+    """Streaming event-transition counts (q_events_transitions'
+    incremental twin): rows ``(prev_type, next_type, n_transitions)``,
+    updated as events arrive.
+
+    Same two-stage chaining as ``retention_stream``:
+
+    1. **Per-user pair emission** (``applyInPandasWithState``, append
+       output): state is the user's LAST (ts, event_type); each batch's
+       rows fold in (ts, event_id) order, emitting one (prev, next)
+       delta row per consecutive pair.  Every pair is emitted exactly
+       once, so the emission is append-only and the state is O(1) per
+       user — two fields, regardless of event volume.
+    2. **Exact rollup**: ``SUM(delta)`` per (prev, next) — a plain
+       mergeable aggregate; with stage 1 append-only the sum equals the
+       batch twin's pair counts.
+
+    Update/complete output mode only (stage-1 output carries no event
+    time — same contract as retention_stream).  Monotone approximation:
+    batches fold in event-time order, so an in-order backlog reproduces
+    the batch result exactly; a straggler older than the user's last
+    seen event cannot retro-insert between already-paired events (it
+    appends after, by fold order) — the standard incremental trade,
+    bounded by the input watermark.  ``idle_ttl`` evicts long-idle
+    users' last-event state (a returning user simply starts a fresh
+    chain — one transition at the boundary is lost, counts never
+    corrupt)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
+
+    def _update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, last_type = state.get if state.exists else (None, None)
+        prevs, nexts = [], []
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            for _, r in rows.sort_values(["ts", "event_id"]).iterrows():
+                if last_type is not None:
+                    prevs.append(last_type)
+                    nexts.append(r["event_type"])
+                last_ts, last_type = r["ts"], r["event_type"]
+        state.update((last_ts, last_type))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if prevs:
+            yield pd.DataFrame(
+                {"prev_type": prevs, "next_type": nexts, "delta": [1] * len(prevs)}
+            )
+
+    deltas = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="prev_type string, next_type string, delta int",
+            stateStructType="last_ts timestamp, last_type string",
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+    return deltas.groupBy("prev_type", "next_type").agg(
+        F.sum("delta").alias("n_transitions")
+    )
+
+
 def distinct_users_stream(
     events: DataFrame, width: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -597,3 +597,48 @@ def test_funnel_stream_with_idle_ttl_same_backlog_result(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_transitions_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming transition counts over a multi-batch in-order backlog
+    must equal the batch lag-window computation — including a pair that
+    SPANS the batch boundary (u1's batch-0 tail 'click' -> batch-1
+    'purchase'), which only works if the last-event state carries
+    across micro-batches."""
+    from etl_template_spark.streaming import transitions_stream
+
+    batches = [
+        [  # batch 0
+            (1, "2024-01-01 10:00:00", 1, "view"),
+            (2, "2024-01-01 10:05:00", 1, "click"),
+            (3, "2024-01-01 10:00:00", 2, "view"),
+        ],
+        [  # batch 1: u1 continues (cross-batch pair click->purchase)
+            (4, "2024-01-01 10:10:00", 1, "purchase"),
+            (5, "2024-01-01 10:06:00", 2, "view"),
+        ],
+    ]
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    for i, rows in enumerate(batches):
+        fp = os.path.join(path, f"part-{i}.json")
+        with open(fp, "w") as f:
+            for eid, ts, uid, et in rows:
+                f.write(json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": uid,
+                    "event_type": et, "value": 0.0, "props": "{}",
+                }) + "\n")
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    src = read_events_stream(spark, path, max_files_per_trigger=1)
+    out = transitions_stream(src)
+    run_available_now(out, "transitions_out", str(tmp_path / "ckpt"),
+                      output_mode="update")
+    latest = {}
+    for r in spark.table("transitions_out").collect():
+        latest[(r["prev_type"], r["next_type"])] = r["n_transitions"]
+    assert latest == {
+        ("view", "click"): 1,       # u1 batch 0
+        ("click", "purchase"): 1,   # u1 ACROSS batches
+        ("view", "view"): 1,        # u2
+    }
