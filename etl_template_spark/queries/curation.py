@@ -122,7 +122,7 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_tok AS (
       SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY doc_id, t)
     SELECT doc_id,
-           SUM(cnt)  AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
            COUNT(*)  AS n_types,
            round(COUNT(*) * 1.0 / SUM(cnt), 6) AS type_token_ratio,
            round(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_token_share
@@ -216,9 +216,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY source, lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
       FROM d)
-    SELECT source, lang, doc_id, n_tokens,
-           cum_before // {_SEQ_BUDGET}                            AS seq_idx,
-           cum_before % {_SEQ_BUDGET}                             AS seq_offset,
+    SELECT source, lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {_SEQ_BUDGET} AS BIGINT)            AS seq_idx,
+           CAST(cum_before % {_SEQ_BUDGET} AS BIGINT)             AS seq_offset,
            CAST(CASE WHEN n_tokens = 0 THEN 0
                 ELSE (cum_before + n_tokens - 1) // {_SEQ_BUDGET}
                      - cum_before // {_SEQ_BUDGET} + 1
@@ -246,7 +246,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select(
-        "source", "lang", "doc_id", F.size(tokens_col()).alias("n_tokens")
+        "source", "lang", "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("source", "lang")
