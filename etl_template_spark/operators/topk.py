@@ -18,6 +18,42 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_block_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str,
+    right_salt_col: str,
+    n_salts: int = 8,
+    keep_salt: bool = False,
+) -> DataFrame:
+    """Equi-join ``left`` × ``right`` on ``block_col`` with the right
+    side split into ``n_salts`` deterministic sub-blocks (xxhash64 of
+    ``right_salt_col`` — no RNG, stable across runs/engines) and the
+    left side replicated to every sub-block.
+
+    Row-identical to ``left.join(right, block_col)``: every right row
+    lives in exactly one sub-block, and every left row meets every
+    sub-block once.  What changes is the PLAN — per-task candidate
+    volume for a block drops from |left∩block|·|block| to
+    |left∩block|·|block|/n_salts, so one hot block key (a giant label,
+    LSH bucket, or IVF cell) can no longer serialize into a single
+    quadratic partition, and AQE can split the residue further.
+    Replication costs n_salts× the left rows; callers with a huge left
+    side should bound their blocks (LSH/IVF cells) instead.
+
+    ``keep_salt=True`` retains the ``_salt`` column for callers that
+    need per-sub-block post-processing (e.g. the partial top-k window
+    in :func:`knn_join_blocked`).
+    """
+    salt = F.pmod(F.xxhash64(F.col(right_salt_col)), F.lit(n_salts)).cast("int")
+    right_s = right.withColumn("_salt", salt)
+    left_s = left.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = left_s.join(right_s, [block_col, "_salt"])
+    return joined if keep_salt else joined.drop("_salt")
+
+
 def knn_join_blocked(
     probes: DataFrame,
     corpus: DataFrame,
@@ -55,12 +91,9 @@ def knn_join_blocked(
     (LSH/IVF cells) instead.  ``score`` / ``pair_filter`` are Column
     expressions over the joined frame's columns.
     """
-    salt = F.pmod(F.xxhash64(F.col(corpus_id_col)), F.lit(n_salts)).cast("int")
-    corpus_s = corpus.withColumn("_salt", salt)
-    probes_s = probes.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    pairs = salted_block_join(
+        probes, corpus, block_col, corpus_id_col, n_salts, keep_salt=True
     )
-    pairs = probes_s.join(corpus_s, [block_col, "_salt"])
     if pair_filter is not None:
         pairs = pairs.where(pair_filter)
     scored = pairs.withColumn(score_name, score)

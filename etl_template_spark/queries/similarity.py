@@ -202,7 +202,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     so each block pairs internally and blocks never cross — the standard
     blocked-dedup shape.  At corpus scale the blocking key is an LSH
     bucket (see q_sim_search_lsh) or a cluster id; the plan — equi-join,
-    per-pair JVM score, threshold filter — is identical."""
+    per-pair JVM score, threshold filter — is identical.
+
+    The pair enumeration routes through the SALTED block join
+    (operators/topk.py::salted_block_join): the right side of each block
+    splits into 8 deterministic sub-blocks so a hot label cannot
+    serialize into one quadratic partition; rows are identical to the
+    naive join (each (v1, v2) pair meets in exactly the sub-block that
+    holds v2 — tests/test_similarity.py proves identity on a
+    pathologically skewed fixture)."""
+    from ..operators.topk import salted_block_join
+
     e = load_table(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("label"), F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
@@ -212,7 +222,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = cosine_col(F.col("emb1"), F.col("emb2"))
     return (
-        a.join(b, "label")
+        salted_block_join(a, b, "label", "v2")
         .where(F.col("v1") < F.col("v2"))
         .select("v1", "v2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.4)

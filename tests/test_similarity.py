@@ -112,6 +112,42 @@ def test_salted_knn_identical_to_naive(spark, skewed_vectors):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_salted_pair_join_identical_to_naive(spark, skewed_vectors):
+    """q_dedup_embedding's pair enumeration (salted_block_join +
+    v1 < v2 + threshold) must return exactly the naive blocked join's
+    rows on the pathologically skewed fixture — salting changes the
+    plan, never the pair set."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.operators.topk import salted_block_join
+    from etl_template_spark.queries.similarity import cosine_col
+
+    e = skewed_vectors
+    a = e.select(
+        "label", F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
+    )
+    b = e.select(
+        "label", F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+    )
+    cos = cosine_col(F.col("emb1"), F.col("emb2"))
+    salted = (
+        salted_block_join(a, b, "label", "v2")
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+    naive = (
+        a.join(b, "label")
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+    srows = sorted(map(tuple, salted.collect()))
+    nrows = sorted(map(tuple, naive.collect()))
+    assert srows == nrows
+    assert len(srows) > 0  # threshold low enough that the test sees pairs
+
+
 def test_salted_knn_bounds_hot_block_fanout(spark, skewed_vectors):
     """The quadratic term per task is |probes∩block| * |(block, salt)|:
     every salted sub-block must be a strict fraction of the hot block,
