@@ -165,26 +165,72 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+_GK_DELTA = 0.001  # rank-slack for the bound check: 10x the 1/accuracy
+# rank-error guarantee of the sketch, expressed as a quantile offset
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_exact,
+           TRUE AS p50_in_bound,
+           TRUE AS p95_in_bound,
+           TRUE AS p99_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB
     substitute for exact per-group quantiles — the sketch merges
     associatively in the partial-agg phase, so the shuffle carries one
     bounded sketch per group instead of every value.  accuracy=10000
-    bounds rank error at 1/10000; tests/test_operators.py asserts the
-    estimates against the exact interpolated percentiles.
+    bounds rank error at 1/10000.
 
-    The three quantiles are projected as scalar double columns (not one
-    array<double>) so downstream row canonicalizers can sort/hash the
-    result."""
+    Estimates are engine-specific, so the estimate itself cannot
+    hash-match an oracle.  Instead the query is a SELF-CERTIFYING
+    harness: it emits the EXACT percentiles (operators/percentiles.py,
+    which the oracle reproduces via quantile_cont) alongside booleans
+    asserting the sketch estimate lands inside the exact quantile
+    bracket [q - {_GK_DELTA}, q + {_GK_DELTA}] — 10x the sketch's rank
+    guarantee.  The oracle expects TRUE: an out-of-bound estimate
+    hash-mismatches, making the error bound itself driver-checkable."""
+    from ..operators.percentiles import exact_group_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.element_at(pcts, 1).alias("p50"),
-        F.element_at(pcts, 2).alias("p95"),
-        F.element_at(pcts, 3).alias("p99"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.element_at(pcts, 1).alias("__ap50"),
+        F.element_at(pcts, 2).alias("__ap95"),
+        F.element_at(pcts, 3).alias("__ap99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    targets = []
+    for name, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        targets += [
+            (f"__{name}_exact", "l_extendedprice", q),
+            (f"__{name}_lo", "l_extendedprice", max(q - _GK_DELTA, 0.0)),
+            (f"__{name}_hi", "l_extendedprice", min(q + _GK_DELTA, 1.0)),
+        ]
+    exact = exact_group_percentiles(li, "l_returnflag", targets)
+    joined = approx.join(exact, "l_returnflag")
+    cols = [F.col("l_returnflag"), F.col("n_rows")]
+    for name in ("p50", "p95", "p99"):
+        cols.append(F.round(f"__{name}_exact", 6).alias(f"{name}_exact"))
+    for name in ("p50", "p95", "p99"):
+        cols.append(
+            (
+                (F.col(f"__a{name}") >= F.col(f"__{name}_lo"))
+                & (F.col(f"__a{name}") <= F.col(f"__{name}_hi"))
+            ).alias(f"{name}_in_bound")
+        )
+    return joined.select(*cols)
 
 
 @register(

@@ -168,18 +168,31 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sink_versioned", oracle=None, tags=("sink",))
+@register(
+    "q_sink_versioned",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+    tags=("sink",),
+)
 def q_sink_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned sink + latest-version read-back (R3/R7, tools.go:343-444).
 
     Writes ``supplier`` twice under ``output/<step>/v=N`` (atomic mkdir
     claim, fixing the reference's list-then-increment race) and returns
-    the latest read-back; rows-only check: content equals the source."""
+    the latest read-back.  The oracle reads the SOURCE parquet — a hash
+    match proves the full sink → latest-resolution → scan round-trip is
+    lossless AND that v=2 (the full table) superseded the filtered v=1;
+    a stale latest-version resolution would surface as missing rows."""
     root = tempfile.mkdtemp(prefix="etl_versioned_")
     sup = load_table(spark, sf_dir, "supplier")
     write_versioned(sup.where(F.col("s_suppkey") % 2 == 0), root, "suppliers")
     write_versioned(sup, root, "suppliers")  # v=2 supersedes
-    return read_versioned(spark, root, "suppliers")
+    return read_versioned(spark, root, "suppliers").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
 
 
 @register(

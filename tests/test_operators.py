@@ -290,16 +290,19 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
-    """q_agg_approx_percentile is rows-only for the harness; here the
-    GK-sketch estimates must land within 1% relative error of the exact
-    percentiles at every probed quantile."""
+    """q_agg_approx_percentile is a self-certifying harness: every
+    *_in_bound boolean must hold (GK estimate inside the exact quantile
+    bracket), and the emitted exact percentiles must agree with Spark's
+    built-in exact ``percentile`` aggregate to rounding precision."""
     from etl_template_spark.io import load_table
     from etl_template_spark.queries import REGISTRY
 
-    approx = {
-        r["l_returnflag"]: [r["p50"], r["p95"], r["p99"]]
-        for r in REGISTRY["q_agg_approx_percentile"].build(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["q_agg_approx_percentile"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for name in ("p50", "p95", "p99"):
+            assert r[f"{name}_in_bound"] is True, (name, r)
+
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r["l_returnflag"]: r["pcts"]
@@ -309,10 +312,11 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         ).alias("pcts"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, ests in approx.items():
-        for est, ex in zip(ests, exact[k]):
-            assert abs(est - ex) <= 0.01 * ex + 1e-9, (k, est, ex)
+    assert {r["l_returnflag"] for r in rows} == set(exact)
+    for r in rows:
+        for name, ex in zip(("p50", "p95", "p99"), exact[r["l_returnflag"]]):
+            got = r[f"{name}_exact"]
+            assert abs(got - ex) <= 1e-6 + 1e-6 * abs(ex), (name, got, ex)
 
 
 def test_range_join_binned_edges(spark):
