@@ -47,6 +47,19 @@ HEADLINE = [
 ]
 
 
+def _steal_seconds() -> float | None:
+    """Cumulative CPU-steal seconds across all cores (/proc/stat field 8,
+    USER_HZ ticks).  Deltas around a bench pass attribute slow passes to
+    the HOST (hypervisor stealing cycles) instead of the plan — turning
+    'this round is +20%, probably noise' into recorded data."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
@@ -72,30 +85,55 @@ def main() -> int:
     # regression.  clearCache between passes so internally-persisted
     # frames (fuzzy/ngram dedup) never distort a later pass's memory
     # budget.
+    #
+    # Protocol note (r3→r4 comparability): release_tracked/clearCache
+    # per pass landed in r4.  Before that, builder-persisted frames
+    # (e.g. q_sim_search_pq's subvectors+codebooks) stayed warm across
+    # passes, so r3 recorded a warm-cache rebuild for such queries;
+    # r4+ records the honest cold cost.  The PQ 1.73→2.4 s step between
+    # those rounds is this measurement change, not a plan regression —
+    # confirmed on a near-zero-steal host with three consistent cold
+    # passes (see steal/pass_detail fields below).
     timings: dict[str, float] = {}
+    pass_detail: dict[str, dict[str, list[float]]] = {}
+    run_steal0 = _steal_seconds()
     for name in HEADLINE:
         q = REGISTRY[name]
-        passes = []
+        passes: list[float] = []
+        steals: list[float] = []
         for _ in range(3):
+            s0 = _steal_seconds()
             t0 = time.perf_counter()
             q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
             passes.append(time.perf_counter() - t0)
+            s1 = _steal_seconds()
+            steals.append(
+                round(s1 - s0, 3) if s0 is not None and s1 is not None else -1.0
+            )
             release_tracked()  # drop builder-persisted intermediates
             spark.catalog.clearCache()
         timings[name] = round(sorted(passes)[1], 3)
+        pass_detail[name] = {
+            "passes": [round(p, 3) for p in passes],
+            "steal": steals,
+        }
 
+    run_steal1 = _steal_seconds()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "steal_sec": (
+            round(run_steal1 - run_steal0, 3)
+            if run_steal0 is not None and run_steal1 is not None
+            else None
+        ),
+        "pass_detail": pass_detail,
+    }
+    print(json.dumps(out))
     return 0
 
 
