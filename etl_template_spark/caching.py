@@ -22,6 +22,15 @@ module gives that lifetime an owner:
 Strong references are intentional: a garbage-collected Python DataFrame
 handle does NOT unpersist the JVM blocks, so holding the handle until
 ``release_tracked`` is the only way to free deterministically.
+
+Scope caveat: the registry is PROCESS-GLOBAL with no thread scoping.
+That fits the current callers (bench loop, correctness harness,
+sequential pipeline steps — all single-threaded build→materialize→
+release cycles).  Concurrent builders sharing the process (e.g. a
+hypothetical ``Pipeline.run`` with parallel steps) would release each
+other's intermediates — harmless for correctness (lazy plans recompute)
+but a silent performance cliff; key tracking per-thread/session before
+adopting parallel callers.
 """
 
 from __future__ import annotations

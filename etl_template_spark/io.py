@@ -105,7 +105,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             df = spark.read.parquet(path)
             df.schema  # force analysis so an illegal nanos type fails HERE
-        except Exception:
+        except Exception as exc:
+            # Only the illegal-nanos AnalysisException gets the legacy
+            # retry; anything else (missing file, corrupt footer,
+            # permissions) re-raises as the ORIGINAL error instead of a
+            # confusing second failure under the legacy conf.
+            msg = str(exc)
+            if (
+                "PARQUET_TYPE_ILLEGAL" not in msg
+                and "illegal parquet type" not in msg.lower()
+            ):
+                raise
             # TIMESTAMP(NANOS) fixture: rescan with the legacy conf,
             # scoped to this one read — Spark resolves the parquet schema
             # at DataFrame *definition* time, so the conf is restored
@@ -353,17 +363,25 @@ def register_versioned_table(
     will consume.  The table name defaults to ``<step>_v<N>`` so each
     immutable version carries its own immutable stats; re-registering
     the same version is idempotent (drop + recreate + re-analyze).
-    Returns the table name."""
+    Naming: Spark's session catalog only accepts ``[A-Za-z0-9_]``
+    table names, so the default name sanitizes every other character in
+    the step name to ``_`` (a hyphenated step registers fine); the name
+    is additionally backtick-quoted into each statement rather than
+    interpolated raw.  Registration lands in the session's current
+    database, so concurrent pipelines sharing a metastore should pass
+    an app-scoped ``table`` (or set their own database) to avoid name
+    collisions.  Returns the (unquoted) table name."""
     if version is None:
         version = latest_version(root, step)
         if version is None:
             raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
     path = os.path.join(_step_dir(root, step), f"v={version}")
-    table = table or f"{step}_v{version}"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.catalog.createTable(table, path=path, source="parquet")
+    table = table or re.sub(r"[^A-Za-z0-9_]", "_", f"{step}_v{version}")
+    quoted = "`" + table.replace("`", "``") + "`"
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+    spark.catalog.createTable(quoted, path=path, source="parquet")
     if analyze:
-        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(f"ANALYZE TABLE {quoted} COMPUTE STATISTICS FOR ALL COLUMNS")
     return table
 
 

@@ -38,20 +38,31 @@ def exact_group_percentiles(
     ``targets``: (output_alias, measure_column, fraction in [0, 1]).
     Output columns are doubles, un-rounded (callers round at their
     comparison boundary).
+
+    NULL semantics (matching DuckDB ``quantile_cont`` / numpy over
+    dropped NaNs): NULL measure values are EXCLUDED — filtered before
+    ranking and absent from each column's count — so they neither shift
+    interpolated positions nor sort first; a group whose measure is
+    entirely NULL yields NULL for that column's targets.  Rows with a
+    NULL group key are excluded entirely (SQL GROUP BY would keep a
+    NULL group; callers needing that should coalesce keys to a
+    sentinel first).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    df = df.na.drop(subset=keys)
     by_col: dict[str, list[tuple[str, float]]] = {}
     for alias, col, p in targets:
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentile fraction out of range: {p}")
         by_col.setdefault(col, []).append((alias, p))
 
-    out = counts.select(*keys)
+    out = df.select(*keys).distinct()
     for col, col_targets in by_col.items():
+        vals = df.select(*keys, col).where(F.col(col).isNotNull())
+        counts = vals.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
         w = Window.partitionBy(*keys).orderBy(F.col(col))
         ranked = (
-            df.select(*keys, col)
+            vals
             .withColumn("__rn", F.row_number().over(w))
             .join(F.broadcast(counts), keys)
         )
@@ -75,6 +86,9 @@ def exact_group_percentiles(
                 F.max(pos[a] - F.floor(pos[a])).alias(f"__{a}_frac"),
             ]
         interp = ranked.where(keep).groupBy(*keys).agg(*aggs)
+        # left join: a group whose measure is entirely NULL has no
+        # ranked rows — it stays in the output with NULL targets,
+        # matching quantile_cont over an all-NULL group
         out = out.join(
             interp.select(
                 *keys,
@@ -88,5 +102,6 @@ def exact_group_percentiles(
                 ],
             ),
             keys,
+            "left",
         )
     return out.select(*keys, *[a for a, _, _ in targets])

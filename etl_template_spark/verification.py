@@ -152,6 +152,25 @@ def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
     clean (round-start discipline is then the only guard)."""
     import subprocess
 
+    # First establish that a comparison is even possible: a resolvable
+    # HEAD in root's repository.  Without this guard, "git diff HEAD"
+    # outside a repo / on an unborn HEAD exits 1 — the SAME code as a
+    # genuine dirty diff — and no returncode policy can tell them
+    # apart.  With it, the diff's returncode alone is unambiguous.
+    try:
+        head_ok = (
+            subprocess.run(
+                ["git", "-C", root, "rev-parse", "--verify", "-q", "HEAD"],
+                capture_output=True,
+                timeout=30,
+            ).returncode
+            == 0
+        )
+    except Exception:
+        head_ok = False
+    if not head_ok:
+        return set(paths)  # no history to check → trust round-start discipline
+
     clean: set[str] = set()
     for path in sorted(paths):
         rel = os.path.relpath(path, root)
@@ -161,12 +180,14 @@ def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
                 capture_output=True,
                 timeout=30,
             )
-            # exit 0 = identical to HEAD; exit 1 with EMPTY stderr =
-            # genuinely differs (dirty).  Any stderr output means git
-            # could not compare at all (not a repo, unborn HEAD, path
-            # outside the work tree) → no history to check → trust the
-            # caller's round-start discipline.
-            if proc.returncode == 0 or proc.stderr:
+            # Returncode ALONE decides: 0 = identical to HEAD, 1 =
+            # genuinely differs (dirty), >=2 = git failure → trust the
+            # caller's round-start discipline.  stderr is deliberately
+            # ignored: git emits warnings (CRLF, dubious ownership,
+            # permissions) alongside a real exit-1 dirty diff, and
+            # treating those as "could not compare" would stamp edited
+            # modules clean.
+            if proc.returncode != 1:
                 clean.add(path)
         except Exception:
             clean.add(path)  # no git binary → trust the caller

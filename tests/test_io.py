@@ -435,6 +435,24 @@ def test_register_versioned_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_register_versioned_table_quotes_non_identifier_names(
+    spark, sf_dir, tmp_path
+):
+    """Step names that are not bare SQL identifiers (hyphens) must
+    register cleanly — the default table name sanitizes them to the
+    catalog's [A-Za-z0-9_] alphabet, and the name is backtick-quoted
+    into DROP/ANALYZE rather than interpolated raw."""
+    from etl_template_spark.io import register_versioned_table, write_versioned
+
+    df = load_table(spark, sf_dir, "supplier")
+    root = str(tmp_path / "out")
+    version, _ = write_versioned(df, root, "clean-suppliers")
+    table = register_versioned_table(spark, root, "clean-suppliers")
+    assert table == f"clean_suppliers_v{version}"
+    assert spark.sql(f"SELECT COUNT(*) AS n FROM `{table}`").collect()[0]["n"] == df.count()
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+
+
 def test_load_table_events_handles_both_timestamp_generations(spark, tmp_path):
     """Driver fixtures have shipped events.ts as TIMESTAMP(NANOS) (r1-3)
     and TIMESTAMP(MICROS) (r4+); load_table must normalize BOTH to the

@@ -235,6 +235,25 @@ def test_exact_group_percentiles_match_numpy_linear(spark, groups, fractions):
             assert math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-9), (gi, a, b)
 
 
+def test_exact_group_percentiles_null_semantics(spark):
+    """NULL measures are excluded (quantile_cont semantics): they must
+    not shift interpolated positions or sort first; an all-NULL group
+    yields NULL; rows with a NULL group key are excluded (documented)."""
+    from etl_template_spark.operators.percentiles import exact_group_percentiles
+
+    rows = [
+        ("a", 1.0), ("a", None), ("a", 3.0),   # median over {1,3} = 2
+        ("b", None), ("b", None),              # all-NULL group -> NULL
+        (None, 5.0),                           # NULL key -> excluded
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: r["p50"]
+        for r in exact_group_percentiles(df, "g", [("p50", "x", 0.5)]).collect()
+    }
+    assert got == {"a": 2.0, "b": None}
+
+
 @given(
     vecs=st.lists(
         st.tuples(
