@@ -87,9 +87,18 @@ def _correctness_rows(root: str) -> dict[int, dict]:
 
 
 def _row_ok(row: object) -> bool:
-    """A row counts as successfully recorded when it ran to completion:
-    err is null (oracle-checked) or 'no_oracle' (rows-only by design)."""
-    return isinstance(row, dict) and row.get("err") in (None, "no_oracle")
+    """A row counts as successfully recorded only when it ran to
+    completion (err is null for oracle-checked, 'no_oracle' for
+    rows-only by design) AND no comparison explicitly failed: a row
+    with hash_match/rows_match/schema_match == false is a recorded
+    FAILURE — it must re-enter the window front (the r04
+    q_token_type_ratio/q_pack_sequences oracle-type bugs would
+    otherwise have counted as validly recorded passes)."""
+    if not isinstance(row, dict) or row.get("err") not in (None, "no_oracle"):
+        return False
+    return not any(
+        row.get(k) is False for k in ("hash_match", "rows_match", "schema_match")
+    )
 
 
 def latest_recorded_round(root: str | None = None) -> dict[str, int]:

@@ -169,13 +169,18 @@ def test_crashed_row_does_not_count_as_recorded(tmp_path):
         "q_filter": {"err": "boom"},
         "q_project": {"err": "no_oracle"},
         "q_distinct": {"err": None},
+        # ran to completion but the comparison FAILED — the r04
+        # oracle-type bugs shipped exactly this row shape; it must not
+        # count as a valid recording
+        "q_union": {"err": None, "rows_match": True, "hash_match": False},
     }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows))
     latest = verification.latest_recorded_round(root)
     assert "q_filter" not in latest
+    assert "q_union" not in latest
     assert latest == {"q_project": 1, "q_distinct": 1}
     assert verification.attempted_names(root) == {
-        "q_filter", "q_project", "q_distinct",
+        "q_filter", "q_project", "q_distinct", "q_union",
     }
 
 
