@@ -24,12 +24,16 @@ from . import (  # noqa: F401,E402
     streaming_batch,
     multimodal_q,
     curation,
-    # extensions MUST stay the last import: new queries must register
-    # BEHIND every earlier never-recorded query so they append to the
-    # correctness window instead of displacing older entries out of it
+    # newest modules stay LAST: new queries must register BEHIND every
+    # earlier never-recorded query so they append to the correctness
+    # window instead of displacing older entries out of it
     # (__spark_entry__._exposure_order sorts fresh queries in registry
     # order)
     extensions,
+    sampling,
+    lateral_q,
+    recluster,
+    crossencoder,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

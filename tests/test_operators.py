@@ -552,3 +552,30 @@ def test_contamination_check_flags_planted_overlap(spark, tmp_path):
     }
     assert 5 in got and got[5] == 1
     assert 6 not in got
+
+
+def test_cross_encoder_scorer_injection_and_carry(spark):
+    """score_pairs plumbing: non-text columns carry through untouched,
+    the injected scorer's values land in the score column, and the
+    Arrow round-trip preserves row count across batch boundaries."""
+    from etl_template_spark.operators.crossenc import score_pairs, stub_scorer
+
+    rows = [(i, i + 100, "a" * (i + 1), "b" * (2 * i + 1)) for i in range(257)]
+    pairs = spark.createDataFrame(
+        rows, "a_id long, b_id long, text_a string, text_b string"
+    )
+
+    def half(a, b):
+        import numpy as np
+        return np.full(len(a), 0.5)
+
+    got = score_pairs(pairs, scorer=half).collect()
+    assert len(got) == 257
+    assert set(got[0].asDict()) == {"a_id", "b_id", "score"}
+    assert all(r["score"] == 0.5 for r in got)
+    assert sorted(r["a_id"] for r in got) == list(range(257))
+
+    # default stub: len-ratio min/max, exactly as the oracle states it
+    import pandas as pd
+    s = stub_scorer(pd.Series(["aaa"]), pd.Series(["aaaaaa"]))
+    assert float(s[0]) == 0.5

@@ -357,3 +357,39 @@ def test_histogram_is_pure_partial_aggregate(spark, sf_dir):
 def test_transitions_topk_is_bounded_heap(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_events_transitions")
     assert "TakeOrderedAndProject" in p
+
+
+def test_stratified_sample_rank_limit_pushed(spark, sf_dir):
+    """Exact-allocation stratified sampling must keep per-stratum state
+    bounded at k (WindowGroupLimit), and its only shuffle is the
+    stratum-key exchange for the window."""
+    p = plan_of(spark, sf_dir, "q_sample_stratified")
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange (") == 1
+
+
+def test_reservoir_sample_is_bounded_heap(spark, sf_dir):
+    """The fixed-size corpus sample must plan TakeOrderedAndProject
+    (per-partition k-heaps + driver merge), never a global sort."""
+    p = plan_of(spark, sf_dir, "q_sample_reservoir")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange (" not in p  # no shuffle at all
+
+
+def test_weighted_sample_broadcasts_mixture_spec(spark, sf_dir):
+    """The mixture spec must broadcast onto the corpus scan — the
+    corpus side never shuffles for the join."""
+    p = plan_of(spark, sf_dir, "q_sample_weighted")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY ... LIMIT k) subquery must
+    decorrelate into a windowed top-k joined to the outer table —
+    bounded state under WindowGroupLimit, no nested-loop re-execution
+    per outer row."""
+    p = plan_of(spark, sf_dir, "q_lateral_topk")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
