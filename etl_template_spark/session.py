@@ -57,6 +57,24 @@ def get_spark(
         # retained: creation side must be small enough to aggregate
         # cheaply, probe side big enough to be worth it.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # RocksDB state store (SURVEY §4.3): streaming state spills to
+        # local disk with bounded executor memory instead of living
+        # whole in the HDFS-backed store's heap map — the difference
+        # between a job and an OOM once session/dedup/retention state
+        # reaches 100 TB-scale keyspaces.  Changelog checkpointing
+        # uploads per-batch deltas, not full snapshots.  Inert for
+        # batch queries; streaming/jobs.py::ROCKSDB_STATE_CONF carries
+        # the same pair for sessions the engine did not create.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -76,6 +94,13 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # per-query streaming conf, read at query start — safe to set
+        # at runtime and required for bounded-memory streaming state
+        (
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
     ):
         try:
             if spark.conf.get(key, None) != value:

@@ -642,3 +642,59 @@ def test_transitions_stream_matches_batch_twin(spark, tmp_path):
         ("click", "purchase"): 1,   # u1 ACROSS batches
         ("view", "view"): 1,        # u2
     }
+
+
+def test_retention_stream_idle_ttl_evicts_state_rows(spark, tmp_path):
+    """idle_ttl must actually SHRINK the state store, not merely re-arm
+    timers: 20 users land in one micro-batch (per-user state rows reach
+    20 in the applyInPandasWithState operator), then all go idle past
+    the 5-second TTL — the timeout branch drops their state and the
+    operator's numRowsTotal falls back toward 0 while the downstream
+    SUM rollup keeps its (tiny) per-(cohort, offset) rows.  Runs under
+    the RocksDB state store provider (session default)."""
+    import time
+
+    from etl_template_spark.streaming import retention_stream
+
+    path = str(tmp_path / "ev")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for uid in range(20):
+            f.write(json.dumps({
+                "event_id": uid, "ts": "2024-01-01 10:00:00", "user_id": uid,
+                "event_type": "view", "value": 0.0, "props": "{}",
+            }) + "\n")
+
+    out = retention_stream(read_events_stream(spark, path), idle_ttl="5 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("retention_evict_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    peak = 0
+    shrunk_to = None
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if q.exception():
+                raise q.exception()
+            prog = q.lastProgress
+            for op in (prog or {}).get("stateOperators") or []:
+                name = op.get("operatorName") or ""
+                if "InPandasWithState" not in name:
+                    continue
+                n = op.get("numRowsTotal", 0)
+                peak = max(peak, n)
+                if peak >= 20 and n < peak:
+                    shrunk_to = n
+            if shrunk_to is not None and shrunk_to == 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert peak >= 20, f"state never filled (peak={peak})"
+    assert shrunk_to == 0, (
+        f"idle users were not evicted (peak={peak}, after-TTL={shrunk_to})"
+    )
