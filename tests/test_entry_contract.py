@@ -40,6 +40,50 @@ ROUND3_WINDOW = [
 ]
 
 
+# The intended round-5 correctness window, pinned at the end of the
+# round-5 build: the two r04 hash-FAIL fixes lead, then the six new
+# phase-7 queries, then the invalidated modules (scans/aggregates/
+# similarity/curation — all edited this round) stalest-recording-first,
+# then the head of the valid r2 tail.
+ROUND5_WINDOW = [
+    "q_token_type_ratio", "q_pack_sequences", "q_sample_weighted", "q_sample_stratified",
+    "q_sample_reservoir", "q_lateral_topk", "q_recluster_zorder", "q_cross_encoder_score",
+    "q_scan_parquet", "q_scan_jsonl", "q_scan_csv", "q_scan_orc",
+    "q_sink_partitioned", "q_sink_versioned", "q_scan_pyds", "q_scan_text",
+    "q_compact_versioned", "q_sink_zorder", "q_delete_versioned", "q_scan_versioned_merged",
+    "q_agg_group", "q_agg_global", "q_agg_distinct", "q_agg_having",
+    "q_agg_approx", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_agg_pivot", "q_unpivot", "q_agg_sketch_rollup", "q_agg_approx_percentile",
+    "q_sim_search", "q_sim_search_lsh", "q_dedup_embedding", "q_knn_join_blocked",
+    "q_sim_search_ivf", "q_sim_search_pq", "q_pii_scrub", "q_ngram_freq",
+    "q_chunk_documents", "q_sink_hilbert", "q_project", "q_filter",
+    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
+    "q_join_semi", "q_join_anti",
+]
+
+
+def test_round5_window_matches_prediction():
+    """Window-drift tripwire (r4 VERDICT item 8).  BEFORE the round-5
+    recording lands, the live exposure order must start with exactly the
+    pinned prediction; AFTER CORRECTNESS_r05.json exists, the names the
+    driver actually recorded must be a prefix of that prediction — if
+    they aren't, the window drifted between pinning and recording and
+    this fails the round it happened, not two rounds later."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r05 = os.path.join(repo, "CORRECTNESS_r05.json")
+    if not os.path.exists(r05):
+        assert list(entry_mod.queries())[:50] == ROUND5_WINDOW
+        return
+    with open(r05) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND5_WINDOW[: len(recorded)]), (
+        "r05 recorded a different window than the round-5 build predicted"
+    )
+
+
 def test_exposure_covers_registry_exactly():
     qs = entry_mod.queries()
     assert set(qs) == set(REGISTRY)
