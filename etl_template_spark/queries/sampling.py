@@ -193,3 +193,153 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank_key", "doc_id")
         .limit(_RESERVOIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_cluster — MinHash cluster sampling (one representative per
+# near-dup cluster, cluster size as training weight)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_sample_oracle() -> str:
+    # Near-dup clusters exactly as q_dedup_cluster's oracle (recursive
+    # CTE transitive closure over the verified MinHash pair graph), then
+    # one representative per cluster by (n_chars DESC, doc_id) with the
+    # cluster size carried as a weight; docs in no cluster are their own
+    # singleton cluster.
+    from .llm_text import _SHINGLES_SQL
+
+    return """
+    WITH RECURSIVE sh AS (%s),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id d1, b.doc_id d2, COUNT(*) c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT d1, d2 FROM common
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5),
+    edges AS (SELECT d1 s, d2 t FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.s, r.lbl FROM edges e JOIN reach r ON r.id = e.t),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+      FROM lab)
+    SELECT cluster_id, doc_id AS rep_doc_id, CAST(sz AS BIGINT) AS cluster_size
+    FROM r WHERE rn = 1
+    ORDER BY cluster_id
+    """ % _SHINGLES_SQL
+
+
+@register(
+    "q_sample_cluster",
+    oracle=_cluster_sample_oracle(),
+    tags=("llm", "dedup", "sampling"),
+)
+def q_sample_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash cluster sampling (SURVEY §7): collapse each near-dup
+    CLUSTER to its best representative (longest text, doc_id tiebreak)
+    and carry the cluster size out as a training weight — the
+    dedup-aware way to downsample a crawl without losing the frequency
+    signal (a page duplicated 400× is evidence, not noise; the weight
+    preserves it after the copies are gone).
+
+    Composition, not re-implementation: near-dup pairs come from the
+    registered fuzzy-dedup builder (MinHash → banded LSH → verified
+    Jaccard), components from operators/cluster.py's iterative
+    min-label propagation (O(diameter) equi-join+agg rounds), and the
+    representative pick is one WindowGroupLimit-bounded rank.  The
+    oracle restates the whole chain declaratively (recursive-CTE
+    closure), so engine loop and SQL fixpoint must agree exactly."""
+    from ..operators.cluster import connected_components
+    from .llm_text import q_dedup_fuzzy
+
+    pairs = q_dedup_fuzzy(spark, sf_dir)
+    comp = connected_components(pairs, src="d1", dst="d2")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = d.join(
+        comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        lab.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_budget — char-budget selection (keep best docs under a byte/
+# token budget per source)
+# ---------------------------------------------------------------------------
+
+_BUDGET_FRAC = 0.6  # keep the top docs covering 60% of each source's chars
+
+
+@register(
+    "q_sample_budget",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, doc_id, n_chars,
+             COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents)
+    SELECT source, doc_id, n_chars, CAST(cum_before AS BIGINT) AS cum_before
+    FROM c
+    WHERE cum_before < {_BUDGET_FRAC} * total
+    ORDER BY source, doc_id
+    """,
+    tags=("llm", "sampling", "curation"),
+)
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted selection: per source, keep the longest documents until
+    they cover {_BUDGET_FRAC:.0%} of that source's total characters —
+    the 'fill the training budget with the highest-value docs first'
+    shape (swap the ORDER BY for any quality score; the plan is
+    unchanged).  The predicate uses the cumulative mass BEFORE each doc,
+    so the first document of a source is always kept even if it alone
+    exceeds the budget.
+
+    One windowed prefix sum per source partition — sources fill in
+    parallel, the serial portion is one source's metadata, and both
+    window sums are CAST to BIGINT before comparison so the oracle's
+    HUGEINT arithmetic canonicalizes identically (the r04 lesson,
+    enforced by the type-kind guard)."""
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("source")
+    return (
+        d.withColumn("cum_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+        .withColumn("total", F.sum("n_chars").over(wt))
+        .where(F.col("cum_before") < F.lit(_BUDGET_FRAC) * F.col("total"))
+        .select("source", "doc_id", "n_chars", F.col("cum_before").cast("bigint").alias("cum_before"))
+    )

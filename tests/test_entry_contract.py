@@ -47,18 +47,18 @@ ROUND3_WINDOW = [
 # then the head of the valid r2 tail.
 ROUND5_WINDOW = [
     "q_token_type_ratio", "q_pack_sequences", "q_sample_weighted", "q_sample_stratified",
-    "q_sample_reservoir", "q_lateral_topk", "q_recluster_zorder", "q_cross_encoder_score",
-    "q_scan_parquet", "q_scan_jsonl", "q_scan_csv", "q_scan_orc",
-    "q_sink_partitioned", "q_sink_versioned", "q_scan_pyds", "q_scan_text",
-    "q_compact_versioned", "q_sink_zorder", "q_delete_versioned", "q_scan_versioned_merged",
-    "q_agg_group", "q_agg_global", "q_agg_distinct", "q_agg_having",
-    "q_agg_approx", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_agg_pivot", "q_unpivot", "q_agg_sketch_rollup", "q_agg_approx_percentile",
-    "q_sim_search", "q_sim_search_lsh", "q_dedup_embedding", "q_knn_join_blocked",
-    "q_sim_search_ivf", "q_sim_search_pq", "q_pii_scrub", "q_ngram_freq",
-    "q_chunk_documents", "q_sink_hilbert", "q_project", "q_filter",
-    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
-    "q_join_semi", "q_join_anti",
+    "q_sample_reservoir", "q_sample_cluster", "q_sample_budget", "q_lateral_topk",
+    "q_recluster_zorder", "q_cross_encoder_score", "q_scan_parquet", "q_scan_jsonl",
+    "q_scan_csv", "q_scan_orc", "q_sink_partitioned", "q_sink_versioned",
+    "q_scan_pyds", "q_scan_text", "q_compact_versioned", "q_sink_zorder",
+    "q_delete_versioned", "q_scan_versioned_merged", "q_agg_group", "q_agg_global",
+    "q_agg_distinct", "q_agg_having", "q_agg_approx", "q_rollup",
+    "q_cube", "q_grouping_sets", "q_agg_pivot", "q_unpivot",
+    "q_agg_sketch_rollup", "q_agg_approx_percentile", "q_sim_search", "q_sim_search_lsh",
+    "q_dedup_embedding", "q_knn_join_blocked", "q_sim_search_ivf", "q_sim_search_pq",
+    "q_pii_scrub", "q_ngram_freq", "q_chunk_documents", "q_sink_hilbert",
+    "q_project", "q_filter", "q_join_inner", "q_join_left",
+    "q_join_right", "q_join_full",
 ]
 
 
