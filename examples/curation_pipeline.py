@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Training-data curation end-to-end on the Pipeline layer: the
+LLM-pipeline operator families (SURVEY.md §2B north star) composed into
+one resumable, versioned, fail-fast run — the shape a real pretraining
+data refresh takes.
+
+    step      operator family                     plan shape
+    ----      ---------------                     ----------
+    Scrub     PII redaction (q_pii_scrub)         pure projection, zero shuffle
+    Sample    weighted mixture (q_sample_weighted) broadcast spec + hash filter
+    Pack      sequence packing (q_pack_sequences)  per-domain windowed prefix sum
+
+Every step writes an immutable version under ``output/<step>/v=N`` with
+the atomic claim, so a crashed run resumes at step granularity
+(``resume=True``) and auditors can diff any two refreshes.  The
+manifest records per-step row counts via observed metrics — no second
+scan of written data.
+
+Run:  python examples/curation_pipeline.py [sf_dir] [data_root]
+Also executed in CI (tests/test_pipeline.py::test_curation_example_runs)
+so this document cannot rot.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from etl_template_spark import Pipeline, get_spark
+from etl_template_spark.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+SEQ_BUDGET = 512
+
+
+def scrub(spark: SparkSession, _: DataFrame | None, sf_dir: str = SF_DIR) -> DataFrame:
+    """PII-redact the raw corpus (regex projection — codegen'd, no
+    shuffle; same expressions as the registered q_pii_scrub)."""
+    from etl_template_spark.queries.curation import pii_scrub_cols
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = pii_scrub_cols("text")
+    return d.select(
+        "doc_id", "source", "lang",
+        cols["scrubbed"].alias("text"),
+        (cols["n_emails"] + cols["n_ips"] + cols["n_phones"]).alias("n_pii"),
+    )
+
+
+def sample(spark: SparkSession, scrubbed: DataFrame) -> DataFrame:
+    """Deterministic weighted mixture over the scrubbed corpus: the
+    per-source rate spec broadcasts onto the scan; acceptance is a pure
+    hash-bucket predicate (q_sample_weighted's discipline), so re-runs
+    and backfills keep identical rows."""
+    from etl_template_spark.queries.sampling import hash_bucket
+
+    src_num = F.coalesce(
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)
+    )
+    spec = (
+        scrubbed.select("source").distinct()
+        .select("source", F.least(F.lit(1000), F.lit(100) + F.lit(45) * src_num)
+                .cast("int").alias("rate"))
+    )
+    return (
+        scrubbed.withColumn("bucket", hash_bucket(F.col("doc_id"), 1000).cast("int"))
+        .join(F.broadcast(spec), "source")
+        .where(F.col("bucket") < F.col("rate"))
+        .drop("bucket", "rate")
+    )
+
+
+def pack(spark: SparkSession, sampled: DataFrame) -> DataFrame:
+    """Lay the sampled documents end-to-end per (source, lang) packing
+    domain and compute each doc's training-sequence placement (the
+    q_pack_sequences shape: one windowed prefix sum per domain)."""
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = sampled.select("source", "lang", "doc_id", n_tokens.alias("n_tokens"))
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "source", "lang", "doc_id", "n_tokens",
+        F.floor(cum / SEQ_BUDGET).alias("seq_idx"),
+        (cum % SEQ_BUDGET).alias("seq_offset"),
+    )
+
+
+def build_pipeline(data_root: str, sf_dir: str = SF_DIR) -> Pipeline:
+    return (
+        Pipeline("curation", data_root)
+        .step("Scrub", lambda s, df: scrub(s, df, sf_dir))
+        .step("Sample", sample, input_step="Scrub")
+        .step("Pack", pack, input_step="Sample", register_stats=True)
+    )
+
+
+def run(data_root: str | None = None, sf_dir: str = SF_DIR):
+    data_root = data_root or tempfile.mkdtemp(prefix="curation_")
+    spark = get_spark(app_name="curation-example")
+    p = build_pipeline(data_root, sf_dir)
+    result = p.run(spark)
+    print(f"status={result.overall_status} root={data_root}")
+    for name, st in result.steps.items():
+        print(f"  {name}: {st.status} rows={st.rows_out} v={st.output_version}")
+    return result
+
+
+if __name__ == "__main__":
+    run(
+        sys.argv[2] if len(sys.argv) > 2 else None,
+        sys.argv[1] if len(sys.argv) > 1 else SF_DIR,
+    )

@@ -337,3 +337,42 @@ def test_streaming_ingest_example_runs(spark, tmp_path, monkeypatch):
     rows = read_versioned(spark, root, "events_ingest").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2]  # redelivery collapsed
     assert all(r["processed_flag"].startswith("Processed_") for r in rows)
+
+
+def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
+    """examples/curation_pipeline.py — the LLM-curation composition as
+    living documentation — must run end-to-end: all steps Completed,
+    versioned outputs readable, packing invariants hold (offsets inside
+    the budget, monotone sequence ids per domain)."""
+    import importlib.util
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "curation_example", _os.path.join(repo, "examples", "curation_pipeline.py")
+    )
+    ex = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ex)
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+
+    root = str(tmp_path / "data")
+    result = ex.run(root, sf_dir)
+    assert result.overall_status == "Completed"
+    assert [s.status for s in result.steps.values()] == ["Completed"] * 3
+
+    from etl_template_spark import read_versioned
+
+    packed = read_versioned(spark, root, "Pack").collect()
+    sampled_n = read_versioned(spark, root, "Sample").count()
+    assert 0 < len(packed) == sampled_n  # every sampled doc gets a placement
+    assert all(0 <= r["seq_offset"] < ex.SEQ_BUDGET for r in packed)
+    by_dom: dict = {}
+    for r in sorted(packed, key=lambda r: (r["source"], r["lang"], r["doc_id"])):
+        last = by_dom.get((r["source"], r["lang"]), 0)
+        assert r["seq_idx"] >= last  # packing never rewinds within a domain
+        by_dom[(r["source"], r["lang"])] = r["seq_idx"]
+    # the catalog carries stats for the final step (register_stats=True)
+    v = result.steps["Pack"].output_version
+    detail = spark.sql(f"DESCRIBE TABLE EXTENDED Pack_v{v}").collect()
+    assert any(r["col_name"] == "Statistics" for r in detail)
+    spark.sql(f"DROP TABLE IF EXISTS Pack_v{v}")
