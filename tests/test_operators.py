@@ -579,3 +579,65 @@ def test_cross_encoder_scorer_injection_and_carry(spark):
     import pandas as pd
     s = stub_scorer(pd.Series(["aaa"]), pd.Series(["aaaaaa"]))
     assert float(s[0]) == 0.5
+
+
+def test_weighted_sample_rates_nest(spark, sf_dir):
+    """Mixture refinement invariant: a source sampled at rate r' < r
+    keeps a strict SUBSET of the rate-r sample (hash-bucket predicates
+    nest) — what makes mixture rebalancing an incremental operation
+    instead of a resample."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", hash_bucket(F.col("doc_id"), 1000).alias("b")
+    )
+    lo = {r["doc_id"] for r in d.where(F.col("b") < 200).collect()}
+    hi = {r["doc_id"] for r in d.where(F.col("b") < 600).collect()}
+    assert lo < hi  # strict subset (and non-empty on the fixture)
+    assert lo
+
+
+def test_stratified_sample_exact_allocation(spark, sf_dir):
+    """Every (source, lang) stratum yields exactly min(k, |stratum|)
+    rows — the defining property of exact allocation."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    got = (
+        REGISTRY["q_sample_stratified"].build(spark, sf_dir)
+        .groupBy("source", "lang").count().collect()
+    )
+    sizes = {
+        (r["source"], r["lang"]): r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang").count().collect()
+    }
+    assert {(r["source"], r["lang"]) for r in got} == set(sizes)
+    for r in got:
+        assert r["count"] == min(5, sizes[(r["source"], r["lang"])])
+
+
+def test_budget_sample_respects_budget_and_keeps_first(spark, sf_dir):
+    """Char-budget selection: every source's kept set stays under the
+    60% mass budget measured BEFORE each kept doc, and the largest doc
+    of every source is always kept (cum-before predicate)."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    kept = REGISTRY["q_sample_budget"].build(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    total = {}
+    biggest = {}
+    for r in docs:
+        total[r["source"]] = total.get(r["source"], 0) + r["n_chars"]
+        b = biggest.get(r["source"])
+        if b is None or (r["n_chars"], -r["doc_id"]) > (b[1], -b[0]):
+            biggest[r["source"]] = (r["doc_id"], r["n_chars"])
+    kept_ids = {(r["source"], r["doc_id"]) for r in kept}
+    for r in kept:
+        assert r["cum_before"] < 0.6 * total[r["source"]]
+    for src, (doc_id, _) in biggest.items():
+        assert (src, doc_id) in kept_ids, f"largest doc of {src} dropped"
