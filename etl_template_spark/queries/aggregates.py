@@ -148,20 +148,45 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct: HLL-based, engine-specific estimates can't hash-match
-# an oracle — the driver records the rows-only check; the unit tests assert
-# the estimate is within rsd of the exact count.
-@register("q_agg_approx", oracle=None, tags=("agg", "approx"))
+@register(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n_rows,
+           TRUE AS approx_in_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct count (HyperLogLog++): the 100 TB-friendly
-    substitute for exact COUNT(DISTINCT) — no expand, no giant shuffle."""
+    substitute for exact COUNT(DISTINCT) — no expand, no giant shuffle.
+
+    The HLL estimate is engine-specific, so (like
+    q_agg_approx_percentile) the query is a SELF-CERTIFYING harness: it
+    emits the exact distinct count (which the oracle reproduces) plus a
+    boolean asserting the estimate lands within 5 x rsd of it.  The
+    estimate is a pure function of the value SET (register maxima —
+    merge-order independent), so the boolean is deterministic and the
+    error bound itself is driver-hash-checked; at production scale only
+    the estimate column survives, the exact column is the test rig."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__approx"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_orders",
+        "n_rows",
+        (
+            F.abs(F.col("__approx") - F.col("exact_orders"))
+            <= 0.1 * F.col("exact_orders")
+        ).alias("approx_in_bound"),
     )
 
 
@@ -376,7 +401,20 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_sketch_rollup", oracle=None, tags=("agg", "approx"))
+@register(
+    "q_agg_sketch_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(DISTINCT month(o_orderdate)) AS BIGINT) AS n_months,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_in_bound,
+           TRUE AS union_close_to_direct
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("agg", "approx"),
+)
 def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count rollup via Apache DataSketches HLL
     (`hll_sketch_agg` / `hll_union_agg`): per-month sketches of
@@ -387,9 +425,18 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counts don't add, but sketches union — so at 100 TB you
     materialize small per-partition sketches once (a few KB each) and
     answer every coarser rollup (year, region, all-time) from the
-    sketch table alone.  Estimates are approximate ⇒ rows-only;
-    tests/test_operators.py asserts accuracy vs exact and that union
-    == direct-sketch within HLL determinism."""
+    sketch table alone.
+
+    SELF-CERTIFYING harness (the q_agg_approx pattern): emits the exact
+    per-year distinct count (oracle-reproduced) plus two booleans the
+    oracle expects TRUE — the union-of-months estimate within 5% of
+    exact, and union within 2% of the direct one-shot year sketch.
+    (Union is register-max over the same value set, but DataSketches'
+    union path composes its estimator differently than the single
+    sketch, so the estimates are near- but not bit-identical — measured
+    at sf0.01; hence tolerance, not equality.)  Rolling up must lose
+    essentially nothing, and that mergeability claim is now
+    driver-hash-checked, not just unit-tested."""
     o = load_table(spark, sf_dir, "orders")
     monthly = (
         o.groupBy(
@@ -398,12 +445,29 @@ def q_agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
     )
-    return (
+    unioned = (
         monthly.groupBy("o_year")
         .agg(F.hll_union_agg("sk").alias("u"), F.count(F.lit(1)).alias("n_months"))
         .select(
             "o_year",
-            F.hll_sketch_estimate(F.col("u")).alias("approx_customers"),
+            F.hll_sketch_estimate(F.col("u")).alias("__union_est"),
             "n_months",
         )
+    )
+    direct = o.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__direct_est"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+    return unioned.join(direct, "o_year").select(
+        "o_year",
+        "n_months",
+        "exact_customers",
+        (
+            F.abs(F.col("__union_est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("approx_in_bound"),
+        (
+            F.abs(F.col("__union_est") - F.col("__direct_est"))
+            <= 0.02 * F.col("__direct_est")
+        ).alias("union_close_to_direct"),
     )
