@@ -133,7 +133,57 @@ def _bucket_col(vec: Column) -> Column:
     return bucket
 
 
-@register("q_sim_search_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def _plane_dot_sql(j: int, vec: str = "embedding") -> str:
+    """DuckDB dot of ``vec`` against hyperplane j as a LITERAL array —
+    the LCG coefficients are exact binary fractions (int / 2^31 - 0.5),
+    so repr() round-trips them bit-exactly through both parsers."""
+    lits = ", ".join(repr(c) for c in _plane(j))
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}]::DOUBLE[])[i]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _lsh_oracle() -> str:
+    """The ENTIRE LSH retrieval stated declaratively: bucket = packed
+    sign bits of 6 literal-plane dots, multiprobe = XOR with the 22
+    Hamming-<=2 masks, then exact cosine over the candidates.  Checkable
+    because every float op is a per-row sequential fold (bit-identical
+    across engines) — unlike IVF/PQ, whose centroids come from float
+    AVG aggregation with engine-dependent summation order."""
+    bucket = " + ".join(
+        f"CASE WHEN {_plane_dot_sql(j)} >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(_N_PLANES)
+    )
+    masks = [0] + [1 << j for j in range(_N_PLANES)] + [
+        (1 << i) | (1 << j)
+        for i in range(_N_PLANES)
+        for j in range(i + 1, _N_PLANES)
+    ]
+    mask_list = ", ".join(str(m) for m in masks)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {bucket} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+    probes AS (
+      SELECT qv, xor(qbucket, m) AS bucket
+      FROM q, unnest([{mask_list}]) AS t(m)),
+    cand AS (
+      SELECT b.vec_id, b.label, {_cos_sql('b.embedding', 'p.qv')} AS cos_sim
+      FROM b JOIN probes p USING (bucket)
+      WHERE b.vec_id <> 0)
+    SELECT vec_id, label, cos_sim
+    FROM cand
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "q_sim_search_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity", "approx")
+)
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 via random-hyperplane LSH: vectors are
     bucketed by the sign pattern of 6 fixed hyperplanes; the search
@@ -145,10 +195,16 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos ≥ 0.9) and degrades toward random at cos ≈ 0.5 — the knobs are
     plane count (bucket granularity, scale with corpus) and probe radius
     (recall).  At 100 TB the bucket id becomes the partition key, so a
-    probe reads 22 partitions instead of the corpus.  Approximate ⇒
-    rows-only check; tests assert candidate-exactness and compare
-    recall against q_sim_search (IVF is the higher-recall scale path
-    for mid-similarity regimes — q_sim_search_ivf)."""
+    probe reads 22 partitions instead of the corpus.
+
+    Though approximate as RETRIEVAL, the computation is fully
+    deterministic (fixed LCG planes, per-row sequential float folds),
+    so the whole pipeline — bucketing, multiprobe, candidate scoring,
+    top-10 — is hash-checked against a DuckDB oracle stating it
+    declaratively with literal plane arrays (IVF/PQ stay rows-only:
+    their centroids come from float AVG with engine-dependent
+    summation order).  Tests additionally assert candidate-exactness
+    and recall vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", _bucket_col(F.col("embedding")))
     q = bucketed.where(F.col("vec_id") == 0).select(
