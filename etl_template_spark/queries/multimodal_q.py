@@ -42,18 +42,67 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media_meta(media, "media_id").select("media_id", "n_bytes", "sha256")
 
 
-@register("q_multimodal_features", oracle=None, tags=("multimodal", "udf"))
+# The fake decoder's whole pipeline is digest arithmetic — fake pixels
+# are the sha256 digest cycled to width*height*3 bytes with (w, h)
+# drawn from the first two digest bytes, and the feature is a byte
+# histogram over the first 4096 pixels — so the oracle can restate it
+# from sha256(text)'s hex: byte i of the pixel stream is hex pair
+# (i mod 32) of the digest.
+_FEATURES_ORACLE = """
+WITH d AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+p AS (
+  SELECT media_id, hx,
+         16 + CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 64 AS w,
+         16 + CAST(concat('0x', substr(hx, 3, 2)) AS INT) % 64 AS h
+  FROM d),
+k AS (SELECT media_id, hx, least(4096, w * h * 3) AS kk FROM p),
+ex AS (
+  SELECT media_id, hx, kk, unnest(range(0, kk)) AS i FROM k),
+b AS (
+  SELECT media_id, kk,
+         CAST(concat('0x',
+              substr(hx, 2 * (CAST(i AS INT) % 32) + 1, 2)) AS INT) % 8
+           AS bucket
+  FROM ex)
+SELECT media_id,
+       CAST(8 AS INT) AS feat_dim,
+       -- the engine stores features as float32 (array<float>, the
+       -- production vision-feature width): the REAL cast reproduces
+       -- that rounding before widening back to double
+       CAST(CAST(
+         CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS DOUBLE) / kk
+       AS REAL) AS DOUBLE) AS f0
+FROM b
+GROUP BY media_id, kk
+ORDER BY media_id
+"""
+
+
+@register(
+    "q_multimodal_features", oracle=_FEATURES_ORACLE, tags=("multimodal", "udf")
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary → fixed-width feature vectors through mapInPandas Arrow
     batches (the production vision-encoder plumbing, deterministic fake
-    decoder).  Rows-only check: one feature row per media row, fixed
-    dim; determinism is unit-tested (tests/test_multimodal.py)."""
+    decoder).  The fake decode derives everything from the content's
+    sha256 digest, so the ORACLE recomputes the identical feature from
+    sha256(text) hex arithmetic — the Arrow batch path (schema, batch
+    boundaries, per-row feature extraction) is hash-checked end-to-end,
+    not merely rows-counted; real codecs still inject through the same
+    seam (multimodal.py)."""
     media = _media_frame(spark, sf_dir)
     feats = extract_image_features(media, decoder=fake_decode)
+    # f0 is emitted UN-rounded: count/K is one IEEE division of exact
+    # integers, bit-identical across engines, while round-to-6 can land
+    # on a half-way boundary where Spark's HALF_UP and DuckDB disagree
+    # (observed at sf0.001: 0.187909 vs 0.187908).  Features travel as
+    # float32 (the production width); the oracle reproduces that with a
+    # REAL cast before widening.
     return feats.select(
         "media_id",
         "feat_dim",
-        F.round(F.element_at("feat", 1).cast("double"), 6).alias("f0"),
+        F.element_at("feat", 1).cast("double").alias("f0"),
     )
 
 

@@ -56,9 +56,9 @@ ROUND5_WINDOW = [
     "q_cube", "q_grouping_sets", "q_agg_pivot", "q_unpivot",
     "q_agg_sketch_rollup", "q_agg_approx_percentile", "q_sim_search", "q_sim_search_lsh",
     "q_dedup_embedding", "q_knn_join_blocked", "q_sim_search_ivf", "q_sim_search_pq",
-    "q_pii_scrub", "q_ngram_freq", "q_chunk_documents", "q_sink_hilbert",
-    "q_project", "q_filter", "q_join_inner", "q_join_left",
-    "q_join_right", "q_join_full",
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames", "q_pii_scrub",
+    "q_ngram_freq", "q_chunk_documents", "q_sink_hilbert", "q_project",
+    "q_filter", "q_join_inner",
 ]
 
 
