@@ -377,7 +377,12 @@ def register_versioned_table(
             raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
     path = os.path.join(_step_dir(root, step), f"v={version}")
     table = table or re.sub(r"[^A-Za-z0-9_]", "_", f"{step}_v{version}")
-    quoted = "`" + table.replace("`", "``") + "`"
+    # quote each dot-separated part, so explicitly passed
+    # database-qualified names ('appdb.suppliers') keep addressing the
+    # database rather than becoming one identifier with a literal dot
+    quoted = ".".join(
+        "`" + part.replace("`", "``") + "`" for part in table.split(".")
+    )
     spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     spark.catalog.createTable(quoted, path=path, source="parquet")
     if analyze:

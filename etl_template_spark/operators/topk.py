@@ -21,15 +21,17 @@ from pyspark.sql import functions as F
 def salted_block_join(
     left: DataFrame,
     right: DataFrame,
-    block_col: str,
+    block_col: str | Sequence[str],
     right_salt_col: str,
     n_salts: int = 8,
     keep_salt: bool = False,
 ) -> DataFrame:
-    """Equi-join ``left`` × ``right`` on ``block_col`` with the right
-    side split into ``n_salts`` deterministic sub-blocks (xxhash64 of
-    ``right_salt_col`` — no RNG, stable across runs/engines) and the
-    left side replicated to every sub-block.
+    """Equi-join ``left`` × ``right`` on ``block_col`` (one column or a
+    list — multi-column block keys join on the columns directly, which
+    keeps SQL-standard NULL semantics and avoids concat-key ambiguity)
+    with the right side split into ``n_salts`` deterministic sub-blocks
+    (xxhash64 of ``right_salt_col`` — no RNG, stable across
+    runs/engines) and the left side replicated to every sub-block.
 
     Row-identical to ``left.join(right, block_col)``: every right row
     lives in exactly one sub-block, and every left row meets every
@@ -45,12 +47,13 @@ def salted_block_join(
     need per-sub-block post-processing (e.g. the partial top-k window
     in :func:`knn_join_blocked`).
     """
+    blocks = [block_col] if isinstance(block_col, str) else list(block_col)
     salt = F.pmod(F.xxhash64(F.col(right_salt_col)), F.lit(n_salts)).cast("int")
     right_s = right.withColumn("_salt", salt)
     left_s = left.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    joined = left_s.join(right_s, [block_col, "_salt"])
+    joined = left_s.join(right_s, [*blocks, "_salt"])
     return joined if keep_salt else joined.drop("_salt")
 
 

@@ -53,22 +53,27 @@ def q_cross_encoder_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crossenc import score_pairs
     from ..operators.topk import salted_block_join
 
+    # block on (source, lang) as TWO join columns, not a concat key:
+    # column-wise equality keeps SQL NULL semantics (a NULL lang pairs
+    # with nothing, exactly as the oracle's a.lang = b.lang) and cannot
+    # collide on separator-bearing values ('a|b' + 'c' vs 'a' + 'b|c')
     d = load_table(spark, sf_dir, "documents").select(
-        F.concat_ws("|", "source", "lang").alias("blk"),
+        F.col("source"),
+        F.col("lang"),
         F.col("doc_id"),
         F.col("text"),
         F.length("text").cast("bigint").alias("len"),
     )
     a = d.select(
-        "blk", F.col("doc_id").alias("a_id"),
+        "source", "lang", F.col("doc_id").alias("a_id"),
         F.col("text").alias("text_a"), F.col("len").alias("len_a"),
     )
     b = d.select(
-        "blk", F.col("doc_id").alias("b_id"),
+        "source", "lang", F.col("doc_id").alias("b_id"),
         F.col("text").alias("text_b"), F.col("len").alias("len_b"),
     )
     pairs = (
-        salted_block_join(a, b, "blk", "b_id")
+        salted_block_join(a, b, ["source", "lang"], "b_id")
         .where(F.col("a_id") < F.col("b_id"))
         .where(F.abs(F.col("len_a") - F.col("len_b")) <= _LEN_GATE)
         .select("a_id", "b_id", "len_a", "len_b", "text_a", "text_b")

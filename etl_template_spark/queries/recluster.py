@@ -16,6 +16,9 @@ write) either way.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,7 +54,17 @@ def q_recluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout routine (q_sink_zorder)."""
     from ..layout import Z_COL, with_zorder
 
-    root = tempfile.mkdtemp(prefix="etl_recluster_")
+    # deterministic per-sf_dir scratch root, WIPED at each build: the
+    # demo writes ~2x lineitem (v1 + delta + v2), so a fresh mkdtemp
+    # per invocation would accumulate that much dead parquet every time
+    # the driver/bench re-builds.  Wiping at build start keeps disk
+    # bounded; any frame returned by a PRIOR build must already be
+    # consumed (true for the differential/bench/driver harnesses, which
+    # materialize before re-building).
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"etl_recluster_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
     base = li.where(F.col("l_orderkey") % 4 != 0)
     delta = li.where(F.col("l_orderkey") % 4 == 0)

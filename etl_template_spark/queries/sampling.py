@@ -32,23 +32,19 @@ _STRAT_K = 5         # docs kept per (source, lang) stratum
 _RESERVOIR_K = 100   # fixed-size corpus sample
 
 
-def hash_bucket(col: Column, modulus: int) -> Column:
-    """Deterministic bucket in [0, modulus): first 8 hex digits of
-    sha2(key) as a 32-bit int, mod ``modulus`` — identical formula to
-    the q_sample_hash contract and to `_bucket_sql` below."""
-    return (
-        F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
-        .cast("bigint")
-        % modulus
-    )
-
-
 def hash_rank_key(col: Column) -> Column:
     """Un-bucketed 32-bit hash value — the deterministic 'random' sort
-    key for rank-based sampling (ties broken by the key itself)."""
+    key for rank-based sampling (ties broken by the key itself).
+    Identical formula to the q_sample_hash contract and `_rank_sql`."""
     return F.conv(
         F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10
     ).cast("bigint")
+
+
+def hash_bucket(col: Column, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus): ``hash_rank_key`` reduced
+    mod ``modulus``."""
+    return hash_rank_key(col) % modulus
 
 
 def _rank_sql(key: str = "doc_id") -> str:
@@ -60,11 +56,35 @@ def _rank_sql(key: str = "doc_id") -> str:
 
 # per-source acceptance rate (per mille): a rule standing in for the
 # mixture table a real pipeline would load (fixture sources are
-# 'src<N>'); expressed identically in builder and oracle.
+# 'src<N>'); expressed identically in builder and oracle.  TRY_CAST,
+# not CAST: DuckDB regexp_extract returns '' (not NULL) on no match,
+# and CAST('' AS INT) throws — TRY_CAST yields NULL, matching Spark's
+# cast-to-null, so a digitless source gets rate 100 in BOTH engines
+# instead of crashing the oracle.
 _RATE_SQL = (
     "least(1000, 100 + 45 * coalesce("
-    "CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 0))"
+    "TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 0))"
 )
+
+
+def mixture_spec(d: DataFrame) -> DataFrame:
+    """(source, rate) mixture-spec frame over ``d``'s distinct sources —
+    the builder-side statement of `_RATE_SQL`, shared with the worked
+    example (examples/curation_pipeline.py) so the rate rule cannot
+    silently diverge."""
+    src_num = F.coalesce(
+        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)
+    )
+    return (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.least(F.lit(1000), F.lit(100) + F.lit(45) * src_num)
+            .cast("int")
+            .alias("rate"),
+        )
+    )
 
 
 @register(
@@ -98,19 +118,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles.  At 100 TB the spec is the only state, and
     the filter pushes to the scan within each source partition."""
     d = load_table(spark, sf_dir, "documents")
-    src_num = F.coalesce(
-        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)
-    )
-    spec = (
-        d.select("source")
-        .distinct()
-        .select(
-            "source",
-            F.least(F.lit(1000), F.lit(100) + F.lit(45) * src_num)
-            .cast("int")
-            .alias("rate"),
-        )
-    )
+    spec = mixture_spec(d)
     bucket = hash_bucket(F.col("doc_id"), _MIX_BUCKETS).cast("int")
     return (
         d.select("doc_id", "source", "lang", bucket.alias("bucket"))

@@ -56,16 +56,9 @@ def sample(spark: SparkSession, scrubbed: DataFrame) -> DataFrame:
     per-source rate spec broadcasts onto the scan; acceptance is a pure
     hash-bucket predicate (q_sample_weighted's discipline), so re-runs
     and backfills keep identical rows."""
-    from etl_template_spark.queries.sampling import hash_bucket
+    from etl_template_spark.queries.sampling import hash_bucket, mixture_spec
 
-    src_num = F.coalesce(
-        F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)
-    )
-    spec = (
-        scrubbed.select("source").distinct()
-        .select("source", F.least(F.lit(1000), F.lit(100) + F.lit(45) * src_num)
-                .cast("int").alias("rate"))
-    )
+    spec = mixture_spec(scrubbed)
     return (
         scrubbed.withColumn("bucket", hash_bucket(F.col("doc_id"), 1000).cast("int"))
         .join(F.broadcast(spec), "source")

@@ -41,10 +41,10 @@ ROUND3_WINDOW = [
 
 
 # The intended round-5 correctness window, pinned at the end of the
-# round-5 build: the two r04 hash-FAIL fixes lead, then the six new
+# round-5 build: the two r04 hash-FAIL fixes lead, then the eight new
 # phase-7 queries, then the invalidated modules (scans/aggregates/
-# similarity/curation — all edited this round) stalest-recording-first,
-# then the head of the valid r2 tail.
+# similarity/multimodal/curation — all edited this round)
+# stalest-recording-first, then the head of the valid r2 tail.
 ROUND5_WINDOW = [
     "q_token_type_ratio", "q_pack_sequences", "q_sample_weighted", "q_sample_stratified",
     "q_sample_reservoir", "q_sample_cluster", "q_sample_budget", "q_lateral_topk",

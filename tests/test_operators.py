@@ -632,3 +632,35 @@ def test_budget_sample_respects_budget_and_keeps_first(spark, sf_dir):
         assert r["cum_before"] < 0.6 * total[r["source"]]
     for src, (doc_id, _) in biggest.items():
         assert (src, doc_id) in kept_ids, f"largest doc of {src} dropped"
+
+
+def test_cross_encoder_null_lang_blocks_nothing(spark):
+    """Column-wise block keys keep SQL NULL semantics: a NULL lang row
+    pairs with nothing (as the oracle's a.lang = b.lang dictates), and
+    separator-bearing values cannot collide across columns."""
+    from etl_template_spark.operators.topk import salted_block_join
+
+    d = spark.createDataFrame(
+        [(1, "s", None), (2, "s", None), (3, "a|b", "c"), (4, "a", "b|c")],
+        "doc_id long, source string, lang string",
+    )
+    a = d.select("source", "lang", F.col("doc_id").alias("a_id"))
+    b = d.select("source", "lang", F.col("doc_id").alias("b_id"))
+    pairs = (
+        salted_block_join(a, b, ["source", "lang"], "b_id")
+        .where(F.col("a_id") < F.col("b_id"))
+        .collect()
+    )
+    assert pairs == []  # NULL lang never matches; 'a|b'+'c' != 'a'+'b|c'
+
+
+def test_weighted_rate_sql_survives_digitless_source(duck):
+    """The oracle's rate rule must degrade to rate 100 on a source with
+    no trailing digits (TRY_CAST -> NULL -> coalesce), not crash the
+    whole oracle query the way CAST('' AS INT) would."""
+    from etl_template_spark.queries.sampling import _RATE_SQL
+
+    got = duck.sql(
+        f"SELECT {_RATE_SQL} AS rate FROM (SELECT 'web' AS source)"
+    ).fetchone()[0]
+    assert got == 100
