@@ -120,21 +120,49 @@ def main() -> int:
 
     run_steal1 = _steal_seconds()
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "steal_sec": (
-            round(run_steal1 - run_steal0, 3)
-            if run_steal0 is not None and run_steal1 is not None
-            else None
-        ),
-        "pass_detail": pass_detail,
-    }
-    print(json.dumps(out))
+    steal_sec = (
+        round(run_steal1 - run_steal0, 3)
+        if run_steal0 is not None and run_steal1 is not None
+        else None
+    )
+    # Per-pass timings + steal go to a SIDECAR file, not stdout: round 5
+    # embedded them in the stdout JSON line and the line outgrew the
+    # driver's tail-capture window (BENCH_r05.json parsed:null — the
+    # round recorded no official perf number).  The driver parses the
+    # LAST stdout line, so that line must stay the compact ~600-byte
+    # headline shape that parsed in rounds 1-4.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {"sf": sf, "steal_sec": steal_sec, "pass_detail": pass_detail},
+                f,
+                indent=1,
+            )
+    except OSError as e:
+        print(f"bench: could not write {detail_path}: {e}", file=sys.stderr)
+
+    print(headline_line(total, timings, sf, steal_sec))
     return 0
+
+
+def headline_line(
+    total: float, timings: dict[str, float], sf: float, steal_sec: float | None
+) -> str:
+    """The driver-parsed final stdout line.  MUST stay compact (the
+    driver tail-captures stdout; round 5 proved an oversized line is
+    silently dropped) — test_bench_headline_line_is_bounded pins this."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "steal_sec": steal_sec,
+        }
+    )
 
 
 if __name__ == "__main__":
