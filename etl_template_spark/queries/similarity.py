@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..caching import persist_tracked
+from ..compat import davg, davg_sql, dsum, dsum_sql
 from ..io import load_table
 from ..registry import register
 
@@ -50,20 +51,30 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.round(dot_col(a, b) / F.sqrt(sq_norm_col(a) * sq_norm_col(b)), 6)
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
     # list_reduce folds left like Spark's aggregate with 0.0 init
     # (0.0 + x == x exactly in IEEE, so the first-element seed is identical).
     return (
-        f"list_reduce(list_transform(range(1, {_DIM + 1}), "
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
         f"(acc, x) -> acc + x)"
     )
 
 
-def _cos_sql(a: str, b: str) -> str:
+def _cos_sql(a: str, b: str, dim: int = _DIM) -> str:
     return (
-        f"round({_dot_sql(a, b)} / "
-        f"sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}), 6)"
+        f"round({_dot_sql(a, b, dim)} / "
+        f"sqrt({_dot_sql(a, a, dim)} * {_dot_sql(b, b, dim)}), 6)"
+    )
+
+
+def _l2_sql(a: str, b: str, dim: int) -> str:
+    """DuckDB squared-L2 as the identical sequential double fold that
+    ``_l2_col`` states in Spark."""
+    term = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> {term} * {term}), (acc, x) -> acc + x)"
     )
 
 
@@ -356,7 +367,13 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
     one Lloyd iteration (assign-all → cell means).  Distributed
     throughout: assignment is a broadcast of k centroids against the
     corpus; means are a posexplode + groupBy — no driver-side loops.
-    (cell, centroid array<double>)."""
+    (cell, centroid array<double>).
+
+    The Lloyd mean is ``compat.davg`` (exact decimal accumulation →
+    double), not float AVG: summation order then cannot change the
+    centroid, so the quantizer is bit-reproducible run-to-run at any
+    parallelism AND statable in a DuckDB oracle — this is what moved
+    q_sim_search_ivf from rows-only to hash-checked in round 6."""
     seeds = e.where(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
@@ -365,7 +382,7 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("cell", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(davg(F.col("x").cast("double")).alias("m"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cell", F.transform("pm", lambda st: st.getField("m")).alias("centroid"))
@@ -403,7 +420,56 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFram
     )
 
 
-@register("q_sim_search_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def _ivf_oracle() -> str:
+    """The ENTIRE IVF pipeline stated declaratively in DuckDB: seed →
+    assign-all (argmax of rounded cosine, cell tiebreak) → Lloyd means
+    via decimal-exact AVG (``compat.davg_sql`` — order-independent, so
+    both engines produce bit-identical centroids) → re-assign corpus /
+    multiprobe query → exact cosine over candidates → top-10.  Every
+    float op is either a per-row sequential fold or a decimal-exact
+    aggregate, so the hash check is strict."""
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cell, embedding AS centroid
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, s.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 's.centroid')} DESC, s.cell
+             ) AS rn
+      FROM embeddings e CROSS JOIN seeds s),
+    asg AS (SELECT vec_id, embedding, cell FROM a1 WHERE rn = 1),
+    means AS (
+      SELECT cell, i.range AS pos,
+             {davg_sql(f'CAST(embedding[i.range] AS DOUBLE)')} AS m
+      FROM asg CROSS JOIN range(1, {_DIM + 1}) i
+      GROUP BY cell, i.range),
+    cents AS (
+      SELECT cell, list(m ORDER BY pos) AS centroid FROM means GROUP BY cell),
+    a2 AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC, c.cell
+             ) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    corpus AS (
+      SELECT vec_id, label, embedding, cell FROM a2
+      WHERE vec_id <> 0 AND rn = 1),
+    probes AS (
+      SELECT embedding AS qv, cell FROM a2
+      WHERE vec_id = 0 AND rn <= {_IVF_NPROBE})
+    SELECT c.vec_id, c.label, {_cos_sql('c.embedding', 'p.qv')} AS cos_sim
+    FROM corpus c JOIN probes p USING (cell)
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "q_sim_search_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity", "approx")
+)
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 via IVF: a 10-cell coarse quantizer
     (deterministic seeds + one Lloyd refinement) partitions the corpus;
@@ -411,7 +477,11 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~nprobe/k of the corpus).  At 100 TB the cell id is the partition/
     bucket key — a probe reads nprobe partitions, the index build is two
     broadcast-assign passes, and centroids stay a tiny broadcast table.
-    Approximate ⇒ rows-only; tests assert recall vs q_sim_search."""
+
+    Approximate as RETRIEVAL, but fully deterministic as COMPUTATION
+    (decimal-exact Lloyd means, rounded-cosine argmax with cell
+    tiebreaks), so the whole pipeline is hash-checked against a DuckDB
+    oracle; tests additionally assert recall vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(e)
     corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1)
@@ -458,8 +528,14 @@ def _pq_subvectors(e: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def _l2_col(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential double fold (mirrored by ``_l2_sql``)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -469,7 +545,9 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
     """(s, cell, centroid): per-subspace codebook — deterministic seeds
     (vec_id 0.._PQ_K-1) + one Lloyd refinement, the same distributed
     recipe as the IVF coarse quantizer (broadcast-assign, groupBy
-    means; no driver loops)."""
+    means; no driver loops).  Means are ``compat.davg`` (decimal-exact,
+    summation-order-independent) so the codebook is bit-reproducible
+    and statable in the DuckDB oracle."""
     seeds = sub.where(F.col("vec_id") < _PQ_K).select(
         "s", F.col("vec_id").alias("cell"), F.col("sub").alias("centroid")
     )
@@ -480,7 +558,7 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
         )
         .select("s", "cell", F.posexplode("sub").alias("pos", "x"))
         .groupBy("s", "cell", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .agg(davg(F.col("x").cast("double")).alias("m"))
         .groupBy("s", "cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select(
@@ -509,7 +587,68 @@ def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-@register("q_sim_search_pq", oracle=None, tags=("llm", "similarity", "topk"))
+def _pq_oracle() -> str:
+    """The ENTIRE PQ pipeline stated declaratively in DuckDB: subvector
+    split → per-subspace codebook (L2 argmin vs seed codes, Lloyd means
+    via decimal-exact AVG) → corpus code assignment → ADC lookup-table
+    scan (decimal-exact partial-dot sum) → bounded exact rerank.  Bit-
+    checkable because every float op is a per-row sequential fold or an
+    order-independent decimal aggregate (compat.py)."""
+    width = _DIM // _PQ_M
+    sl = f"(s.range * {width} + 1):(s.range * {width} + {width})"
+    return f"""
+    WITH subv AS (
+      SELECT vec_id, s.range AS s, embedding[{sl}] AS sub
+      FROM embeddings CROSS JOIN range(0, {_PQ_M}) s),
+    seeds AS (
+      SELECT s, vec_id AS cell, sub AS centroid FROM subv
+      WHERE vec_id < {_PQ_K}),
+    a1 AS (
+      SELECT v.vec_id, v.s, v.sub, sd.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.s
+               ORDER BY {_l2_sql('v.sub', 'sd.centroid', width)}, sd.cell
+             ) AS rn
+      FROM subv v JOIN seeds sd USING (s)),
+    asg AS (SELECT vec_id, s, sub, cell FROM a1 WHERE rn = 1),
+    means AS (
+      SELECT s, cell, i.range AS pos,
+             {davg_sql('CAST(sub[i.range] AS DOUBLE)')} AS m
+      FROM asg CROSS JOIN range(1, {width + 1}) i
+      GROUP BY s, cell, i.range),
+    books AS (
+      SELECT s, cell, list(m ORDER BY pos) AS centroid
+      FROM means GROUP BY s, cell),
+    c1 AS (
+      SELECT v.vec_id, v.s, b.cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, v.s
+               ORDER BY {_l2_sql('v.sub', 'b.centroid', width)}, b.cell
+             ) AS rn
+      FROM subv v JOIN books b USING (s)
+      WHERE v.vec_id <> 0),
+    codes AS (SELECT vec_id, s, cell FROM c1 WHERE rn = 1),
+    qtab AS (
+      SELECT b.s, b.cell, {_dot_sql('q.sub', 'b.centroid', width)} AS pdot
+      FROM (SELECT s, sub FROM subv WHERE vec_id = 0) q
+      JOIN books b USING (s)),
+    approx AS (
+      SELECT c.vec_id, {dsum_sql('pdot')} AS approx_dot
+      FROM codes c JOIN qtab USING (s, cell)
+      GROUP BY c.vec_id
+      ORDER BY approx_dot DESC, c.vec_id
+      LIMIT {_PQ_RERANK}),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_cos_sql('e.embedding', 'qv.qv')} AS cos_sim
+    FROM approx a JOIN embeddings e USING (vec_id) CROSS JOIN qv
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "q_sim_search_pq", oracle=_pq_oracle(), tags=("llm", "similarity", "topk")
+)
 def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-10 via PRODUCT QUANTIZATION (Jégou et al.,
     TPAMI'11): each vector is stored as _PQ_M 1-byte codes (nearest
@@ -527,8 +666,10 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the pool).  The pool size is the recall/latency knob: with
     k=32 codes/subspace and a 200-vector pool, measured recall@10 vs
     the exact baseline is 0.8 at sf0.01 (500 vecs) and 0.7 at sf0.1
-    (5000 vecs).  Approximate ⇒ rows-only; tests assert a recall
-    floor vs q_sim_search."""
+    (5000 vecs).  Approximate as RETRIEVAL but deterministic as
+    COMPUTATION (decimal-exact codebook means and ADC sums), so the
+    whole pipeline is hash-checked against a DuckDB oracle; tests
+    additionally assert a recall floor vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
     sub = persist_tracked(_pq_subvectors(e))
     books = persist_tracked(_pq_codebooks(sub))
@@ -543,7 +684,7 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = (
         corpus_codes.join(F.broadcast(qtab), ["s", "cell"])
         .groupBy("vec_id")
-        .agg(F.sum("pdot").alias("approx_dot"))
+        .agg(dsum("pdot").alias("approx_dot"))
         .orderBy(F.col("approx_dot").desc(), F.col("vec_id"))
         .limit(_PQ_RERANK)
     )

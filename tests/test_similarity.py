@@ -1,6 +1,7 @@
-"""ANN quality tests: the approximate searches (LSH, IVF) are checked
-rows-only by the harness, so the recall-vs-exact and candidate-exactness
-guarantees live here."""
+"""ANN quality tests: the approximate searches (LSH, IVF, PQ) are
+hash-checked end-to-end by the harness oracles, but a bit-identical
+pipeline says nothing about retrieval QUALITY — the recall-vs-exact and
+candidate-exactness guarantees live here."""
 
 from __future__ import annotations
 
