@@ -50,7 +50,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (i mod 32) of the digest.
 _FEATURES_ORACLE = """
 WITH d AS (
-  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+  -- COALESCE mirrors the engine's `content or b""`: a NULL text still
+  -- decodes (digest of the empty string) and emits a feature row;
+  -- sha256(NULL) would instead null the width math and silently DROP
+  -- the row via unnest(range(0, NULL)) (r5 ADVICE)
+  SELECT doc_id AS media_id, sha256(COALESCE(text, '')) AS hx FROM documents),
 p AS (
   SELECT media_id, hx,
          16 + CAST(concat('0x', substr(hx, 1, 2)) AS INT) % 64 AS w,

@@ -89,18 +89,22 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
 
     Only touches conf that is safe to set at runtime and that the engine's
     semantics depend on (UTC timestamps, Arrow interchange, AQE).
+
+    Deliberately NOT touched: the streaming state-store provider.  State
+    file formats are provider-specific, so flipping the provider on a
+    session that may RESUME a checkpoint created under the default
+    HDFS-backed provider makes that checkpoint unrestorable — and this
+    reconciler runs on sessions the engine did not create and knows
+    nothing about.  Provider choice belongs to session creation
+    (``get_spark``) or to an explicit opt-in at stream start
+    (``streaming/jobs.py::ROCKSDB_STATE_CONF``, which carries the
+    provider AND its changelog-checkpointing conf as an inseparable
+    pair).  (r5 ADVICE)
     """
     for key, value in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
-        # per-query streaming conf, read at query start — safe to set
-        # at runtime and required for bounded-memory streaming state
-        (
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        ),
     ):
         try:
             if spark.conf.get(key, None) != value:

@@ -189,14 +189,19 @@ def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
                 capture_output=True,
                 timeout=30,
             )
-            # Returncode ALONE decides: 0 = identical to HEAD, 1 =
-            # genuinely differs (dirty), >=2 = git failure → trust the
-            # caller's round-start discipline.  stderr is deliberately
-            # ignored: git emits warnings (CRLF, dubious ownership,
-            # permissions) alongside a real exit-1 dirty diff, and
-            # treating those as "could not compare" would stamp edited
-            # modules clean.
-            if proc.returncode != 1:
+            # Returncode ALONE decides: 0 = identical to HEAD; anything
+            # else (1 = genuinely differs, >=2 = per-path git failure,
+            # e.g. exit 128) = NOT clean.  Treating a git FAILURE as
+            # clean would let a genuinely edited module keep its stale
+            # stamp (r5 ADVICE); treating it as dirty merely skips the
+            # stamp, so the query re-records — a wasted window slot at
+            # worst, never a stale pass.  The repo-wide failure modes
+            # (no repo, unborn HEAD, dubious ownership) already short-
+            # circuit through the HEAD pre-check above, so a rc>=2 here
+            # is a rare per-path anomaly, not the common case.  stderr
+            # is deliberately ignored: git emits warnings (CRLF,
+            # permissions) alongside a real exit-0 clean diff.
+            if proc.returncode == 0:
                 clean.add(path)
         except Exception:
             clean.add(path)  # no git binary → trust the caller

@@ -363,8 +363,18 @@ def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     from etl_template_spark import read_versioned
 
     packed = read_versioned(spark, root, "Pack").collect()
-    sampled_n = read_versioned(spark, root, "Sample").count()
+    sampled = read_versioned(spark, root, "Sample")
+    sampled_n = sampled.count()
     assert 0 < len(packed) == sampled_n  # every sampled doc gets a placement
+    # the example's mixture step must keep EXACTLY the rows the
+    # registered q_sample_weighted keeps (they share mixture_spec /
+    # hash_bucket — this pins the sharing under refactors)
+    from etl_template_spark.queries import REGISTRY
+
+    q_ids = {
+        r["doc_id"] for r in REGISTRY["q_sample_weighted"].build(spark, sf_dir).collect()
+    }
+    assert {r["doc_id"] for r in sampled.collect()} == q_ids
     assert all(0 <= r["seq_offset"] < ex.SEQ_BUDGET for r in packed)
     by_dom: dict = {}
     for r in sorted(packed, key=lambda r: (r["source"], r["lang"], r["doc_id"])):
