@@ -34,6 +34,7 @@ from . import (  # noqa: F401,E402
     lateral_q,
     recluster,
     crossencoder,
+    retrieval,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

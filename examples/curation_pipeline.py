@@ -4,11 +4,15 @@ LLM-pipeline operator families (SURVEY.md §2B north star) composed into
 one resumable, versioned, fail-fast run — the shape a real pretraining
 data refresh takes.
 
-    step      operator family                     plan shape
-    ----      ---------------                     ----------
-    Scrub     PII redaction (q_pii_scrub)         pure projection, zero shuffle
+    step      operator family                      plan shape
+    ----      ---------------                      ----------
+    Scrub     PII redaction (q_pii_scrub)          pure projection, zero shuffle
     Sample    weighted mixture (q_sample_weighted) broadcast spec + hash filter
+    Budget    char-budget cap (q_sample_budget)    per-source windowed prefix sum
     Pack      sequence packing (q_pack_sequences)  per-domain windowed prefix sum
+
+This is the full mixture-build chain: rate the sources, cap each
+source's char mass, lay the survivors into training sequences.
 
 Every step writes an immutable version under ``output/<step>/v=N`` with
 the atomic claim, so a crashed run resumes at step granularity
@@ -35,6 +39,7 @@ from etl_template_spark.io import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 SEQ_BUDGET = 512
+BUDGET_FRAC = 0.6  # q_sample_budget's fraction — keep 60% of each source's chars
 
 
 def scrub(spark: SparkSession, _: DataFrame | None, sf_dir: str = SF_DIR) -> DataFrame:
@@ -67,6 +72,28 @@ def sample(spark: SparkSession, scrubbed: DataFrame) -> DataFrame:
     )
 
 
+def budget(spark: SparkSession, sampled: DataFrame) -> DataFrame:
+    """Cap each source's character mass at BUDGET_FRAC, keeping the
+    longest documents first (q_sample_budget's discipline: the
+    cum-BEFORE predicate keeps a source's first doc even when it alone
+    exceeds the budget; one windowed prefix sum per source partition —
+    sources fill in parallel)."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.length("text").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("source")
+    n_chars = F.length("text").cast("bigint")
+    return (
+        sampled.withColumn("__n", n_chars)
+        .withColumn("__cum_before", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+        .withColumn("__total", F.sum("__n").over(wt))
+        .where(F.col("__cum_before") < BUDGET_FRAC * F.col("__total"))
+        .drop("__n", "__cum_before", "__total")
+    )
+
+
 def pack(spark: SparkSession, sampled: DataFrame) -> DataFrame:
     """Lay the sampled documents end-to-end per (source, lang) packing
     domain and compute each doc's training-sequence placement (the
@@ -91,7 +118,8 @@ def build_pipeline(data_root: str, sf_dir: str = SF_DIR) -> Pipeline:
         Pipeline("curation", data_root)
         .step("Scrub", lambda s, df: scrub(s, df, sf_dir))
         .step("Sample", sample, input_step="Scrub")
-        .step("Pack", pack, input_step="Sample", register_stats=True)
+        .step("Budget", budget, input_step="Sample")
+        .step("Pack", pack, input_step="Budget", register_stats=True)
     )
 
 

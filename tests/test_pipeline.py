@@ -358,14 +358,20 @@ def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     root = str(tmp_path / "data")
     result = ex.run(root, sf_dir)
     assert result.overall_status == "Completed"
-    assert [s.status for s in result.steps.values()] == ["Completed"] * 3
+    assert [s.status for s in result.steps.values()] == ["Completed"] * 4
 
     from etl_template_spark import read_versioned
 
     packed = read_versioned(spark, root, "Pack").collect()
     sampled = read_versioned(spark, root, "Sample")
-    sampled_n = sampled.count()
-    assert 0 < len(packed) == sampled_n  # every sampled doc gets a placement
+    budgeted = read_versioned(spark, root, "Budget")
+    sampled_ids = {r["doc_id"] for r in sampled.collect()}
+    budget_ids = {r["doc_id"] for r in budgeted.collect()}
+    # budget caps the mixture: a strict-or-equal subset, every survivor
+    # gets a packing placement
+    assert 0 < len(budget_ids) <= len(sampled_ids)
+    assert budget_ids <= sampled_ids
+    assert 0 < len(packed) == len(budget_ids)
     # the example's mixture step must keep EXACTLY the rows the
     # registered q_sample_weighted keeps (they share mixture_spec /
     # hash_bucket — this pins the sharing under refactors)
@@ -374,7 +380,7 @@ def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     q_ids = {
         r["doc_id"] for r in REGISTRY["q_sample_weighted"].build(spark, sf_dir).collect()
     }
-    assert {r["doc_id"] for r in sampled.collect()} == q_ids
+    assert sampled_ids == q_ids
     assert all(0 <= r["seq_offset"] < ex.SEQ_BUDGET for r in packed)
     by_dom: dict = {}
     for r in sorted(packed, key=lambda r: (r["source"], r["lang"], r["doc_id"])):

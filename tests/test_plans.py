@@ -301,6 +301,7 @@ _BNLJ_ALLOWED = {
     "q_tpch_q22": "1-row positive-balance threshold scalar",
     "q_dedup_ngram": "1-row corpus count feeding the DF cap",
     "q_tfidf": "1-row document count feeding idf",
+    "q_bm25_rank": "1-row (N, total-token) globals feeding idf/avgdl",
     "q_heavy_hitters": "1-row total count feeding the support threshold",
     "q_sim_search": "1-row query vector",
     "q_sim_search_lsh": "1-row query vector + probe buckets",

@@ -1,0 +1,100 @@
+"""Unit tests for the retrieval family (queries/retrieval.py): URL
+canonicalization edge cases and BM25 ranking sanity — the oracle
+differential proves cross-engine equality; these prove the SEMANTICS.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import functions as F
+
+from etl_template_spark.queries.retrieval import (
+    _BM25_TERMS,
+    normalize_url,
+    registrable_domain,
+)
+
+
+CASES = [
+    # (raw, canonical)
+    ("https://www.Site1.Example.com/doc/9", "site1.example.com/doc/9"),
+    ("HTTP://site1.example.com/doc/9/", "site1.example.com/doc/9"),
+    ("https://site1.example.com:443/doc/9?utm_source=feed", "site1.example.com/doc/9"),
+    ("http://m.site1.example.com/doc/9", "site1.example.com/doc/9"),
+    (
+        "https://site1.example.com/doc/9?ref=rss&utm_campaign=x",
+        "site1.example.com/doc/9",
+    ),
+    ("http://site1.example.com:80/doc/9", "site1.example.com/doc/9"),
+    # non-default port survives; non-tracking params survive
+    ("https://site1.example.com:8080/doc/9", "site1.example.com:8080/doc/9"),
+    ("https://site1.example.com/doc/9?page=2", "site1.example.com/doc/9?page=2"),
+    # host-only URLs: port/slash stripping still applies
+    ("https://www.example.co.uk:443/", "example.co.uk"),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["url"])
+    got = [r["c"] for r in df.select(normalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in CASES]
+
+
+def test_registrable_domain_public_suffix_lite(spark):
+    rows = [
+        ("deep.sub.site1.example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("shop.company.com.au", "company.com.au"),
+        ("blog.firm.co.jp", "firm.co.jp"),
+        ("example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["host"])
+    got = [
+        r["d"] for r in df.select(registrable_domain(F.col("host")).alias("d")).collect()
+    ]
+    assert got == [d for _, d in rows]
+
+
+def test_dedup_url_groups_of_five(spark, sf_dir):
+    """The synthetic URL variants collapse 5 consecutive doc_ids into one
+    canonical URL; the keeper is crawl-order min."""
+    from etl_template_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_dedup_url"].build(spark, sf_dir).collect()
+    import math
+
+    from etl_template_spark.io import load_table
+
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == math.ceil(total / 5)
+    for r in rows:
+        assert r["n_dups"] <= 5
+        assert r["keep_doc_id"] % 5 == 0 or r["keep_doc_id"] == 0
+        assert not r["canon_url"].startswith(("http", "www."))
+        assert "?" not in r["canon_url"] or "utm" not in r["canon_url"]
+        assert r["domain"] in ("example.com", "example.co.uk")
+
+
+def test_bm25_favors_rare_term(spark, sf_dir):
+    """'dup' is ~30x rarer than the other query terms in the fixture —
+    documents containing it must dominate the top ranks (idf ordering),
+    and scores must be positive and non-increasing."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    top = REGISTRY["q_bm25_rank"].build(spark, sf_dir).collect()
+    assert len(top) > 0
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    d = load_table(spark, sf_dir, "documents")
+    dup_docs = {
+        r["doc_id"]
+        for r in d.where(F.col("text").rlike(r"(^| )dup( |$)")).collect()
+    }
+    if dup_docs:
+        top_ids = [r["doc_id"] for r in top[: min(5, len(dup_docs))]]
+        assert set(top_ids) <= dup_docs, (
+            "rare-term documents should lead the BM25 ranking"
+        )
+    assert set(_BM25_TERMS) == {"spark", "window", "dup"}
