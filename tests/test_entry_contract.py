@@ -62,6 +62,51 @@ ROUND5_WINDOW = [
 ]
 
 
+# The intended round-6 correctness window, pinned at the end of the
+# round-6 build: the two new retrieval queries lead (fresh,
+# oracle-backed), then the ten invalidated queries (similarity — the
+# IVF/PQ oracle upgrade touched the module — plus multimodal's NULL-text
+# oracle fix and recluster's scratch isolation), then the entire
+# 17-query r2-stale tail (joins family + early TPC-H shapes, flagged by
+# the r5 verdict as three rounds stale) and the head of the r3 tail.
+ROUND6_WINDOW = [
+    "q_bm25_rank", "q_dedup_url", "q_sim_search", "q_sim_search_lsh",
+    "q_dedup_embedding", "q_knn_join_blocked", "q_sim_search_ivf", "q_sim_search_pq",
+    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames", "q_recluster_zorder",
+    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
+    "q_join_anti", "q_join_broadcast", "q_join_multi", "q_join_theta",
+    "q_join_asof", "q_join_promo_share", "q_join_range", "q_tpch_q3",
+    "q_tpch_q18", "q_tpch_q4", "q_tpch_q7", "q_tpch_q10",
+    "q_tpch_q12", "q_tpch_q16", "q_tpch_q6", "q_tpch_q2",
+    "q_tpch_q8", "q_tpch_q9", "q_tpch_q11", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22", "q_win_rank", "q_win_analytic",
+    "q_win_frame", "q_topk_per_group", "q_win_distribution", "q_sort_limit",
+    "q_union", "q_union_distinct",
+]
+
+
+def test_round6_window_matches_prediction():
+    """Window-drift tripwire, round-6 edition (the r5 pin pattern).
+    BEFORE the round-6 recording lands, the live exposure order must
+    start with exactly the pinned prediction; AFTER CORRECTNESS_r06.json
+    exists, the names the driver actually recorded must match a prefix
+    of the prediction."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r06 = os.path.join(repo, "CORRECTNESS_r06.json")
+    if not os.path.exists(r06):
+        assert list(entry_mod.queries())[:50] == ROUND6_WINDOW
+        return
+    with open(r06) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND6_WINDOW[: len(recorded)]), (
+        "r06 recorded a different window than the round-6 build predicted"
+    )
+
+
 def test_round5_window_matches_prediction():
     """Window-drift tripwire (r4 VERDICT item 8).  BEFORE the round-5
     recording lands, the live exposure order must start with exactly the
