@@ -200,7 +200,11 @@ def normalize_url(url: F.Column) -> F.Column:
     c = F.lower(url)
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^(www|m)\.", "")
-    c = F.regexp_replace(c, r"^([^/:]+):(80|443)(/|$)", r"$1$3")
+    # [/?]|$ after the port: a default port directly followed by a query
+    # string (host:80?x=y) must strip on the FIRST pass — with only /|$
+    # it survived until tracking-param removal exposed the end-of-string,
+    # breaking idempotence (caught by the hypothesis property test)
+    c = F.regexp_replace(c, r"^([^/:]+):(80|443)([/?]|$)", r"$1$3")
     c = F.regexp_replace(c, _TRACKING_RE, "")
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/$", "")
@@ -246,7 +250,7 @@ def registrable_domain(host: F.Column) -> F.Column:
                  lower(url),
                  '^https?://', ''),
                  '^(www|m)\\.', ''),
-                 '^([^/:]+):(80|443)(/|$)', '\\1\\3'),
+                 '^([^/:]+):(80|443)([/?]|$)', '\\1\\3'),
                  '{_TRACKING_RE}', '', 'g'),
                  '\\?$', ''),
                  '/$', '') AS canon_url

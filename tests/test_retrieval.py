@@ -98,3 +98,46 @@ def test_bm25_favors_rare_term(spark, sf_dir):
             "rare-term documents should lead the BM25 ranking"
         )
     assert set(_BM25_TERMS) == {"spark", "window", "dup"}
+
+
+# ---------------------------------------------------------------------------
+# property: URL canonicalization is idempotent
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scheme = st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://", ""])
+_sub = st.sampled_from(["", "www.", "m.", "blog.", "a.b."])
+_host = st.sampled_from(
+    ["example.com", "Example.CO.UK", "site9.example.com", "firm.co.jp"]
+)
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_path = st.sampled_from(["", "/", "/doc/3", "/a/b/", "/x%20y"])
+_query = st.sampled_from(
+    ["", "?utm_source=a", "?page=2", "?ref=rss&utm_campaign=x", "?utm_a=1&utm_b=2"]
+)
+
+
+@given(parts=st.tuples(_scheme, _sub, _host, _port, _path, _query))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_normalize_url_is_idempotent(spark, parts):
+    """A canonicalizer must be a projection: applying it twice equals
+    applying it once, for any composition of scheme/subdomain/port/
+    tracking-query messiness.  (A rule that re-matches its own output —
+    e.g. a port stripper that exposes a new `host:port` prefix — breaks
+    re-runs of incremental pipelines that canonicalize already-canonical
+    URLs.)"""
+    url = "".join(parts)
+    df = spark.createDataFrame([(url,)], ["url"])
+    once = df.select(normalize_url(F.col("url")).alias("c"))
+    twice = once.select(F.col("c").alias("url")).select(
+        normalize_url(F.col("url")).alias("c")
+    )
+    a = once.collect()[0]["c"]
+    b = twice.collect()[0]["c"]
+    assert a == b, f"not idempotent: {url!r} -> {a!r} -> {b!r}"
