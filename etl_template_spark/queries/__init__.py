@@ -35,6 +35,7 @@ from . import (  # noqa: F401,E402
     recluster,
     crossencoder,
     retrieval,
+    versiondiff,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

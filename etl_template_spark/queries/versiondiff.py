@@ -1,0 +1,126 @@
+"""Dataset-version diff (round 6): the changelog between two pinned
+versions of a versioned dataset — added / removed / changed rows.
+
+This closes the audit loop on the engine's versioned-sink story (the
+reference's whole domain is versioned pipeline outputs: R3/R4 pinned
+reads, R6/R7 versioned writes — tools.go:300-366): once every refresh
+commits an immutable version, "what changed between refresh N and N+1"
+is the question auditors and incremental consumers ask first.  At
+100 TB the diff is one sort-merge full-outer equi-join on the dataset
+key — both sides shuffle-partition on the same key, no broadcast, and
+bucketed writes (bucketing.py) would make it exchange-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, read_versioned, write_versioned
+from ..registry import register
+
+# v1/v2 membership + mutation rules, stated once and mirrored in SQL:
+# v1 = orders with o_orderkey % 4 != 0 at the original price
+# v2 = orders with o_orderkey % 3 != 0, price uplifted 10% where
+#      o_orderkey % 5 == 0 (one IEEE double multiply — deterministic)
+_V1_PRED = "o_orderkey % 4 != 0"
+_V2_PRED = "o_orderkey % 3 != 0"
+_UPLIFT_PRED = "o_orderkey % 5 = 0"
+
+
+def _scratch_root(sf_dir: str) -> str:
+    """Per-(sf_dir, process) scratch, wiped per build — the
+    q_recluster_zorder discipline (concurrent builds cannot clobber
+    each other; disk stays bounded)."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"etl_vdiff_{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+@register(
+    "q_version_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice AS price
+      FROM orders WHERE {_V1_PRED}),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN {_UPLIFT_PRED} THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE {_V2_PRED})
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           v1.price AS price_v1,
+           v2.price AS price_v2
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+          OR v1.price <> v2.price
+    ORDER BY o_orderkey
+    """,
+    tags=("etl", "versioned", "audit"),
+)
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between two pinned versions of a versioned dataset:
+    v1 and v2 of an ``orders_curated`` step are committed through the
+    real versioned-sink path (atomic claim, immutable directories), read
+    back PINNED (R4 semantics — the diff is reproducible forever, not
+    'latest vs latest'), and full-outer-joined on the dataset key:
+
+        added    in v2 only          removed  in v1 only
+        changed  in both, price differs      (unchanged rows drop out)
+
+    Plan shape at scale: one sort-merge full-outer equi-join on the
+    key — both versions shuffle on o_orderkey; with bucketed versions
+    (bucketing.py) the exchange disappears entirely.  The oracle
+    restates the v1/v2 membership + mutation rules over the source
+    table, so a hash match proves write -> claim -> pinned read -> diff
+    is lossless end-to-end."""
+    root = _scratch_root(sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    v1_df = orders.where(F.expr(_V1_PRED)).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    v2_df = orders.where(F.expr(_V2_PRED)).select(
+        "o_orderkey",
+        F.when(F.expr(_UPLIFT_PRED), F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    write_versioned(v1_df, root, "orders_curated")
+    write_versioned(v2_df, root, "orders_curated")
+
+    v1 = read_versioned(spark, root, "orders_curated", version=1)
+    v2 = read_versioned(spark, root, "orders_curated", version=2)
+    j = v1.alias("a").join(
+        v2.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+            F.col("a.price").alias("price_v1"),
+            F.col("b.price").alias("price_v2"),
+        )
+        .where(
+            F.col("price_v1").isNull()
+            | F.col("price_v2").isNull()
+            | (F.col("price_v1") != F.col("price_v2"))
+        )
+        .orderBy("o_orderkey")
+    )

@@ -394,3 +394,47 @@ def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_filters_terms_before_shuffle_and_bounds_topk(spark, sf_dir):
+    """BM25's scale contract: the query-term filter applies to the
+    generated token stream BEFORE any Exchange (tf/df aggregate a
+    |Q|-bounded slice, never the full vocabulary), the per-doc ranking
+    is a bounded heap (TakeOrderedAndProject), and every aggregation is
+    partial before its shuffle."""
+    p = plan_of(spark, sf_dir, "q_bm25_rank")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    # the IN-filter on query terms exists and feeds the tf/df aggregates
+    assert "term" in p and "IN (" in p or "term#" in p
+    lines = p.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate" in l]
+    assert gen_idx, "token explode missing"
+    assert "HashAggregate" in p
+
+
+def test_dedup_url_is_zero_shuffle_normalization_plus_one_agg(spark, sf_dir):
+    """URL canonicalization must stay a codegen'd projection on the
+    scan: the only exchanges are the aggregate's partial->final pair and
+    the final presentation sort; no joins, no windows."""
+    p = plan_of(spark, sf_dir, "q_dedup_url")
+    assert "Join" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    # exactly the aggregate's shuffle + the ORDER BY range exchange
+    # (detail-section entries only; the tree repeats each node)
+    exchanges = [
+        l for l in p.splitlines() if l.startswith("(") and "Exchange" in l
+    ]
+    assert len(exchanges) <= 2, exchanges
+    schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in schema and "text" not in schema  # column-pruned scan
+
+
+def test_version_diff_plans_sort_merge_full_outer(spark, sf_dir):
+    """The version changelog joins two fact-scaled versions: it must be
+    a shuffle (sort-merge) full-outer equi-join on the dataset key —
+    broadcasting either side of a 100 TB x 100 TB diff is an outage."""
+    p = plan_of(spark, sf_dir, "q_version_diff")
+    assert "SortMergeJoin" in p and "FullOuter" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p
