@@ -510,3 +510,44 @@ def prune_versions(
     for n in doomed:
         shutil.rmtree(os.path.join(_step_dir(root, step), f"v={n}"))
     return doomed
+
+
+def process_scratch_root(prefix: str, sf_dir: str) -> str:
+    """Per-(``sf_dir``, PROCESS) scratch directory for demo queries that
+    materialize real versioned datasets (q_recluster_zorder,
+    q_version_diff): ``/tmp/<prefix>_<sha(sf_dir)>_<pid>``, wiped at
+    every call so disk stays bounded across re-builds, while the pid
+    suffix keeps two concurrent builds on the same sf_dir (pytest-xdist,
+    bench alongside the differential suite) from deleting each other's
+    versions mid-read.
+
+    Stale roots left by DEAD processes are swept best-effort via a
+    portable liveness probe — ``os.kill(pid, 0)`` raises
+    ProcessLookupError only when the pid is gone (PermissionError means
+    alive-but-foreign), unlike a ``/proc/<pid>`` check which reports
+    every process dead on non-Linux hosts and would re-introduce the
+    concurrent-clobber this function exists to prevent."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    tmp = tempfile.gettempdir()
+    root = os.path.join(tmp, f"{prefix}_{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(f"{prefix}_{tag}_"):
+                continue
+            pid_s = name.rsplit("_", 1)[-1]
+            if not pid_s.isdigit() or pid_s == str(os.getpid()):
+                continue
+            try:
+                os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except OSError:
+                pass  # alive but not ours (EPERM) — leave it
+    except OSError:
+        pass  # sweeping is opportunistic; never fail the build over it
+    return root

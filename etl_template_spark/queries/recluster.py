@@ -16,15 +16,10 @@ write) either way.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_versioned, write_versioned
+from ..io import load_table, process_scratch_root, read_versioned, write_versioned
 from ..registry import register
 
 _COLS = ["l_orderkey", "l_partkey", "l_linenumber", "l_quantity"]
@@ -57,30 +52,12 @@ def q_recluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(sf_dir, PROCESS) scratch root, WIPED at each build: the demo
     # writes ~2x lineitem (v1 + delta + v2), so a fresh mkdtemp per
     # invocation would accumulate that much dead parquet every time the
-    # driver/bench re-builds.  Wiping at build start keeps disk bounded;
-    # any frame returned by a PRIOR build in THIS process must already
-    # be consumed (true for the differential/bench/driver harnesses,
-    # which materialize before re-building).  The pid in the path keeps
-    # two concurrent builds on the same sf_dir (pytest-xdist, bench
-    # alongside the differential suite) from deleting each other's
-    # versions mid-read; stale roots left by dead processes are swept
-    # here best-effort.
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    tmp = tempfile.gettempdir()
-    root = os.path.join(tmp, f"etl_recluster_{tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    try:
-        for name in os.listdir(tmp):
-            if not name.startswith(f"etl_recluster_{tag}_"):
-                continue
-            pid = name.rsplit("_", 1)[-1]
-            if pid != str(os.getpid()) and pid.isdigit() and not os.path.exists(
-                f"/proc/{pid}"
-            ):
-                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
-    except OSError:
-        pass  # sweeping is opportunistic; never fail the build over it
+    # driver/bench re-builds.  Any frame returned by a PRIOR build in
+    # THIS process must already be consumed (true for the differential/
+    # bench/driver harnesses, which materialize before re-building).
+    # Isolation + dead-process sweep live in io.process_scratch_root
+    # (shared with q_version_diff).
+    root = process_scratch_root("etl_recluster", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
     base = li.where(F.col("l_orderkey") % 4 != 0)
     delta = li.where(F.col("l_orderkey") % 4 == 0)

@@ -105,10 +105,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    # N and the corpus token total both derive from dl (every doc yields
-    # >= 1 token row) — no second explode pass over the text
-    n = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
+    # n_tokens derives from dl (no second explode pass; a NULL-text doc
+    # contributes no token rows in EITHER engine, so the totals agree),
+    # but n_docs must count DOCUMENTS — deriving it from dl would
+    # undercount NULL-text docs relative to the oracle's COUNT(*)
+    n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))).crossJoin(
+        dl.agg(F.sum("dl").alias("n_tokens"))
     )
     qtok = tok.where(F.col("term").isin(*_BM25_TERMS))
     tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -206,6 +208,12 @@ def normalize_url(url: F.Column) -> F.Column:
     # breaking idempotence (caught by the hypothesis property test)
     c = F.regexp_replace(c, r"^([^/:]+):(80|443)([/?]|$)", r"$1$3")
     c = F.regexp_replace(c, _TRACKING_RE, "")
+    # stripping a LEADING tracking param consumes the '?', leaving the
+    # next param dangling on '&' (path&page=2) — and making the result
+    # depend on parameter ORDER (utm-first vs utm-last canonicalized
+    # differently).  Promote the first '&' back to '?' when no '?'
+    # precedes it; [^?&]* (not [^?]*) so the FIRST '&' is rewritten.
+    c = F.regexp_replace(c, r"^([^?&]*)&", r"$1?")
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/$", "")
     return c
@@ -246,12 +254,13 @@ def registrable_domain(host: F.Column) -> F.Column:
     canon AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
                  lower(url),
                  '^https?://', ''),
                  '^(www|m)\\.', ''),
                  '^([^/:]+):(80|443)([/?]|$)', '\\1\\3'),
                  '{_TRACKING_RE}', '', 'g'),
+                 '^([^?&]*)&', '\\1?'),
                  '\\?$', ''),
                  '/$', '') AS canon_url
       FROM raw),

@@ -13,15 +13,10 @@ bucketed writes (bucketing.py) would make it exchange-free.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, read_versioned, write_versioned
+from ..io import load_table, process_scratch_root, read_versioned, write_versioned
 from ..registry import register
 
 # v1/v2 membership + mutation rules, stated once and mirrored in SQL:
@@ -31,17 +26,6 @@ from ..registry import register
 _V1_PRED = "o_orderkey % 4 != 0"
 _V2_PRED = "o_orderkey % 3 != 0"
 _UPLIFT_PRED = "o_orderkey % 5 = 0"
-
-
-def _scratch_root(sf_dir: str) -> str:
-    """Per-(sf_dir, process) scratch, wiped per build — the
-    q_recluster_zorder discipline (concurrent builds cannot clobber
-    each other; disk stays bounded)."""
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"etl_vdiff_{tag}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    return root
 
 
 @register(
@@ -84,7 +68,9 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     restates the v1/v2 membership + mutation rules over the source
     table, so a hash match proves write -> claim -> pinned read -> diff
     is lossless end-to-end."""
-    root = _scratch_root(sf_dir)
+    # per-(sf_dir, process) scratch, wiped per build, dead siblings swept
+    # (io.process_scratch_root — shared with q_recluster_zorder)
+    root = process_scratch_root("etl_vdiff", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     v1_df = orders.where(F.expr(_V1_PRED)).select(
         "o_orderkey", F.col("o_totalprice").alias("price")

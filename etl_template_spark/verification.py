@@ -204,7 +204,12 @@ def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
             if proc.returncode == 0:
                 clean.add(path)
         except Exception:
-            clean.add(path)  # no git binary → trust the caller
+            # The HEAD pre-check above proved git exists and the repo is
+            # readable, so an exception here is a per-path anomaly (e.g.
+            # a timeout under a CPU-steal burst) — resolve the ambiguity
+            # to NOT-clean, same as rc >= 2: the stamp is skipped and
+            # the query re-records, never certifying unverified content.
+            pass
     return clean
 
 

@@ -405,12 +405,26 @@ def test_bm25_filters_terms_before_shuffle_and_bounds_topk(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_bm25_rank")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
-    # the IN-filter on query terms exists and feeds the tf/df aggregates
-    assert "term" in p and "IN (" in p or "term#" in p
-    lines = p.splitlines()
-    gen_idx = [i for i, l in enumerate(lines) if "Generate" in l]
-    assert gen_idx, "token explode missing"
     assert "HashAggregate" in p
+    # the query-term IN-filter must exist AND sit DIRECTLY on the token
+    # explode (its tree child is the Generate), i.e. before the tf/df
+    # aggregates and their exchanges — not after the shuffle.  Find the
+    # Filter detail node whose condition holds the IN-list, then check
+    # the tree: the line after "Filter (N)" is its child.
+    import re
+
+    in_filters = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Filter[^(]*\nInput[^\n]*\nCondition : [^\n]*? IN \(", p)
+    }
+    assert in_filters, "query-term IN-filter missing from the plan"
+    tree = p.splitlines()
+    ok = False
+    for n in in_filters:
+        for i, line in enumerate(tree):
+            if line.rstrip().endswith(f"Filter ({n})") and i + 1 < len(tree):
+                ok = ok or "Generate" in tree[i + 1]
+    assert ok, "IN-filter is not applied directly to the token explode"
 
 
 def test_dedup_url_is_zero_shuffle_normalization_plus_one_agg(spark, sf_dir):

@@ -29,6 +29,13 @@ CASES = [
     # non-default port survives; non-tracking params survive
     ("https://site1.example.com:8080/doc/9", "site1.example.com:8080/doc/9"),
     ("https://site1.example.com/doc/9?page=2", "site1.example.com/doc/9?page=2"),
+    # tracking param FIRST: the '?' it consumed must be restored, so
+    # parameter order cannot split one logical URL into two canon keys
+    (
+        "https://site1.example.com/doc/9?utm_source=a&page=2",
+        "site1.example.com/doc/9?page=2",
+    ),
+    ("https://site1.example.com/doc/9?utm_a=1&utm_b=2", "site1.example.com/doc/9"),
     # host-only URLs: port/slash stripping still applies
     ("https://www.example.co.uk:443/", "example.co.uk"),
 ]
@@ -115,7 +122,11 @@ _host = st.sampled_from(
 _port = st.sampled_from(["", ":80", ":443", ":8080"])
 _path = st.sampled_from(["", "/", "/doc/3", "/a/b/", "/x%20y"])
 _query = st.sampled_from(
-    ["", "?utm_source=a", "?page=2", "?ref=rss&utm_campaign=x", "?utm_a=1&utm_b=2"]
+    [
+        "", "?utm_source=a", "?page=2", "?ref=rss&utm_campaign=x",
+        "?utm_a=1&utm_b=2", "?utm_source=a&page=2", "?page=2&utm_source=a",
+        "?utm_a=1&x=2&utm_b=3",
+    ]
 )
 
 
@@ -141,3 +152,17 @@ def test_normalize_url_is_idempotent(spark, parts):
     a = once.collect()[0]["c"]
     b = twice.collect()[0]["c"]
     assert a == b, f"not idempotent: {url!r} -> {a!r} -> {b!r}"
+
+
+def test_normalize_url_param_order_insensitive(spark):
+    """utm-first and utm-last spellings of the same logical URL must
+    canonicalize to ONE key (the dedup grouping key)."""
+    df = spark.createDataFrame(
+        [
+            ("https://site1.example.com/doc/9?utm_source=a&page=2",),
+            ("https://site1.example.com/doc/9?page=2&utm_source=a",),
+        ],
+        ["url"],
+    )
+    got = {r["c"] for r in df.select(normalize_url(F.col("url")).alias("c")).collect()}
+    assert got == {"site1.example.com/doc/9?page=2"}

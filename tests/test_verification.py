@@ -55,3 +55,18 @@ def test_unresolvable_head_trusts_round_start_discipline(monkeypatch):
     # rev-parse fails -> head_ok False -> everything treated clean
     monkeypatch.setattr(subprocess, "run", run)
     assert verification._modules_clean_vs_head("/r", {"/r/a.py"}) == {"/r/a.py"}
+
+
+def test_per_path_timeout_is_not_clean(monkeypatch):
+    """A per-path subprocess FAILURE (timeout under a CPU-steal burst)
+    after a successful HEAD check must resolve to NOT-clean — the same
+    fail-safe as rc >= 2 (an edited module must never keep its stamp
+    because git stalled)."""
+
+    def run(cmd, **kwargs):
+        if "rev-parse" in cmd:
+            return SimpleNamespace(returncode=0, stdout=b"", stderr=b"")
+        raise subprocess.TimeoutExpired(cmd=cmd, timeout=30)
+
+    monkeypatch.setattr(subprocess, "run", run)
+    assert verification._modules_clean_vs_head("/r", {"/r/a.py"}) == set()
