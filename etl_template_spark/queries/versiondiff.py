@@ -64,7 +64,9 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at scale: one sort-merge full-outer equi-join on the
     key — both versions shuffle on o_orderkey; with bucketed versions
-    (bucketing.py) the exchange disappears entirely.  The oracle
+    (bucketing.py) the exchange disappears entirely (asserted in
+    tests/test_bucketing.py::test_bucketed_version_diff_full_outer_has_no_shuffle).
+    The oracle
     restates the v1/v2 membership + mutation rules over the source
     table, so a hash match proves write -> claim -> pinned read -> diff
     is lossless end-to-end."""
