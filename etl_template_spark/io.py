@@ -521,13 +521,17 @@ def process_scratch_root(prefix: str, sf_dir: str) -> str:
     bench alongside the differential suite) from deleting each other's
     versions mid-read.
 
-    Stale roots left by DEAD processes are swept best-effort via a
-    portable liveness probe — ``os.kill(pid, 0)`` raises
-    ProcessLookupError only when the pid is gone (PermissionError means
-    alive-but-foreign), unlike a ``/proc/<pid>`` check which reports
-    every process dead on non-Linux hosts and would re-introduce the
-    concurrent-clobber this function exists to prevent."""
+    Stale roots left by DEAD processes are swept best-effort on POSIX
+    via ``os.kill(pid, 0)`` — raises ProcessLookupError only when the
+    pid is gone (PermissionError means alive-but-foreign), unlike a
+    ``/proc/<pid>`` check which reports every process dead on macOS and
+    would re-introduce the concurrent-clobber this function exists to
+    prevent.  On Windows the sweep is skipped entirely: there
+    ``os.kill(pid, 0)`` is not a probe — it TERMINATES the target —
+    so skipping (bounded leak, cleaned by OS temp GC) is the only safe
+    default."""
     import hashlib
+    import sys
     import tempfile
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
@@ -535,15 +539,22 @@ def process_scratch_root(prefix: str, sf_dir: str) -> str:
     root = os.path.join(tmp, f"{prefix}_{tag}_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
+    if sys.platform == "win32":
+        return root
     try:
         for name in os.listdir(tmp):
             if not name.startswith(f"{prefix}_{tag}_"):
                 continue
             pid_s = name.rsplit("_", 1)[-1]
+            # bound-check: an absurd all-digit suffix would make os.kill
+            # raise OverflowError (not an OSError) and fail the build
             if not pid_s.isdigit() or pid_s == str(os.getpid()):
                 continue
+            pid = int(pid_s)
+            if not 0 < pid < 2**31:
+                continue
             try:
-                os.kill(int(pid_s), 0)
+                os.kill(pid, 0)
             except ProcessLookupError:
                 shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
             except OSError:

@@ -155,7 +155,21 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares one canonical URL.  The NORMALIZATION (regex-only, restated
 # verbatim in the oracle) is the operator; the synthesis just feeds it.
 
-_TRACKING_RE = r"[?&](utm_[a-z]+|ref)=[^&]*"
+# Tracking-param removal is THREE prefix-explicit rules (applied in this
+# order) rather than one [?&]-prefixed pattern plus a repair step:
+#   1. every '&'-joined tracking param drops outright;
+#   2. a LEADING tracking param followed by another param drops WITH its
+#      joining '&', re-emitting the '?' it consumed;
+#   3. a leading tracking param at end-of-string drops with its '?'.
+# After rule 1 at most one tracking param remains and it is leading, so
+# rules 2/3 are complete.  The earlier repair-step design ("promote the
+# first bare '&' to '?'") rewrote LITERAL '&' in paths ('/a&b' is legal
+# per RFC 3986) and broke idempotence for 'host:80&x=1' — both caught in
+# review.
+_TRACK = r"(utm_[a-z]+|ref)"
+_TRACK_AMP_RE = rf"&{_TRACK}=[^&]*"
+_TRACK_LEAD_MID_RE = rf"\?{_TRACK}=[^&]*&"
+_TRACK_LEAD_END_RE = rf"\?{_TRACK}=[^&]*$"
 
 
 def _url_col() -> F.Column:
@@ -198,7 +212,7 @@ def normalize_url(url: F.Column) -> F.Column:
     dropped, empty query and trailing slash removed.  Pure regex
     projection — zero-shuffle, codegen'd, restated verbatim in DuckDB
     (Spark regexp_replace replaces all occurrences; the DuckDB oracle
-    passes the 'g' flag for the one unanchored pattern)."""
+    passes the 'g' flag on every rule to match)."""
     c = F.lower(url)
     c = F.regexp_replace(c, r"^https?://", "")
     c = F.regexp_replace(c, r"^(www|m)\.", "")
@@ -207,13 +221,9 @@ def normalize_url(url: F.Column) -> F.Column:
     # it survived until tracking-param removal exposed the end-of-string,
     # breaking idempotence (caught by the hypothesis property test)
     c = F.regexp_replace(c, r"^([^/:]+):(80|443)([/?]|$)", r"$1$3")
-    c = F.regexp_replace(c, _TRACKING_RE, "")
-    # stripping a LEADING tracking param consumes the '?', leaving the
-    # next param dangling on '&' (path&page=2) — and making the result
-    # depend on parameter ORDER (utm-first vs utm-last canonicalized
-    # differently).  Promote the first '&' back to '?' when no '?'
-    # precedes it; [^?&]* (not [^?]*) so the FIRST '&' is rewritten.
-    c = F.regexp_replace(c, r"^([^?&]*)&", r"$1?")
+    c = F.regexp_replace(c, _TRACK_AMP_RE, "")
+    c = F.regexp_replace(c, _TRACK_LEAD_MID_RE, "?")
+    c = F.regexp_replace(c, _TRACK_LEAD_END_RE, "")
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/$", "")
     return c
@@ -254,15 +264,16 @@ def registrable_domain(host: F.Column) -> F.Column:
     canon AS (
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                  lower(url),
-                 '^https?://', ''),
-                 '^(www|m)\\.', ''),
-                 '^([^/:]+):(80|443)([/?]|$)', '\\1\\3'),
-                 '{_TRACKING_RE}', '', 'g'),
-                 '^([^?&]*)&', '\\1?'),
-                 '\\?$', ''),
-                 '/$', '') AS canon_url
+                 '^https?://', '', 'g'),
+                 '^(www|m)\\.', '', 'g'),
+                 '^([^/:]+):(80|443)([/?]|$)', '\\1\\3', 'g'),
+                 '{_TRACK_AMP_RE}', '', 'g'),
+                 '{_TRACK_LEAD_MID_RE}', '?', 'g'),
+                 '{_TRACK_LEAD_END_RE}', '', 'g'),
+                 '\\?$', '', 'g'),
+                 '/$', '', 'g') AS canon_url
       FROM raw),
     dom AS (
       SELECT doc_id, canon_url,

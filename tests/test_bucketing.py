@@ -92,11 +92,13 @@ def test_bucketed_version_diff_full_outer_has_no_shuffle(spark, sf_dir):
     v2 = orders.where(F.expr("o_orderkey % 3 != 0")).select(
         "o_orderkey", (F.col("o_totalprice") * 1.1).alias("price")
     )
-    write_bucketed(v1, "vdiff_v1", ["o_orderkey"], n_buckets=8,
-                   sort_cols=["o_orderkey"], analyze=False)
-    write_bucketed(v2, "vdiff_v2", ["o_orderkey"], n_buckets=8,
-                   sort_cols=["o_orderkey"], analyze=False)
     try:
+        # writes inside the try: a failure writing v2 must still drop v1
+        # from the session-shared warehouse in the finally
+        write_bucketed(v1, "vdiff_v1", ["o_orderkey"], n_buckets=8,
+                       sort_cols=["o_orderkey"], analyze=False)
+        write_bucketed(v2, "vdiff_v2", ["o_orderkey"], n_buckets=8,
+                       sort_cols=["o_orderkey"], analyze=False)
         diff = colocated_join(
             spark, "vdiff_v1", "vdiff_v2", on=["o_orderkey"], how="full_outer"
         )

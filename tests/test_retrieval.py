@@ -38,6 +38,16 @@ CASES = [
     ("https://site1.example.com/doc/9?utm_a=1&utm_b=2", "site1.example.com/doc/9"),
     # host-only URLs: port/slash stripping still applies
     ("https://www.example.co.uk:443/", "example.co.uk"),
+    # literal '&' in the PATH (legal per RFC 3986) must survive — it is
+    # NOT a dangling query separator and must not collide with '?'
+    ("https://site1.example.com/a&b", "site1.example.com/a&b"),
+    ("https://site1.example.com/a&b?utm_c=1", "site1.example.com/a&b"),
+    # '&' directly after a default port (no '?'): not a query string;
+    # the port must survive identically on every application
+    ("http://site1.example.com:80&x=1", "site1.example.com:80&x=1"),
+    # multiple leading tracking params all drop
+    ("https://site1.example.com/d?utm_a=1&utm_b=2&page=3",
+     "site1.example.com/d?page=3"),
 ]
 
 
@@ -120,7 +130,7 @@ _host = st.sampled_from(
     ["example.com", "Example.CO.UK", "site9.example.com", "firm.co.jp"]
 )
 _port = st.sampled_from(["", ":80", ":443", ":8080"])
-_path = st.sampled_from(["", "/", "/doc/3", "/a/b/", "/x%20y"])
+_path = st.sampled_from(["", "/", "/doc/3", "/a/b/", "/x%20y", "/a&b", "&x=1"])
 _query = st.sampled_from(
     [
         "", "?utm_source=a", "?page=2", "?ref=rss&utm_campaign=x",
