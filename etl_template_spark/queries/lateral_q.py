@@ -64,3 +64,43 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@register(
+    "q_lateral_outer",
+    oracle="""
+    SELECT d.doc_id, t.hit
+    FROM documents d
+    LEFT JOIN LATERAL (
+      SELECT unnest(list_filter(string_split(d.text, ' '),
+                                tok -> tok = 'dup')) AS hit
+    ) t ON TRUE
+    ORDER BY doc_id, hit
+    """,
+    tags=("sql", "udtf", "edge"),
+)
+def q_lateral_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER: one-to-many expansion that PRESERVES rows
+    whose expansion is empty — each document explodes into its
+    occurrences of the rare token 'dup', and documents with none (the
+    overwhelming majority) survive as a single NULL-hit row instead of
+    vanishing.  The inner LATERAL VIEW (udfs.py) silently DROPS such
+    rows; for audit joins ("every document must appear exactly once or
+    per-hit") the OUTER variant is the correct tool and the difference
+    is invisible until a row goes missing downstream.
+
+    Edge semantics pinned by the oracle: a NULL text behaves like an
+    empty expansion in BOTH engines (Spark: explode_outer(NULL) keeps
+    the row; DuckDB: unnest(NULL) yields no rows and the LEFT LATERAL
+    join keeps it).  Plan shape: Generate(outer=true) directly over the
+    scan — a zero-shuffle projection at any scale."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("lat_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, hit
+        FROM lat_docs
+        LATERAL VIEW OUTER explode(
+          filter(split(text, ' '), tok -> tok = 'dup')
+        ) AS hit
+        """
+    )

@@ -176,3 +176,23 @@ def test_normalize_url_param_order_insensitive(spark):
     )
     got = {r["c"] for r in df.select(normalize_url(F.col("url")).alias("c")).collect()}
     assert got == {"site1.example.com/doc/9?page=2"}
+
+
+def test_lateral_outer_preserves_every_document(spark, sf_dir):
+    """q_lateral_outer's contract: rows == docs-without-hits (one NULL
+    row each) + total hit occurrences; no document vanishes."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_lateral_outer"].build(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    assert len({r["doc_id"] for r in rows}) == n_docs  # every doc appears
+    null_rows = [r for r in rows if r["hit"] is None]
+    hit_rows = [r for r in rows if r["hit"] == "dup"]
+    assert len(null_rows) + len(hit_rows) == len(rows)
+    assert len(null_rows) > 0, "the OUTER edge never exercised"
+    # a doc has EITHER its hits OR exactly one NULL row, never both
+    null_ids = {r["doc_id"] for r in null_rows}
+    hit_ids = {r["doc_id"] for r in hit_rows}
+    assert not (null_ids & hit_ids)
