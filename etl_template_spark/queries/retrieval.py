@@ -240,6 +240,23 @@ def registrable_domain(host: F.Column) -> F.Column:
     ).otherwise(F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
 
 
+def normalize_url_sql(expr: str) -> str:
+    """The DuckDB statement of ``normalize_url`` — one definition shared
+    by the q_dedup_url oracle and the exhaustive cross-engine test, so
+    the two restatements cannot drift."""
+    return f"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower({expr}),
+                 '^https?://', '', 'g'),
+                 '^(www|m)\\.', '', 'g'),
+                 '^([^/:]+):(80|443)([/?]|$)', '\\1\\3', 'g'),
+                 '{_TRACK_AMP_RE}', '', 'g'),
+                 '{_TRACK_LEAD_MID_RE}', '?', 'g'),
+                 '{_TRACK_LEAD_END_RE}', '', 'g'),
+                 '\\?$', '', 'g'),
+                 '/$', '', 'g')"""
+
+
 @register(
     "q_dedup_url",
     oracle=f"""
@@ -263,17 +280,7 @@ def registrable_domain(host: F.Column) -> F.Column:
         FROM documents)),
     canon AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 lower(url),
-                 '^https?://', '', 'g'),
-                 '^(www|m)\\.', '', 'g'),
-                 '^([^/:]+):(80|443)([/?]|$)', '\\1\\3', 'g'),
-                 '{_TRACK_AMP_RE}', '', 'g'),
-                 '{_TRACK_LEAD_MID_RE}', '?', 'g'),
-                 '{_TRACK_LEAD_END_RE}', '', 'g'),
-                 '\\?$', '', 'g'),
-                 '/$', '', 'g') AS canon_url
+             {normalize_url_sql('url')} AS canon_url
       FROM raw),
     dom AS (
       SELECT doc_id, canon_url,

@@ -196,3 +196,53 @@ def test_lateral_outer_preserves_every_document(spark, sf_dir):
     null_ids = {r["doc_id"] for r in null_rows}
     hit_ids = {r["doc_id"] for r in hit_rows}
     assert not (null_ids & hit_ids)
+
+
+def test_normalize_url_exhaustive_cross_engine(spark, duck):
+    """EXHAUSTIVE sweep of the structured messy-URL universe (full
+    cartesian product of the hypothesis strategy atoms, ~22k URLs) in
+    ONE Spark job and ONE DuckDB query: (a) Spark and the oracle's
+    shared normalize_url_sql agree on every input, and (b) the Spark
+    canonicalizer is idempotent on every input.  Subsumes sampling for
+    this universe — any rule-interaction bug between these atoms is
+    caught here, not left for a future fixture to trip."""
+    import itertools
+
+    from etl_template_spark.queries.retrieval import normalize_url_sql
+
+    schemes = ["http://", "https://", "HTTP://", "HTTPS://", ""]
+    subs = ["", "www.", "m.", "blog.", "a.b."]
+    hosts = ["example.com", "Example.CO.UK", "site9.example.com", "firm.co.jp"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/doc/3", "/a/b/", "/x%20y", "/a&b", "&x=1"]
+    queries = [
+        "", "?utm_source=a", "?page=2", "?ref=rss&utm_campaign=x",
+        "?utm_a=1&utm_b=2", "?utm_source=a&page=2", "?page=2&utm_source=a",
+        "?utm_a=1&x=2&utm_b=3",
+    ]
+    urls = [
+        "".join(parts)
+        for parts in itertools.product(schemes, subs, hosts, ports, paths, queries)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = df.select(
+        "url",
+        normalize_url(F.col("url")).alias("c1"),
+        normalize_url(normalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    not_idem = [(r["url"], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not not_idem, f"{len(not_idem)} non-idempotent, first: {not_idem[0]}"
+
+    duck.execute("CREATE OR REPLACE TEMP TABLE _urls (url VARCHAR)")
+    duck.executemany("INSERT INTO _urls VALUES (?)", [(u,) for u in urls])
+    duck_rows = duck.sql(
+        f"SELECT url, {normalize_url_sql('url')} AS c FROM _urls"
+    ).fetchall()
+    duck_map = dict(duck_rows)
+    diffs = [
+        (r["url"], r["c1"], duck_map[r["url"]])
+        for r in out
+        if r["c1"] != duck_map[r["url"]]
+    ]
+    assert not diffs, f"{len(diffs)} cross-engine mismatches, first: {diffs[0]}"
+    duck.execute("DROP TABLE _urls")
