@@ -27,6 +27,7 @@ __version__ = "0.2.0"
 from .io import (  # noqa: F401,E402
     compact_versioned,
     delete_versioned,
+    diff_versions,
     load_table,
     prune_versions,
     read_csv,
@@ -42,6 +43,7 @@ __all__ = [
     "Pipeline",
     "compact_versioned",
     "delete_versioned",
+    "diff_versions",
     "PipelineRun",
     "Step",
     "StepFailed",

@@ -562,3 +562,50 @@ def process_scratch_root(prefix: str, sf_dir: str) -> str:
     except OSError:
         pass  # sweeping is opportunistic; never fail the build over it
     return root
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    key: str | list[str],
+    v_old: int,
+    v_new: int,
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Changelog between two PINNED versions of a versioned dataset:
+    one row per added / removed / changed key, with each compared
+    column's old and new value side by side (``<col>_old`` /
+    ``<col>_new``).  Unchanged rows drop out.
+
+    The audit question every versioned refresh raises ("what did
+    refresh N+1 change?"), answered as ONE sort-merge full-outer
+    equi-join on the dataset key — both versions shuffle-partition on
+    the key; versions written bucketed on it (bucketing.py) diff with
+    no exchange at all.  Pinned versions make the diff reproducible
+    forever, unlike latest-vs-latest.  ``q_version_diff`` is the
+    oracle-checked instantiation."""
+    keys = [key] if isinstance(key, str) else list(key)
+    old = read_versioned(spark, root, step, version=v_old)
+    new = read_versioned(spark, root, step, version=v_new)
+    compare = compare or [c for c in old.columns if c not in keys]
+    j = old.alias("a").join(
+        new.alias("b"),
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
+        "full_outer",
+    )
+    a_key, b_key = F.col(f"a.{keys[0]}"), F.col(f"b.{keys[0]}")
+    out = j.select(
+        *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
+        F.when(a_key.isNull(), F.lit("added"))
+        .when(b_key.isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        *[F.col(f"a.{c}").alias(f"{c}_old") for c in compare],
+        *[F.col(f"b.{c}").alias(f"{c}_new") for c in compare],
+    )
+    keep = F.col("change").isin("added", "removed")
+    for c in compare:
+        # NULL-safe inequality: a changed-to/from-NULL value counts
+        keep = keep | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    return out.where(keep)

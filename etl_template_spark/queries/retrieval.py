@@ -103,8 +103,24 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE arithmetic); the per-doc sum is decimal-exact (compat.dsum), so
     the DuckDB oracle reproduces every rank bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_col()).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return bm25_rank(d, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK)
+
+
+def bm25_rank(
+    d: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    topk: int = _BM25_TOPK,
+) -> DataFrame:
+    """Reusable Okapi BM25 ranking over any (id, text) frame — the
+    library form behind q_bm25_rank; swap ``terms`` per retrieval query
+    while the corpus-side stats (dl, N, avgdl) stay query-independent
+    and cacheable across calls in a real deployment."""
+    tok = d.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     # n_tokens derives from dl (no second explode pass; a NULL-text doc
     # contributes no token rows in EITHER engine, so the totals agree),
     # but n_docs must count DOCUMENTS — deriving it from dl would
@@ -112,9 +128,9 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))).crossJoin(
         dl.agg(F.sum("dl").alias("n_tokens"))
     )
-    qtok = tok.where(F.col("term").isin(*_BM25_TERMS))
-    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qtok = tok.where(F.col("term").isin(*terms))
+    tf = qtok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     avgdl = F.col("n_tokens") * 1.0 / F.col("n_docs")
     idf = F.log(
@@ -122,25 +138,22 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_score = F.round(
         idf
-        * (F.col("tf") * (_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-        ),
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)),
         6,
     )
     return (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
+        .join(dl, id_col)
         .crossJoin(F.broadcast(n))
-        .select("doc_id", term_score.alias("term_score"))
-        .groupBy("doc_id")
+        .select(id_col, term_score.alias("term_score"))
+        .groupBy(id_col)
         .agg(
             dsum("term_score").alias("bm25"),
             F.count(F.lit(1)).cast("int").alias("n_hit"),
         )
-        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
-        .limit(_BM25_TOPK)
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(topk)
     )
 
 

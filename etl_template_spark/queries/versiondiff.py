@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, process_scratch_root, read_versioned, write_versioned
+from ..io import diff_versions, load_table, process_scratch_root, write_versioned
 from ..registry import register
 
 # v1/v2 membership + mutation rules, stated once and mirrored in SQL:
@@ -86,29 +86,17 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_versioned(v1_df, root, "orders_curated")
     write_versioned(v2_df, root, "orders_curated")
 
-    v1 = read_versioned(spark, root, "orders_curated", version=1)
-    v2 = read_versioned(spark, root, "orders_curated", version=2)
-    j = v1.alias("a").join(
-        v2.alias("b"),
-        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
-        "full_outer",
-    )
+    # the reusable library API (io.diff_versions) does the pinned reads,
+    # the sort-merge full-outer join, and the change classification
     return (
-        j.select(
-            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-                "o_orderkey"
-            ),
-            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
-            .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
-            .otherwise(F.lit("changed"))
-            .alias("change"),
-            F.col("a.price").alias("price_v1"),
-            F.col("b.price").alias("price_v2"),
+        diff_versions(
+            spark, root, "orders_curated", key="o_orderkey", v_old=1, v_new=2
         )
-        .where(
-            F.col("price_v1").isNull()
-            | F.col("price_v2").isNull()
-            | (F.col("price_v1") != F.col("price_v2"))
+        .select(
+            "o_orderkey",
+            "change",
+            F.col("price_old").alias("price_v1"),
+            F.col("price_new").alias("price_v2"),
         )
         .orderBy("o_orderkey")
     )

@@ -487,3 +487,41 @@ def test_load_table_events_handles_both_timestamp_generations(spark, tmp_path):
     assert sorted(map(tuple, micros.collect())) == sorted(map(tuple, nanos.collect()))
     got_ts = sorted(r["ts"] for r in micros.collect())
     assert got_ts == ts
+
+
+def test_diff_versions_library_api(spark, tmp_path):
+    """io.diff_versions over hand-built versions: added/removed/changed
+    classification, NULL-safe value comparison (a change to/from NULL
+    counts), multi-column compare, unchanged rows dropped."""
+    from etl_template_spark.io import diff_versions, write_versioned
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k int, price double, tag string",
+    )
+    v2 = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "D"), (5, 50.0, "e")],
+        "k int, price double, tag string",
+    )
+    write_versioned(v1, root, "t")
+    write_versioned(v2, root, "t")
+    rows = {
+        r["k"]: r
+        for r in diff_versions(spark, root, "t", key="k", v_old=1, v_new=2).collect()
+    }
+    assert set(rows) == {1, 3, 4, 5}  # 2 is unchanged -> dropped
+    assert rows[1]["change"] == "removed" and rows[1]["price_new"] is None
+    assert rows[5]["change"] == "added" and rows[5]["price_old"] is None
+    assert rows[3]["change"] == "changed"  # NULL -> 30.0 counts
+    assert rows[3]["price_old"] is None and rows[3]["price_new"] == 30.0
+    assert rows[4]["change"] == "changed"  # tag-only change counts
+    assert rows[4]["tag_old"] == "d" and rows[4]["tag_new"] == "D"
+    # compare restricted to price: the tag-only change disappears
+    only_price = {
+        r["k"]
+        for r in diff_versions(
+            spark, root, "t", key="k", v_old=1, v_new=2, compare=["price"]
+        ).collect()
+    }
+    assert only_price == {1, 3, 5}

@@ -246,3 +246,21 @@ def test_normalize_url_exhaustive_cross_engine(spark, duck):
     ]
     assert not diffs, f"{len(diffs)} cross-engine mismatches, first: {diffs[0]}"
     duck.execute("DROP TABLE _urls")
+
+
+def test_bm25_library_form_parameterizes(spark, sf_dir):
+    """bm25_rank is reusable beyond the registered query: a different
+    term set returns a differently-ranked, well-formed result, and the
+    registered constants reproduce q_bm25_rank exactly."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+    from etl_template_spark.queries.retrieval import bm25_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    fixed = REGISTRY["q_bm25_rank"].build(spark, sf_dir).collect()
+    same = bm25_rank(d, _BM25_TERMS).collect()
+    assert [tuple(r) for r in fixed] == [tuple(r) for r in same]
+    other = bm25_rank(d, ("merge", "batch"), topk=5).collect()
+    assert len(other) == 5
+    assert all(r["bm25"] > 0 for r in other)
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in fixed[:5]}
