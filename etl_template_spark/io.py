@@ -588,17 +588,24 @@ def diff_versions(
     keys = [key] if isinstance(key, str) else list(key)
     old = read_versioned(spark, root, step, version=v_old)
     new = read_versioned(spark, root, step, version=v_new)
-    compare = compare or [c for c in old.columns if c not in keys]
+    if compare is None:
+        # explicit compare=[] means membership-only (added/removed rows,
+        # no value comparison) — `or` would silently turn it into "all"
+        compare = [c for c in old.columns if c not in keys]
+    # presence markers, NOT key nullness, drive the classification: the
+    # equality join is null-rejecting, so a NULL-keyed row never matches
+    # and key-nullness would label an old-only NULL-key row "added"
+    old = old.withColumn("__in_old", F.lit(1))
+    new = new.withColumn("__in_new", F.lit(1))
     j = old.alias("a").join(
         new.alias("b"),
         [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys],
         "full_outer",
     )
-    a_key, b_key = F.col(f"a.{keys[0]}"), F.col(f"b.{keys[0]}")
     out = j.select(
         *[F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys],
-        F.when(a_key.isNull(), F.lit("added"))
-        .when(b_key.isNull(), F.lit("removed"))
+        F.when(F.col("a.__in_old").isNull(), F.lit("added"))
+        .when(F.col("b.__in_new").isNull(), F.lit("removed"))
         .otherwise(F.lit("changed"))
         .alias("change"),
         *[F.col(f"a.{c}").alias(f"{c}_old") for c in compare],

@@ -525,3 +525,33 @@ def test_diff_versions_library_api(spark, tmp_path):
         ).collect()
     }
     assert only_price == {1, 3, 5}
+
+
+def test_diff_versions_null_keys_and_membership_only(spark, tmp_path):
+    """Review-caught edges: a NULL-keyed row classifies by join-side
+    PRESENCE (old-only -> removed, new-only -> added), never by key
+    nullness; compare=[] means membership-only — value changes drop."""
+    from etl_template_spark.io import diff_versions, write_versioned
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (None, 99.0)], "k int, price double"
+    )
+    v2 = spark.createDataFrame(
+        [(1, 11.0), (None, 77.0)], "k int, price double"
+    )
+    write_versioned(v1, root, "t")
+    write_versioned(v2, root, "t")
+    rows = diff_versions(spark, root, "t", key="k", v_old=1, v_new=2).collect()
+    null_rows = sorted(
+        ((r["change"], r["price_old"], r["price_new"]) for r in rows if r["k"] is None)
+    )
+    # NULL keys never join: the old 99.0 row is REMOVED, the new 77.0 ADDED
+    assert null_rows == [("added", None, 77.0), ("removed", 99.0, None)]
+    # membership-only: the 10.0 -> 11.0 change disappears, NULL-key
+    # membership rows stay
+    member = diff_versions(
+        spark, root, "t", key="k", v_old=1, v_new=2, compare=[]
+    ).collect()
+    assert {r["change"] for r in member} == {"added", "removed"}
+    assert all(r["k"] is None for r in member)
