@@ -76,3 +76,49 @@ def q_recluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         root, "li", sort_by=[Z_COL], sort_partitions=8,
     )
     return read_versioned(spark, root, "li").select(*_COLS)
+
+
+@register(
+    "q_recluster_hilbert",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    """,
+    tags=("sink", "etl", "layout"),
+)
+def q_recluster_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HILBERT re-clustering — the last §7 phase-7
+    candidate: same operational loop as q_recluster_zorder (clustered v1
+    + unclustered delta → recompute curve position over the MERGED key
+    domain → range sort → commit v2) but on the Hilbert curve, whose
+    consecutive positions are always ADJACENT grid cells (Morton order
+    jumps at power-of-two boundaries), so each sorted run covers a
+    tighter rectangle and footer-stats pruning discards more row groups
+    for the same sort cost — why lakehouse clustering prefers Hilbert
+    once the operational loop exists.  The oracle proves the
+    base → delta → merge → re-layout → read-back cycle lossless;
+    tests/test_io.py asserts the Hilbert transform bit-exact vs the
+    classic xy2d automaton and both-dimension pruning for this layout
+    routine."""
+    from ..layout import H_COL, with_hilbert
+
+    root = process_scratch_root("etl_rehilbert", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
+    base = li.where(F.col("l_orderkey") % 4 != 0)
+    delta = li.where(F.col("l_orderkey") % 4 == 0)
+
+    write_versioned(
+        with_hilbert(base, ["l_orderkey", "l_partkey"], bits=16),
+        root, "li", sort_by=[H_COL], sort_partitions=8,
+    )
+    write_versioned(delta, root, "li_delta")
+
+    merged = read_versioned(spark, root, "li").select(*_COLS).unionByName(
+        read_versioned(spark, root, "li_delta").select(*_COLS)
+    )
+    write_versioned(
+        with_hilbert(merged, ["l_orderkey", "l_partkey"], bits=16),
+        root, "li", sort_by=[H_COL], sort_partitions=8,
+    )
+    return read_versioned(spark, root, "li").select(*_COLS)

@@ -12,9 +12,11 @@ from etl_template_spark.__main__ import main
 
 
 def test_cli_list_and_tag_filter(capsys):
+    from etl_template_spark.queries import REGISTRY
+
     assert main(["list"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 149
+    assert len(out) == len(REGISTRY)
     assert all("\t" in line for line in out)
     assert main(["list", "--tag", "similarity"]) == 0
     tagged = capsys.readouterr().out.strip().splitlines()
