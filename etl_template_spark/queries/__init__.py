@@ -36,6 +36,7 @@ from . import (  # noqa: F401,E402
     crossencoder,
     retrieval,
     versiondiff,
+    bloomdedup,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -452,3 +452,16 @@ def test_version_diff_plans_sort_merge_full_outer(spark, sf_dir):
     assert "SortMergeJoin" in p and "FullOuter" in p
     assert "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dedup_bloom_two_phase_prefilter(spark, sf_dir):
+    """The membership-prefilter contract: the bucket probe is a
+    BROADCAST left-semi join (the compact set ships to every executor;
+    definite-new rows exit before any shuffle) followed by the exact
+    digest semi-join; no cartesian anywhere."""
+    p = plan_of(spark, sf_dir, "q_dedup_bloom")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    assert p.count("Join") >= 2  # bucket prefilter + exact verify
+    assert "BroadcastHashJoin" in p  # the bucket set is the broadcast side
+    assert "xxhash64" in p
