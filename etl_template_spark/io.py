@@ -595,6 +595,12 @@ def diff_versions(
     # presence markers, NOT key nullness, drive the classification: the
     # equality join is null-rejecting, so a NULL-keyed row never matches
     # and key-nullness would label an old-only NULL-key row "added"
+    for marker in ("__in_old", "__in_new"):
+        if marker in old.columns or marker in new.columns:
+            raise ValueError(
+                f"diff_versions reserves the column name {marker!r}; "
+                "rename it in the dataset before diffing"
+            )
     old = old.withColumn("__in_old", F.lit(1))
     new = new.withColumn("__in_new", F.lit(1))
     j = old.alias("a").join(

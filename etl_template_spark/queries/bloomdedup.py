@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..registry import register
 
-# 2^22 buckets: at most 4M distinct 8-byte bucket ids (~32 MB broadcast
+# 2^22 buckets (pmod, not %: Spark's % is signed and would double the
+# id range): at most 4M distinct 8-byte bucket ids (~32 MB broadcast
 # ceiling) regardless of corpus size; FP rate ~ |corpus|/2^22 per probe
 _BUCKETS = 1 << 22
 
@@ -78,10 +79,10 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
     buckets = corpus.select(
-        (F.xxhash64("h") % _BUCKETS).alias("bucket")
+        F.pmod(F.xxhash64("h"), F.lit(_BUCKETS)).alias("bucket")
     ).distinct()
     probable = (
-        shard.withColumn("bucket", F.xxhash64("h") % _BUCKETS)
+        shard.withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(_BUCKETS)))
         .join(F.broadcast(buckets), "bucket", "left_semi")
         .select("doc_id", "h")
     )

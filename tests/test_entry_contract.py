@@ -299,3 +299,25 @@ def test_every_query_has_a_docstring():
     for name, q in REGISTRY.items():
         assert (q.build.__doc__ or "").strip(), f"{name} has no __doc__"
         assert q.doc.strip(), f"{name} registered with empty doc"
+
+
+def test_documented_query_counts_match_registry():
+    """Stale-count tripwire: every doc that states the registry size
+    (README, verify SKILL.md, SURVEY's round-status line) must agree
+    with len(REGISTRY) — three review rounds caught this drifting after
+    query additions; now it fails the build instead."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    n = len(REGISTRY)
+    readme = open(os.path.join(repo, "README.md")).read()
+    assert f"`queries()` ({n}), `oracle_sql()` ({n})" in readme
+    assert f"## Operator coverage ({n} registered queries)" in readme
+    skill = open(
+        os.path.join(repo, ".claude", "skills", "verify", "SKILL.md")
+    ).read()
+    assert f"# {n} / {n} entries expected" in skill
+    survey = open(os.path.join(repo, "SURVEY.md")).read()
+    claims = re.findall(r"(\d+)/(\d+), rows-only set empty", survey)
+    assert claims and all(a == b == str(n) for a, b in claims), claims
