@@ -94,10 +94,12 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
       SUM(l_quantity) OVER (
-        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)                          AS qty_3row,
       SUM(l_quantity) OVER (
-        PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)                  AS qty_running,
       SUM(l_quantity) OVER (
         PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
@@ -110,9 +112,19 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS frames (moving 3-row sum, running total) and a time-based
     RANGE frame (trailing 7 days by epoch seconds) per supplier.
-    l_quantity is integral so double sums are exact in any order."""
+    l_quantity is integral so double sums are exact in any order.
+
+    The ROWS ordering carries l_quantity as a FINAL tiebreaker: the
+    synthetic fixture does not honor the TPC-H (orderkey, linenumber)
+    PK — sf0.1 contains same-key rows with different quantities — so
+    without it the 3-row frame straddling such a tie is engine-order-
+    dependent (caught by a 10x-scale differential soak; sf0.01 has no
+    such collision).  With it, remaining ties are value-identical in
+    the only windowed input, so every frame sum is order-invariant."""
     li = load_table(spark, sf_dir, "lineitem")
-    w_rows = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w_rows = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     w_range = (
         Window.partitionBy("l_suppkey")
         .orderBy(F.unix_seconds(F.col("l_shipdate").cast("timestamp")))

@@ -65,26 +65,27 @@ ROUND5_WINDOW = [
 # The intended round-6 correctness window, pinned at the end of the
 # round-6 build: the six new queries lead (fresh, oracle-backed:
 # LATERAL OUTER, Hilbert re-clustering, retrieval family, version diff,
-# bloom-prefiltered dedup — registry order), then the eleven invalidated
-# queries (similarity — the IVF/PQ oracle upgrade touched the module —
-# plus multimodal's NULL-text oracle fix, lateral's and recluster's new
-# siblings), then the entire 17-query r2-stale tail (joins family +
-# early TPC-H shapes, flagged by the r5 verdict as three rounds stale)
-# and the head of the r3 tail.
+# bloom-prefiltered dedup — registry order), then the sixteen
+# invalidated queries (similarity — the IVF/PQ oracle upgrade touched
+# the module — multimodal's NULL-text oracle fix, lateral's and
+# recluster's new siblings, and the windows family, whose q_win_frame
+# gained a total-order tiebreaker after a 10x-scale soak exposed a
+# fixture PK violation), then the entire 17-query r2-stale tail (joins
+# family + early TPC-H shapes) and the head of the r3 tail.
 ROUND6_WINDOW = [
     "q_lateral_outer", "q_recluster_hilbert", "q_bm25_rank", "q_dedup_url",
-    "q_version_diff", "q_dedup_bloom", "q_sim_search", "q_sim_search_lsh",
-    "q_dedup_embedding", "q_knn_join_blocked", "q_sim_search_ivf", "q_sim_search_pq",
-    "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames", "q_lateral_topk",
-    "q_recluster_zorder", "q_join_left", "q_join_right", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_multi",
-    "q_join_theta", "q_join_asof", "q_join_promo_share", "q_join_range",
-    "q_tpch_q3", "q_tpch_q18", "q_tpch_q4", "q_tpch_q7",
-    "q_tpch_q10", "q_tpch_q12", "q_tpch_q16", "q_tpch_q6",
-    "q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11",
-    "q_tpch_q13", "q_tpch_q15", "q_tpch_q17", "q_tpch_q19",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22", "q_win_rank",
-    "q_win_analytic", "q_win_frame",
+    "q_version_diff", "q_dedup_bloom", "q_win_rank", "q_win_analytic",
+    "q_win_frame", "q_topk_per_group", "q_win_distribution", "q_sim_search",
+    "q_sim_search_lsh", "q_dedup_embedding", "q_knn_join_blocked", "q_sim_search_ivf",
+    "q_sim_search_pq", "q_multimodal_meta", "q_multimodal_features", "q_multimodal_frames",
+    "q_lateral_topk", "q_recluster_zorder", "q_join_left", "q_join_right",
+    "q_join_full", "q_join_semi", "q_join_anti", "q_join_broadcast",
+    "q_join_multi", "q_join_theta", "q_join_asof", "q_join_promo_share",
+    "q_join_range", "q_tpch_q3", "q_tpch_q18", "q_tpch_q4",
+    "q_tpch_q7", "q_tpch_q10", "q_tpch_q12", "q_tpch_q16",
+    "q_tpch_q6", "q_tpch_q2", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q13", "q_tpch_q15", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q20",
 ]
 
 
