@@ -27,6 +27,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# runnable from a source checkout without installation: put the repo
+# root (this file's parent's parent) on sys.path before the import
+import os as _os
+import sys as _sys
+
+_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 from etl_template_spark import Pipeline, get_spark, read_versioned
 
 # The reference's literal extract fixture (etl.go:26-51), including its
