@@ -572,11 +572,22 @@ def diff_versions(
     v_old: int,
     v_new: int,
     compare: list[str] | None = None,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Changelog between two PINNED versions of a versioned dataset:
     one row per added / removed / changed key, with each compared
     column's old and new value side by side (``<col>_old`` /
     ``<col>_new``).  Unchanged rows drop out.
+
+    **Precondition: ``key`` must be unique within EACH version.**  The
+    full-outer equi-join below cross-products duplicate-key rows, so a
+    dup-key dataset silently yields an inflated, misleading changelog —
+    exactly the wrong failure mode for an audit API (round-6 ADVICE).
+    Pass ``check_unique=True`` to fail loudly instead: it runs one extra
+    key-cardinality aggregation per version (a scalar-only action, same
+    sanctioned class as the multimodal byte-total; the aggregation
+    reuses the key partitioning the diff join needs anyway) and raises
+    ``ValueError`` naming the offending version if any key repeats.
 
     The audit question every versioned refresh raises ("what did
     refresh N+1 change?"), answered as ONE sort-merge full-outer
@@ -601,6 +612,19 @@ def diff_versions(
                 f"diff_versions reserves the column name {marker!r}; "
                 "rename it in the dataset before diffing"
             )
+    if check_unique:
+        for label, ver, frame in (("old", v_old, old), ("new", v_new, new)):
+            dup = (
+                frame.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+            )
+            if dup.limit(1).count() > 0:
+                raise ValueError(
+                    f"diff_versions: key {keys} is not unique in the "
+                    f"{label} version (v={ver}) of step {step!r}; the "
+                    "changelog would cross-product duplicate keys"
+                )
     old = old.withColumn("__in_old", F.lit(1))
     new = new.withColumn("__in_new", F.lit(1))
     j = old.alias("a").join(

@@ -47,9 +47,18 @@ def _bm25_oracle() -> str:
     # Robertson & Zaragoza 2009.  All inputs to the per-term score are
     # integers or single IEEE divisions -> deterministic cross-engine;
     # the per-doc sum is decimal-exact.
+    # (k1 + 1.0) is cast to DOUBLE before the tf multiply: DuckDB would
+    # otherwise keep tf*(k1+1) on its exact DECIMAL path while Spark
+    # computes fl(tf * fl(k1+1)) — the two differ by 1-2 ulp for ~half
+    # of tf values, leaving round(...,6) to absorb the gap (round-6
+    # ADVICE).  The cast puts both engines on the identical double path
+    # (verified: (1.2+1.0)::DOUBLE and every tf*that product match
+    # Python's bit patterns exactly).  Every other literal in the score
+    # is either exactly representable (0.5, 1.0, 0.75) or already
+    # promoted to double by an adjacent division.
     score = (
         f"round(ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
-        f"(tf.tf * ({_BM25_K1} + 1.0)) / "
+        f"(tf.tf * (({_BM25_K1} + 1.0)::DOUBLE)) / "
         f"(tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / "
         f"(n.n_tokens * 1.0 / n.n_docs))), 6)"
     )

@@ -555,3 +555,40 @@ def test_diff_versions_null_keys_and_membership_only(spark, tmp_path):
     ).collect()
     assert {r["change"] for r in member} == {"added", "removed"}
     assert all(r["k"] is None for r in member)
+
+
+def test_diff_versions_check_unique_guard(spark, tmp_path):
+    """Round-6 ADVICE: duplicate keys cross-product through the
+    full-outer diff join, inflating the changelog.  check_unique=True
+    fails loudly naming the offending version; the default stays lazy
+    (no extra action) and the docstring carries the precondition."""
+    import pytest
+
+    from etl_template_spark.io import diff_versions, write_versioned
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame([(1, 10.0), (1, 11.0)], "k int, price double")
+    v2 = spark.createDataFrame([(1, 12.0)], "k int, price double")
+    write_versioned(v1, root, "t")
+    write_versioned(v2, root, "t")
+    with pytest.raises(ValueError, match=r"not unique in the old version \(v=1\)"):
+        diff_versions(
+            spark, root, "t", key="k", v_old=1, v_new=2, check_unique=True
+        )
+    # dup in the NEW side is named as such
+    write_versioned(
+        spark.createDataFrame([(1, 12.0), (1, 13.0)], "k int, price double"),
+        root,
+        "t",
+    )
+    with pytest.raises(ValueError, match=r"not unique in the new version \(v=3\)"):
+        diff_versions(
+            spark, root, "t", key="k", v_old=2, v_new=3, check_unique=True
+        )
+    # unique keys pass the guard and the diff still computes
+    assert (
+        diff_versions(
+            spark, root, "t", key="k", v_old=1, v_new=2, check_unique=False
+        ).count()
+        > 0
+    )
