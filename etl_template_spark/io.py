@@ -646,3 +646,65 @@ def diff_versions(
         # NULL-safe inequality: a changed-to/from-NULL value counts
         keep = keep | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
     return out.where(keep)
+
+
+def apply_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str | list[str],
+    compare: list[str],
+) -> DataFrame:
+    """Apply a ``diff_versions``-shaped changelog to ``base`` — the CDC
+    MERGE that turns version N plus the N→N+1 changelog back into
+    version N+1 (``MERGE ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT / WHEN MATCHED [removed] DELETE`` in SQL terms).  This is the
+    reference's resume story at dataset granularity (tools.go:676-806's
+    checkpointed re-run, generalized): an incremental consumer holds a
+    materialized copy of version N and advances it with the bounded
+    changelog instead of re-reading the full refresh.
+
+    ``changelog`` must carry the ``diff_versions`` output columns for
+    the same ``key``/``compare``: the key columns, ``change`` in
+    {'added','removed','changed'}, and ``<col>_new`` for every compared
+    column.  ``compare`` must list EVERY non-key column of ``base`` —
+    otherwise inserted rows could not be reconstructed from the
+    changelog (raises ``ValueError`` up front instead of emitting NULLs
+    for the missing columns).  Keys must be unique AND non-NULL in
+    ``base``: uniqueness is the ``diff_versions`` precondition carried
+    through, and non-NULLness is what makes a key-based merge
+    well-defined at all — ``diff_versions`` reports NULL-keyed rows as
+    membership-only added/removed, but a NULL key cannot *address* a
+    base row through a null-rejecting equi-join, so applying such a
+    changelog would keep the old NULL-keyed row and union in the new
+    one.
+
+    Plan shape, and why it holds at 100 TB: a changelog is BOUNDED by
+    the refresh delta while the base is the full corpus, so the merge is
+    one left-anti equi-join of base against the changelog keys (AQE
+    broadcasts the changelog side when it fits — no base shuffle at
+    all) plus a union with the changelog's own upsert rows.  The base
+    is never rewritten, only filtered; with the changelog broadcast the
+    whole merge is a single scan over the base."""
+    keys = [key] if isinstance(key, str) else list(key)
+    missing = [c for c in base.columns if c not in keys and c not in compare]
+    if missing:
+        raise ValueError(
+            f"apply_changelog: compare={compare} does not cover base "
+            f"columns {missing}; inserted rows could not be reconstructed"
+        )
+    # upserts: added + changed rows materialize at their NEW values,
+    # projected back to the base schema (and base column ORDER — the
+    # merge output is indistinguishable from the target version)
+    upserts = changelog.where(F.col("change").isin("added", "changed")).select(
+        *[
+            F.col(c) if c in keys else F.col(f"{c}_new").alias(c)
+            for c in base.columns
+        ]
+    )
+    # untouched: base rows with NO changelog entry.  Removed and changed
+    # keys both drop here (changed keys re-enter via upserts).  No
+    # forced broadcast hint: a bounded delta changelog gets broadcast by
+    # AQE at runtime, while a rewrite-sized changelog falls back to a
+    # sort-merge anti-join instead of OOMing the driver on a hint.
+    untouched = base.join(changelog.select(*keys), keys, "left_anti")
+    return untouched.unionByName(upserts)

@@ -37,6 +37,7 @@ from . import (  # noqa: F401,E402
     retrieval,
     versiondiff,
     bloomdedup,
+    changelog,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -557,6 +557,56 @@ def test_diff_versions_null_keys_and_membership_only(spark, tmp_path):
     assert all(r["k"] is None for r in member)
 
 
+def test_apply_changelog_roundtrip_identity(spark, tmp_path):
+    """CDC MERGE contract: apply_changelog(v1, diff_versions(v1, v2))
+    reproduces v2 exactly — added rows insert, removed rows drop,
+    changed rows take their new values (including to/from NULL),
+    unchanged rows pass through untouched."""
+    from etl_template_spark.io import (
+        apply_changelog,
+        diff_versions,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k int, price double, tag string",
+    )
+    v2 = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 30.0, "c"), (4, None, "D"), (5, 50.0, "e")],
+        "k int, price double, tag string",
+    )
+    write_versioned(v1, root, "t")
+    write_versioned(v2, root, "t")
+    clog = diff_versions(
+        spark, root, "t", key="k", v_old=1, v_new=2, compare=["price", "tag"]
+    )
+    merged = apply_changelog(
+        read_versioned(spark, root, "t", version=1),
+        clog,
+        key="k",
+        compare=["price", "tag"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, v2.collect()))
+
+
+def test_apply_changelog_requires_full_compare_coverage(spark):
+    """compare must cover every non-key base column, else inserted rows
+    could not be reconstructed — fails up front, not with silent NULLs."""
+    import pytest
+
+    from etl_template_spark.io import apply_changelog
+
+    base = spark.createDataFrame([(1, 1.0, "x")], "k int, price double, tag string")
+    clog = spark.createDataFrame(
+        [(2, "added", 2.0)], "k int, change string, price_new double"
+    )
+    with pytest.raises(ValueError, match=r"does not cover base columns \['tag'\]"):
+        apply_changelog(base, clog, key="k", compare=["price"])
+
+
 def test_diff_versions_check_unique_guard(spark, tmp_path):
     """Round-6 ADVICE: duplicate keys cross-product through the
     full-outer diff join, inflating the changelog.  check_unique=True
