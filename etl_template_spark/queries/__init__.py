@@ -38,6 +38,7 @@ from . import (  # noqa: F401,E402
     versiondiff,
     bloomdedup,
     changelog,
+    interleave,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -664,3 +664,41 @@ def test_weighted_rate_sql_survives_digitless_source(duck):
         f"SELECT {_RATE_SQL} AS rate FROM (SELECT 'web' AS source)"
     ).fetchone()[0]
     assert got == 100
+
+
+def test_shuffle_interleave_order_properties(spark, sf_dir):
+    """The training-order contract: deterministic across calls, a NEW
+    permutation per seed, shards partition the corpus contiguously
+    along the global order, shard_pos is dense 1..len(shard), and no
+    source clumps (every source lands in both halves of the order)."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries.interleave import shuffle_interleave
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = shuffle_interleave(d, seed=42, n_shards=8).collect()
+    b = shuffle_interleave(d, seed=42, n_shards=8).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]  # deterministic
+    c = shuffle_interleave(d, seed=43, n_shards=8).collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]  # seed matters
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in c)
+
+    # shards cut the GLOBAL order contiguously: shard ids are
+    # non-decreasing along the returned (range-sorted) order
+    shards = [r["shard"] for r in a]
+    assert shards == sorted(shards)
+    assert set(shards) <= set(range(8))
+    # shard_pos is dense 1..n within each shard, following the order
+    from collections import Counter, defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["shard_pos"])
+    for sh, poss in by_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), sh
+
+    # anti-clumping: every source appears in BOTH halves of the order
+    half = len(a) // 2
+    first = {r["source"] for r in a[:half]}
+    second = {r["source"] for r in a[half:]}
+    every = {r["source"] for r in a}
+    assert first == every and second == every
