@@ -39,6 +39,7 @@ from . import (  # noqa: F401,E402
     bloomdedup,
     changelog,
     interleave,
+    semdedup,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]
