@@ -7,6 +7,7 @@ from .jobs import (  # noqa: F401
     dedup_stream_within_watermark,
     distinct_users_stream,
     funnel_stream,
+    funnel_tws_stream,
     join_streams,
     read_events_stream,
     retention_stream,

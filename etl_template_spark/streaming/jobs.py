@@ -431,6 +431,121 @@ def funnel_stream(
     )
 
 
+def funnel_tws_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    idle_ttl: str | None = None,
+) -> DataFrame:
+    """``funnel_stream`` on the Spark 4 ``transformWithState`` API:
+    the same view→click→purchase monotone stage machine, with the state
+    as a named TYPED ValueState and idle eviction as an explicit per-key
+    processing-time TIMER instead of the old API's blanket
+    ``setTimeoutDuration``.
+
+    Why timers beat the old timeout for this operator: the timer is a
+    first-class, inspectable piece of state (``listTimers``), it re-arms
+    per key on every update (`registerTimer` after `deleteTimer` — one
+    live timer per key, so eviction fires exactly ``idle_ttl`` after the
+    LAST event), and expiry runs a dedicated ``handleExpiredTimer``
+    callback that can clean up MULTIPLE state variables atomically —
+    the shape every session-like operator needs once state stops being
+    one tuple.  Eviction CLEARS the funnel rather than emitting a
+    tombstone: a returning evicted user restarts at stage 1, identical
+    to ``funnel_stream``'s TTL contract (test_streaming proves eviction
+    shrinks the RocksDB store for the old API; this one follows the
+    same protocol).
+
+    At 100 TB-scale streams: state is three timestamps + one timer per
+    user key in RocksDB (``ROCKSDB_STATE_CONF``), output is Update-mode
+    deltas, and timer expiry batches by key-group — no scan of the full
+    store.  Runtime gate (same as ``running_totals_tws_stream``): the
+    transformWithState Python workers need ``google.protobuf``; plan
+    construction is dependency-free and ``funnel_stream`` is the
+    fallback with identical semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
+
+    class _Funnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._funnel = handle.getValueState(
+                "funnel", "tv timestamp, tc timestamp, tp timestamp"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            tv, tc, tp = (
+                self._funnel.get() if self._funnel.exists() else (None, None, None)
+            )
+            pdfs = list(rows)
+            batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
+            if len(batch):
+                # same monotone fold as funnel_stream: batch rows in
+                # event-time order; stages never regress
+                for _, r in batch.sort_values("ts").iterrows():
+                    et, ts = r["event_type"], r["ts"]
+                    if et == "view" and tv is None:
+                        tv = ts
+                    elif (
+                        et == "click" and tc is None and tv is not None and ts > tv
+                    ):
+                        tc = ts
+                    elif (
+                        et == "purchase"
+                        and tp is None
+                        and tc is not None
+                        and ts > tc
+                    ):
+                        tp = ts
+            self._funnel.update((tv, tc, tp))
+            if ttl_ms is not None:
+                # exactly one live timer per key, re-armed on every
+                # update so it fires idle_ttl after the LAST event
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + ttl_ms
+                )
+            if tv is not None:
+                stage = 3 if tp is not None else (2 if tc is not None else 1)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "t_view": [tv],
+                        "t_click": [tc],
+                        "t_purchase": [tp],
+                        "stage": [stage],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # idle eviction: drop the funnel state (the timer that fired
+            # is already consumed); a returning user restarts at stage 1
+            self._funnel.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Funnel(),
+            outputStructType=(
+                "user_id bigint, t_view timestamp, t_click timestamp, "
+                "t_purchase timestamp, stage int"
+            ),
+            outputMode="Update",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+    )
+
+
 def retention_stream(
     events: DataFrame, watermark: str = "1 hour", idle_ttl: str | None = None
 ) -> DataFrame:

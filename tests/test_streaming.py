@@ -698,3 +698,73 @@ def test_retention_stream_idle_ttl_evicts_state_rows(spark, tmp_path):
     assert shrunk_to == 0, (
         f"idle users were not evicted (peak={peak}, after-TTL={shrunk_to})"
     )
+
+
+def test_funnel_tws_plan_constructs(spark, events_dir):
+    """funnel_tws_stream plan construction is environment-free (both
+    with and without the timer-armed TTL path): the unstarted streaming
+    frame must carry the declared output schema."""
+    from etl_template_spark.streaming import funnel_tws_stream
+
+    for ttl in (None, "90 days"):
+        out = funnel_tws_stream(
+            read_events_stream(spark, events_dir), idle_ttl=ttl
+        )
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "user_id", "t_view", "t_click", "t_purchase", "stage",
+        ]
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python workers require google.protobuf "
+    "(absent in this container); funnel_stream covers the same "
+    "semantics on applyInPandasWithState",
+)
+def test_funnel_tws_matches_batch_twin_over_backlog(spark, tmp_path):
+    """The typed-state/timer funnel must land on the same final
+    per-user stages as funnel_stream over the same bounded backlog
+    (update mode: keep each user's LAST emission)."""
+    from etl_template_spark.streaming import funnel_tws_stream
+    from etl_template_spark.streaming.jobs import ROCKSDB_STATE_CONF
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 0.0),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 5.0),
+        (4, "2024-01-01 09:00:00", 2, "click", 0.0),
+        (5, "2024-01-01 10:00:00", 2, "view", 0.0),
+        (6, "2024-01-01 11:00:00", 3, "view", 0.0),
+        (7, "2024-01-01 11:30:00", 3, "click", 0.0),
+        (8, "2024-01-01 12:00:00", 4, "purchase", 9.0),
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in rows:
+            f.write(json.dumps({
+                "event_id": e[0], "ts": e[1], "user_id": e[2],
+                "event_type": e[3], "value": e[4], "props": "{}",
+            }) + "\n")
+
+    old = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        out = funnel_tws_stream(
+            read_events_stream(spark, path), idle_ttl="90 days"
+        )
+        run_available_now(out, "funnel_tws_out", str(tmp_path / "ckpt"),
+                          output_mode="update")
+        got = {
+            r["user_id"]: r["stage"]
+            for r in spark.table("funnel_tws_out").collect()
+        }
+        assert got == {1: 3, 2: 1, 3: 2}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
