@@ -10,6 +10,10 @@ full query inventory.
     python -m etl_template_spark run q_agg_group [--sf-dir DIR]
         [--show N] [--out ROOT]      # --out commits a versioned dataset
     python -m etl_template_spark oracle q_agg_group   # print DuckDB SQL
+    python -m etl_template_spark example etl_template [data_root]
+
+Installed wheels expose the same CLI as the ``etl-template-spark``
+console script (pyproject ``[project.scripts]``).
 
 ``run`` executes the query's full plan; with ``--out`` the result
 commits through the atomic versioned sink (the same write path every
@@ -41,12 +45,45 @@ def _build_parser() -> argparse.ArgumentParser:
 
     p_orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     p_orc.add_argument("name")
-    # worked pipelines are plain scripts: python examples/etl_template.py
+
+    from .examples import EXAMPLE_NAMES
+
+    p_ex = sub.add_parser(
+        "example",
+        help="run a worked example pipeline (etl_template_spark.examples)",
+    )
+    p_ex.add_argument("name", choices=list(EXAMPLE_NAMES))
+    p_ex.add_argument(
+        "args",
+        nargs="*",
+        help="positional args, same as the example module's script usage",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "example":
+        import tempfile
+
+        a = args.args
+        if args.name == "etl_template":
+            from .examples.etl_template import run
+
+            run(a[0] if a else tempfile.mkdtemp(prefix="etl_example_"))
+        elif args.name == "streaming_ingest":
+            from .examples.streaming_ingest import run
+
+            run(a[0] if a else tempfile.mkdtemp(prefix="ingest_example_"))
+        else:  # curation_pipeline [sf_dir] [data_root]
+            from .examples.curation_pipeline import SF_DIR, run
+
+            run(
+                a[1] if len(a) > 1 else None,
+                a[0] if a else SF_DIR,
+            )
+        return 0
+
     from .queries import REGISTRY
 
     if args.cmd == "list":

@@ -20,7 +20,8 @@ the atomic claim, so a crashed run resumes at step granularity
 manifest records per-step row counts via observed metrics — no second
 scan of written data.
 
-Run:  python examples/curation_pipeline.py [sf_dir] [data_root]
+Run:  python -m etl_template_spark example curation_pipeline [sf_dir] [data_root]
+      (or `etl-template-spark example curation_pipeline` once installed)
 Also executed in CI (tests/test_pipeline.py::test_curation_example_runs)
 so this document cannot rot.
 """
@@ -34,17 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-# runnable from a source checkout without installation: put the repo
-# root (this file's parent's parent) on sys.path before the import
-import os as _os
-import sys as _sys
-
-_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-if _repo not in _sys.path:
-    _sys.path.insert(0, _repo)
-
-from etl_template_spark import Pipeline, get_spark
-from etl_template_spark.io import load_table
+from .. import Pipeline, get_spark
+from ..io import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 SEQ_BUDGET = 512
@@ -54,7 +46,7 @@ BUDGET_FRAC = 0.6  # q_sample_budget's fraction — keep 60% of each source's ch
 def scrub(spark: SparkSession, _: DataFrame | None, sf_dir: str = SF_DIR) -> DataFrame:
     """PII-redact the raw corpus (regex projection — codegen'd, no
     shuffle; same expressions as the registered q_pii_scrub)."""
-    from etl_template_spark.queries.curation import pii_scrub_cols
+    from ..queries.curation import pii_scrub_cols
 
     d = load_table(spark, sf_dir, "documents")
     cols = pii_scrub_cols("text")
@@ -70,7 +62,7 @@ def sample(spark: SparkSession, scrubbed: DataFrame) -> DataFrame:
     per-source rate spec broadcasts onto the scan; acceptance is a pure
     hash-bucket predicate (q_sample_weighted's discipline), so re-runs
     and backfills keep identical rows."""
-    from etl_template_spark.queries.sampling import hash_bucket, mixture_spec
+    from ..queries.sampling import hash_bucket, mixture_spec
 
     spec = mixture_spec(scrubbed)
     return (

@@ -14,7 +14,8 @@ reference mechanism to its Spark-native replacement:
     etl_run_status.json (tools.go:84-272)       run manifest JSON
     per-record LoopState resume (tools.go:611)  resume=True step skip
 
-Run:  python examples/etl_template.py [data_root]
+Run:  python -m etl_template_spark example etl_template [data_root]
+      (or `etl-template-spark example etl_template` once installed)
 Also executed in CI (tests/test_pipeline.py::test_worked_example_runs)
 so this document cannot rot.
 """
@@ -27,16 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# runnable from a source checkout without installation: put the repo
-# root (this file's parent's parent) on sys.path before the import
-import os as _os
-import sys as _sys
-
-_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-if _repo not in _sys.path:
-    _sys.path.insert(0, _repo)
-
-from etl_template_spark import Pipeline, get_spark, read_versioned
+from .. import Pipeline, get_spark, read_versioned
 
 # The reference's literal extract fixture (etl.go:26-51), including its
 # two poison-pill sentinels ("Bad User Transform"/"Bad User Load",

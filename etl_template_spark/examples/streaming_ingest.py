@@ -23,7 +23,8 @@ the engine's pieces end-to-end:
 Duplicate deliveries — the reality the reference's retry loop guards
 against — are collapsed by watermarked dedup BEFORE the sink.
 
-Run:  python examples/streaming_ingest.py [data_root]
+Run:  python -m etl_template_spark example streaming_ingest [data_root]
+      (or `etl-template-spark example streaming_ingest` once installed)
 CI:   tests/test_pipeline.py::test_streaming_ingest_example_runs
 """
 
@@ -35,18 +36,9 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-# runnable from a source checkout without installation: put the repo
-# root (this file's parent's parent) on sys.path before the import
-import os as _os
-import sys as _sys
-
-_repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-if _repo not in _sys.path:
-    _sys.path.insert(0, _repo)
-
-from etl_template_spark import get_spark, read_versioned
-from etl_template_spark.io import latest_version
-from etl_template_spark.streaming import (
+from .. import get_spark, read_versioned
+from ..io import latest_version
+from ..streaming import (
     dedup_stream,
     read_events_stream,
     versioned_stream_sink,

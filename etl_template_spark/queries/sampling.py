@@ -70,7 +70,7 @@ _RATE_SQL = (
 def mixture_spec(d: DataFrame) -> DataFrame:
     """(source, rate) mixture-spec frame over ``d``'s distinct sources —
     the builder-side statement of `_RATE_SQL`, shared with the worked
-    example (examples/curation_pipeline.py) so the rate rule cannot
+    example (etl_template_spark/examples/curation_pipeline.py) so the rate rule cannot
     silently diverge."""
     src_num = F.coalesce(
         F.regexp_extract(F.col("source"), r"([0-9]+)$", 1).cast("int"), F.lit(0)

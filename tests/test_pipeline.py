@@ -249,22 +249,13 @@ def test_parallel_run_fail_fast_skips_later_levels(spark, tmp_path):
 
 
 def test_worked_example_runs(spark, tmp_path, monkeypatch):
-    """examples/etl_template.py — the reference's 3-step pipeline as
+    """examples.etl_template — the reference's 3-step pipeline as
     living documentation — must actually run: Completed status, one
     version per step, the Processed_<name>_Individually transform
     applied (etl.go:57)."""
-    import importlib.util
-    import os as _os
-
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "etl_template_example", _os.path.join(repo, "examples", "etl_template.py")
-    )
-    ex = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ex)
+    from etl_template_spark.examples import etl_template as ex
 
     # reuse the test session instead of the example's own factory
-    import etl_template_spark as pkg
     monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
 
     root = str(tmp_path / "data")
@@ -274,7 +265,7 @@ def test_worked_example_runs(spark, tmp_path, monkeypatch):
     from etl_template_spark.pipeline import PipelineRun
 
     manifest = PipelineRun.load_status(
-        "etl_template", _os.path.join(root, "status", "etl_template.json")
+        "etl_template", os.path.join(root, "status", "etl_template.json")
     )
     assert manifest is not None
     assert all(s.status == "Completed" for s in manifest.steps.values())
@@ -311,20 +302,12 @@ def test_step_register_stats_populates_catalog(spark, tmp_path):
 
 
 def test_streaming_ingest_example_runs(spark, tmp_path, monkeypatch):
-    """examples/streaming_ingest.py — the reference's checkpointed
+    """examples.streaming_ingest — the reference's checkpointed
     record loop as a streaming ingest — must run: dedup collapses the
     redelivered event, the versioned sink commits exactly one version,
     and a checkpoint-resumed rerun with no new data commits nothing."""
-    import importlib.util
-    import os as _os
+    from etl_template_spark.examples import streaming_ingest as ex
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "streaming_ingest_example",
-        _os.path.join(repo, "examples", "streaming_ingest.py"),
-    )
-    ex = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ex)
     monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
 
     root = str(tmp_path / "data")
@@ -340,19 +323,12 @@ def test_streaming_ingest_example_runs(spark, tmp_path, monkeypatch):
 
 
 def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
-    """examples/curation_pipeline.py — the LLM-curation composition as
+    """examples.curation_pipeline — the LLM-curation composition as
     living documentation — must run end-to-end: all steps Completed,
     versioned outputs readable, packing invariants hold (offsets inside
     the budget, monotone sequence ids per domain)."""
-    import importlib.util
-    import os as _os
+    from etl_template_spark.examples import curation_pipeline as ex
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "curation_example", _os.path.join(repo, "examples", "curation_pipeline.py")
-    )
-    ex = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ex)
     monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
 
     root = str(tmp_path / "data")
