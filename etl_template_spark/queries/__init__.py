@@ -40,6 +40,9 @@ from . import (  # noqa: F401,E402
     changelog,
     interleave,
     semdedup,
+    incremental,
+    timeseries,
+    profiling,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

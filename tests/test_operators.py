@@ -702,3 +702,45 @@ def test_shuffle_interleave_order_properties(spark, sf_dir):
     second = {r["source"] for r in a[half:]}
     every = {r["source"] for r in a}
     assert first == every and second == every
+
+
+def test_agg_state_merge_is_associative_and_exact(spark, sf_dir):
+    """The incremental-agg algebra: splitting orders into 3 arbitrary
+    partitions and merging their states in either grouping lands on the
+    bit-identical totals of the from-scratch aggregate — the decimal
+    state makes merge order immaterial."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries.incremental import agg_state, merge_agg_state
+
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        agg_state(orders.where(F.expr(f"o_orderkey % 3 = {i}")),
+                  "o_custkey", "o_totalprice")
+        for i in range(3)
+    ]
+    full = agg_state(orders, "o_custkey", "o_totalprice")
+
+    def norm(df):
+        return sorted(
+            (r["o_custkey"], r["n"], float(r["total_dec"]))
+            for r in df.collect()
+        )
+
+    left = merge_agg_state(merge_agg_state(parts[0], parts[1], "o_custkey"),
+                           parts[2], "o_custkey")
+    right = merge_agg_state(parts[0],
+                            merge_agg_state(parts[1], parts[2], "o_custkey"),
+                            "o_custkey")
+    assert norm(left) == norm(right) == norm(full)
+
+
+def test_date_spine_inclusive_bounds(spark):
+    """date_spine covers [lo, hi] inclusive, one row per day."""
+    from etl_template_spark.queries.timeseries import date_spine
+
+    bounds = spark.createDataFrame(
+        [("2024-02-27", "2024-03-02")], "lo string, hi string"
+    ).select(F.to_date("lo").alias("lo"), F.to_date("hi").alias("hi"))
+    days = [str(r["d"]) for r in date_spine(bounds, "lo", "hi").collect()]
+    assert days == ["2024-02-27", "2024-02-28", "2024-02-29",
+                    "2024-03-01", "2024-03-02"]  # leap day included
