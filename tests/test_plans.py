@@ -308,6 +308,8 @@ _BNLJ_ALLOWED = {
     "q_sim_search_ivf": "1-row query vector + k centroids",
     "q_sim_search_pq": "1-row query vector + k-entry code tables",
     "q_stream_dedup_late": "1-row watermark-cutoff scalar (batch twin)",
+    "q_dedup_semantic": "k-row broadcast centroid table (IVF assignment)",
+    "q_distribution_drift": "1-row corpus-total scalar feeding Q(lang)",
 }
 
 
