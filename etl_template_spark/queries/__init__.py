@@ -43,6 +43,12 @@ from . import (  # noqa: F401,E402
     incremental,
     timeseries,
     profiling,
+    repetition,
+    entityres,
+    inverted,
+    anomaly,
+    collocations,
+    impute,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

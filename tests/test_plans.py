@@ -310,6 +310,9 @@ _BNLJ_ALLOWED = {
     "q_stream_dedup_late": "1-row watermark-cutoff scalar (batch twin)",
     "q_dedup_semantic": "k-row broadcast centroid table (IVF assignment)",
     "q_distribution_drift": "1-row corpus-total scalar feeding Q(lang)",
+    "q_anomaly_mad": "1-row median/MAD scalars over the bounded daily series",
+    "q_ngram_pmi": "1-row unigram/bigram corpus totals feeding pmi",
+    "q_locf_impute": "calendar-bounded date spine crossed onto the entity dim",
 }
 
 

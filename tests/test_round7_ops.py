@@ -1,0 +1,193 @@
+"""Edge-case unit tests for the round-7 new-class operators, on tiny
+inline frames or fixture-level invariants the oracle differential can't
+isolate: planted repetition patterns, linkage recovery, LOCF carry
+semantics, MAD degenerate cases, and inverted-index postings shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_template_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- quality_repetition ----
+
+
+def test_repetition_signals_on_planted_docs(spark, monkeypatch, tmp_path):
+    """A doc that is one 5-gram repeated must score dup_5gram_frac=1.0
+    and verdict=drop; a run of the same word must be measured exactly;
+    an all-distinct doc must score 0 and keep."""
+    import etl_template_spark.queries.repetition as rep
+
+    rows = [
+        # "a b c d e" * 4 → every 5-gram occurs >1? Not all, but the
+        # repeated-phrase doc is dominated by duplicate grams.
+        (1, " ".join(["a b c d e"] * 4)),
+        (2, "x x x x y z q w"),  # run of 4 'x'
+        (3, "p q r s t u v w"),  # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        rep, "load_table", lambda _spark, _sf, _t: df.withColumn(
+            "n_chars", F.length("text")
+        )
+    )
+    out = {r["doc_id"]: r for r in rep.q_quality_repetition(spark, SF).collect()}
+
+    # doc 1: 20 tokens → 16 5-grams; the window wraps the phrase
+    # boundary, and each of the 5 rotations occurs >1 time except the
+    # tail ones — every gram is one of 5 rotations, counts 16/5 → all >1.
+    assert out[1]["dup_5gram_frac"] == 1.0
+    assert out[1]["verdict"] == "drop"
+    assert out[1]["max_word_run"] == 1
+
+    assert out[2]["max_word_run"] == 4
+    assert out[2]["verdict"] == "keep"
+
+    assert out[3]["dup_5gram_frac"] == 0.0
+    assert out[3]["max_word_run"] == 1
+    assert out[3]["verdict"] == "keep"
+
+    # top bigram tiebreak is deterministic: doc 3's bigrams are all
+    # count-1, so the lexicographically smallest wins.
+    assert out[3]["top_bigram"] == "p q"
+
+
+def test_repetition_short_docs_null_not_crash(spark, monkeypatch):
+    """Docs below the 5-gram (and bigram) thresholds yield NULL signals
+    and verdict=keep — never a division error or a dropped row."""
+    import etl_template_spark.queries.repetition as rep
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(rep, "load_table", lambda *_: df)
+    out = {r["doc_id"]: r for r in rep.q_quality_repetition(spark, SF).collect()}
+    assert len(out) == 2
+    assert out[1]["n_5grams"] is None and out[1]["dup_5gram_frac"] is None
+    assert out[1]["top_bigram"] is None
+    assert out[1]["verdict"] == "keep"
+    assert out[2]["top_bigram"] == "two words"
+
+
+# ------------------------------------------------- entity_resolution ----
+
+
+def test_entity_resolution_recovers_every_source_row(spark):
+    """All four perturbation classes are ≤1 edit while same-suffix
+    confusables cost ≥2, so best-match resolution must recover the
+    original customer for EVERY dirty record (is_correct all 1) and
+    produce exactly one row per customer."""
+    out = REGISTRY["q_entity_resolution"].build(spark, SF)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_correct").alias("correct"),
+        F.max("lev").alias("max_lev"),
+    ).collect()[0]
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert agg["n"] == n_customers
+    assert agg["correct"] == n_customers
+    assert agg["max_lev"] <= 1
+
+
+# --------------------------------------------------------- locf_impute ----
+
+
+def test_locf_carries_last_value_and_leading_nulls(spark, monkeypatch):
+    """Plant a sparse series: value holds between observations, days
+    before the first observation stay NULL, was_filled marks gaps."""
+    import etl_template_spark.queries.impute as imp
+
+    rows = [
+        (1, "2024-01-02 10:00:00", 7, "purchase", 5.0),
+        (2, "2024-01-04 09:00:00", 7, "purchase", 9.0),
+        # user 17 observed only on day 3
+        (3, "2024-01-03 12:00:00", 17, "purchase", 2.0),
+        # later same-day event must win the argmax pick
+        (4, "2024-01-04 11:00:00", 7, "purchase", 11.0),
+        # non-purchase noise must be ignored
+        (5, "2024-01-01 00:00:00", 7, "view", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(imp, "load_table", lambda *_: df)
+    out = {
+        (r["user_id"], str(r["d"])): r
+        for r in imp.q_locf_impute(spark, SF).collect()
+    }
+    # spine spans 01-02 .. 01-04 (bounds from purchases only)
+    assert len(out) == 6  # 2 users x 3 days
+    assert out[(7, "2024-01-02")]["value_locf"] == 5.0
+    assert out[(7, "2024-01-03")]["value_locf"] == 5.0  # carried
+    assert out[(7, "2024-01-03")]["was_filled"] == 1
+    assert out[(7, "2024-01-04")]["value_locf"] == 11.0  # same-day argmax
+    assert out[(17, "2024-01-02")]["value_locf"] is None  # before first obs
+    assert out[(17, "2024-01-03")]["value_locf"] == 2.0
+    assert out[(17, "2024-01-04")]["value_locf"] == 2.0
+
+
+# --------------------------------------------------------- anomaly_mad ----
+
+
+def test_mad_flags_planted_outlier_and_degenerate_series(spark, monkeypatch):
+    """A constant series degenerates (MAD=0 → NULL scores, no flags);
+    a planted 100x day must flag."""
+    import etl_template_spark.queries.anomaly as anom
+
+    def mk(values):
+        rows = [
+            (i * 10 + j, f"2024-01-{i+1:02d} 00:00:0{j}", 1, "purchase", float(v))
+            for i, day in enumerate(values)
+            for j, v in enumerate([day])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    monkeypatch.setattr(anom, "load_table", lambda *_: mk([3.0] * 9))
+    const = anom.q_anomaly_mad(spark, SF).collect()
+    assert all(r["mad_score"] is None and r["is_anomaly"] == 0 for r in const)
+
+    monkeypatch.setattr(
+        anom, "load_table", lambda *_: mk([10.0, 11.0, 9.0, 10.5, 9.5, 1000.0, 10.2])
+    )
+    flagged = {str(r["d"]): r["is_anomaly"] for r in anom.q_anomaly_mad(spark, SF).collect()}
+    assert flagged["2024-01-06"] == 1
+    assert sum(flagged.values()) == 1
+
+
+# ----------------------------------------------------- index_inverted ----
+
+
+def test_inverted_index_postings_shape(spark):
+    """Postings invariants on the fixture: tf equals the position-list
+    length, positions are strictly increasing, df/cf are consistent,
+    and only the doc shard emits postings."""
+    out = REGISTRY["q_index_inverted"].build(spark, SF)
+    bad = out.filter(
+        (F.size(F.split("positions", ",")) != F.col("tf"))
+        | (F.col("doc_id") % 10 != 3)
+        | (F.col("cf") < F.col("df"))
+        | (F.col("df") <= 0)
+    )
+    assert bad.count() == 0
+    # strictly increasing positions: sorted-unique join equals raw
+    one = out.limit(50).select("positions").collect()
+    for r in one:
+        ps = [int(x) for x in r["positions"].split(",")]
+        assert ps == sorted(set(ps))
+
+
+# ------------------------------------------------------------ ngram_pmi ----
+
+
+def test_pmi_rows_respect_count_floor_and_k(spark):
+    out = REGISTRY["q_ngram_pmi"].build(spark, SF).collect()
+    assert 0 < len(out) <= 30
+    assert all(r["pair_count"] >= 5 for r in out)
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
