@@ -49,6 +49,9 @@ from . import (  # noqa: F401,E402
     anomaly,
     collocations,
     impute,
+    sketches,
+    attribution,
+    temporal,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

@@ -90,28 +90,30 @@ ROUND6_WINDOW = [
 
 
 # The intended round-7 correctness window, pinned at the end of the
-# round-7 build: the thirteen new queries lead (registry order — the
-# CDC/interleave/semantic-dedup/IVM/gapfill/profiling slice, then the
-# repetition/linkage/index/anomaly/PMI/LOCF slice), then the seven
-# invalidated entries (sampling family — module edited this round —
-# plus bm25/url-dedup, touched by the round-6 ADVICE literal fix),
-# then the entire 27-query r3-stale tail (tpch q21/q22, set ops,
-# scalar-function and UDF families, ETL ops, events) and the head of
-# the r4 tail (subquery family).
+# round-7 build: the sixteen new queries lead (registry order — the
+# CDC/interleave/semantic-dedup/IVM/gapfill/profiling slice, the
+# repetition/linkage/index/anomaly/PMI/LOCF slice, then the
+# HLL/attribution/PIT-lookup slice), then the seven invalidated
+# entries (sampling family — module edited this round — plus
+# bm25/url-dedup, touched by the round-6 ADVICE literal fix), then
+# the entire 27-query r3-stale tail (tpch q21/q22, set ops,
+# scalar-function and UDF families, ETL ops, events) — 16+7+27 = 50
+# exactly; growth for this round stopped here precisely so no r3-stale
+# entry fell out of the window.
 ROUND7_WINDOW = [
     'q_changelog_apply', 'q_shuffle_interleave', 'q_dedup_semantic', 'q_incremental_agg',
     'q_timeseries_gapfill', 'q_profile_table', 'q_distribution_drift', 'q_quality_repetition',
     'q_entity_resolution', 'q_index_inverted', 'q_anomaly_mad', 'q_ngram_pmi',
-    'q_locf_impute', 'q_sample_weighted', 'q_sample_stratified', 'q_sample_reservoir',
-    'q_sample_cluster', 'q_sample_budget', 'q_bm25_rank', 'q_dedup_url',
-    'q_tpch_q21', 'q_tpch_q22', 'q_sort_limit', 'q_union',
-    'q_union_distinct', 'q_intersect', 'q_except', 'q_distinct',
-    'q_fn_string', 'q_fn_date', 'q_fn_math', 'q_fn_cond',
-    'q_fn_array', 'q_fn_map_json', 'q_udf_pandas', 'q_udaf_pandas',
-    'q_udf_apply_in_pandas', 'q_udtf_explode', 'q_udtf_mapinpandas', 'q_udtf_python',
-    'q_win_dedup', 'q_merge_upsert', 'q_scd2', 'q_agg_skew_salted',
-    'q_sample_hash', 'q_events_funnel', 'q_events_retention', 'q_subquery_scalar',
-    'q_subquery_in', 'q_subquery_correlated',
+    'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
+    'q_sample_weighted', 'q_sample_stratified', 'q_sample_reservoir', 'q_sample_cluster',
+    'q_sample_budget', 'q_bm25_rank', 'q_dedup_url', 'q_tpch_q21',
+    'q_tpch_q22', 'q_sort_limit', 'q_union', 'q_union_distinct',
+    'q_intersect', 'q_except', 'q_distinct', 'q_fn_string',
+    'q_fn_date', 'q_fn_math', 'q_fn_cond', 'q_fn_array',
+    'q_fn_map_json', 'q_udf_pandas', 'q_udaf_pandas', 'q_udf_apply_in_pandas',
+    'q_udtf_explode', 'q_udtf_mapinpandas', 'q_udtf_python', 'q_win_dedup',
+    'q_merge_upsert', 'q_scd2', 'q_agg_skew_salted', 'q_sample_hash',
+    'q_events_funnel', 'q_events_retention',
 ]
 
 

@@ -191,3 +191,133 @@ def test_pmi_rows_respect_count_floor_and_k(spark):
     assert all(r["pair_count"] >= 5 for r in out)
     pmis = [r["pmi"] for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+# -------------------------------------------------------------- agg_hll ----
+
+
+def test_hll_estimate_within_hll_error_bounds(spark):
+    """The portable sketch must behave like HLL: every per-source
+    estimate within a generous 5x the theoretical standard error
+    (1.04/sqrt(256) ≈ 6.5%), and deterministic across runs."""
+    out1 = {r["source"]: r for r in REGISTRY["q_agg_hll"].build(spark, SF).collect()}
+    out2 = {r["source"]: r for r in REGISTRY["q_agg_hll"].build(spark, SF).collect()}
+    assert out1.keys() == out2.keys() and len(out1) > 0
+    for src, r in out1.items():
+        assert abs(r["rel_err"]) < 5 * 1.04 / (256 ** 0.5), (src, r)
+        assert out2[src]["n_hll"] == r["n_hll"]  # bit-identical rerun
+
+
+def test_hll_registers_merge_across_shards(spark):
+    """Mergeability-as-data: registers built on two disjoint halves of
+    the corpus, unioned and max-merged, must equal registers built on
+    the full corpus — the property that lets 100 TB shards sketch
+    independently."""
+    from pyspark.sql import functions as F2
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def regs(df):
+        s = df.select(
+            F2.conv(F2.substring(F2.sha2(F2.col("text"), 256), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        ).select((F2.col("h") % 256).alias("bucket"), F2.expr("h div 256").alias("w"))
+        rho = F2.when(F2.col("w") == 0, 41).otherwise(
+            F2.expr("cast(log2(w & -w) as int) + 1")
+        )
+        return s.withColumn("rho", rho).groupBy("bucket").agg(
+            F2.max("rho").alias("rho")
+        )
+
+    full = regs(d)
+    a = regs(d.filter(F2.col("doc_id") % 2 == 0))
+    b = regs(d.filter(F2.col("doc_id") % 2 == 1))
+    merged = a.union(b).groupBy("bucket").agg(F2.max("rho").alias("rho"))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, merged.collect()))
+
+
+# ------------------------------------------------------- attribution ----
+
+
+def test_attribution_reconciles_to_total_purchase_value(spark):
+    """Conservation invariant: summed attributed value across channels
+    (including 'direct') equals the decimal-exact total purchase value
+    — no revenue created or lost by the credit split."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F2
+
+    from etl_template_spark.io import load_table
+
+    out = REGISTRY["q_attribution_linear"].build(spark, SF).collect()
+    attributed = sum(Decimal(str(round(r["attributed_value"], 3))) for r in out)
+    total = (
+        load_table(spark, SF, "events")
+        .filter(F2.col("event_type") == "purchase")
+        .agg(F2.sum(F2.col("value").cast("decimal(30,6)")))
+        .collect()[0][0]
+    )
+    # shares are rounded to 6dp before the exact sum; reconciliation is
+    # exact to well under a millionth per purchase
+    assert abs(attributed - Decimal(str(round(float(total), 3)))) < Decimal("0.1")
+    assert {r["channel"] for r in out} <= {"click", "view", "signup", "direct"}
+
+
+def test_attribution_planted_journey(spark, monkeypatch):
+    """2 touches in window + 1 outside + 1 after: the purchase splits
+    50/50 across the in-window touches; a touchless purchase goes to
+    'direct' in full."""
+    import etl_template_spark.queries.attribution as attr
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),     # outside 7d window
+        (2, "2024-01-10 00:00:00", 1, "click", 0.0),     # in window
+        (3, "2024-01-11 00:00:00", 1, "view", 0.0),      # in window
+        (4, "2024-01-12 00:00:00", 1, "purchase", 10.0),
+        (5, "2024-01-13 00:00:00", 1, "click", 0.0),     # after purchase
+        (6, "2024-01-12 00:00:00", 2, "purchase", 4.0),  # touchless
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(attr, "load_table", lambda *_: df)
+    out = {r["channel"]: r for r in attr.q_attribution_linear(spark, SF).collect()}
+    assert out["click"]["attributed_value"] == 5.0
+    assert out["view"]["attributed_value"] == 5.0
+    assert out["direct"]["attributed_value"] == 4.0
+    assert "signup" not in out
+
+
+# -------------------------------------------------------- scd2_lookup ----
+
+
+def test_scd2_lookup_pins_version_at_fact_time(spark, monkeypatch):
+    """A user with two segment versions: purchases in each validity
+    window pick their own version, a purchase before the first signup
+    stays NULL/unmatched, and no fact ever matches two versions."""
+    import etl_template_spark.queries.temporal as tmp
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (1, "2024-01-05 00:00:00", 1, "signup", 100.0),   # v1
+        (2, "2024-01-20 00:00:00", 1, "signup", 200.0),   # v2
+        (3, "2024-01-02 00:00:00", 1, "purchase", 1.0),   # before v1
+        (4, "2024-01-10 00:00:00", 1, "purchase", 2.0),   # in v1
+        (5, "2024-01-20 00:00:00", 1, "purchase", 3.0),   # boundary → v2
+        (6, "2024-01-25 00:00:00", 1, "purchase", 4.0),   # in v2 (open)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F2.to_timestamp("ts"))
+    monkeypatch.setattr(tmp, "load_table", lambda *_: df)
+    # q_scd2 reads through its own module's load_table
+    import etl_template_spark.queries.etl_ops as eo
+
+    monkeypatch.setattr(eo, "load_table", lambda *_: df)
+    out = {r["event_id"]: r for r in tmp.q_scd2_lookup(spark, SF).collect()}
+    assert len(out) == 4  # one row per fact — no interval fan-out
+    assert out[3]["segment_value"] is None and out[3]["unmatched"] == 1
+    assert out[4]["segment_value"] == 100.0
+    assert out[5]["segment_value"] == 200.0  # valid_from inclusive
+    assert out[6]["segment_value"] == 200.0  # open current interval
