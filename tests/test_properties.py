@@ -302,3 +302,115 @@ def test_salted_knn_equals_naive_under_random_blocks(spark, vecs, k, n_salts):
     got = sorted(map(tuple, salted.collect()))
     want = sorted(map(tuple, naive.collect()))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_repetition_signals_match_python_reference(spark, docs):
+    """The three repetition signals (duplicate-5-gram fraction, top
+    bigram + char share, longest run) recomputed by a direct Python
+    reference on random token streams — gaps-and-islands, tiebreak and
+    short-doc NULL edges included."""
+    import math
+
+    import etl_template_spark.queries.repetition as rep
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    class _Patch:
+        def __enter__(self):
+            self.orig = rep.load_table
+            rep.load_table = lambda *_: df
+            return self
+
+        def __exit__(self, *exc):
+            rep.load_table = self.orig
+
+    with _Patch():
+        got = {r["doc_id"]: r for r in rep.q_quality_repetition(spark, "unused").collect()}
+
+    for i, toks in enumerate(docs):
+        text = " ".join(toks)
+        r = got[i]
+        # duplicate 5-gram fraction
+        grams5 = [tuple(toks[j : j + 5]) for j in range(len(toks) - 4)]
+        if grams5:
+            from collections import Counter
+
+            c5 = Counter(grams5)
+            dup = sum(n for n in c5.values() if n > 1)
+            assert r["n_5grams"] == len(grams5)
+            assert math.isclose(r["dup_5gram_frac"], round(dup / len(grams5), 6))
+        else:
+            assert r["n_5grams"] is None and r["dup_5gram_frac"] is None
+        # top bigram (count desc, gram asc) and char share
+        grams2 = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        if grams2:
+            from collections import Counter
+
+            c2 = Counter(grams2)
+            top = min(c2, key=lambda g: (-c2[g], g))
+            assert r["top_bigram"] == top
+            assert math.isclose(
+                r["top_bigram_share"], round(c2[top] * len(top) / len(text), 6)
+            )
+        else:
+            assert r["top_bigram"] is None
+        # longest run
+        best = run = 1
+        for a, b in zip(toks, toks[1:]):
+            run = run + 1 if a == b else 1
+            best = max(best, run)
+        assert r["max_word_run"] == best
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=120
+    ),
+)
+@settings(**_SETTINGS)
+def test_hll_registers_match_python_reference(spark, values):
+    """The relational HLL register build (sha256-derived bucket/rho)
+    must equal a direct Python implementation of the same construction
+    on arbitrary inputs — including the w=0 cap and duplicate inputs
+    leaving registers unchanged."""
+    import hashlib
+
+    df = spark.createDataFrame([(str(v),) for v in values], "text string")
+    regs_df = (
+        df.select(
+            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h")
+        )
+        .select((F.col("h") % 256).alias("bucket"), F.expr("h div 256").alias("w"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, 41).otherwise(
+                F.expr("cast(log2(w & -w) as int) + 1")
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    got = {r["bucket"]: r["rho"] for r in regs_df.collect()}
+
+    want: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.sha256(str(v).encode()).hexdigest()[:12], 16)
+        bucket, w = h % 256, h // 256
+        rho = 41 if w == 0 else (w & -w).bit_length()  # tz + 1
+        want[bucket] = max(want.get(bucket, 0), rho)
+    assert got == want
