@@ -75,8 +75,15 @@ def main(argv: list[str] | None = None) -> int:
             from .examples.streaming_ingest import run
 
             run(a[0] if a else tempfile.mkdtemp(prefix="ingest_example_"))
-        else:  # curation_pipeline [sf_dir] [data_root]
+        elif args.name == "curation_pipeline":  # [sf_dir] [data_root]
             from .examples.curation_pipeline import SF_DIR, run
+
+            run(
+                a[1] if len(a) > 1 else None,
+                a[0] if a else SF_DIR,
+            )
+        else:  # quality_gate [sf_dir] [data_root]
+            from .examples.quality_gate import SF_DIR, run
 
             run(
                 a[1] if len(a) > 1 else None,

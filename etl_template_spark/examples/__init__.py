@@ -8,10 +8,17 @@ shims — the round-6 verdict's cleanup).
 - ``streaming_ingest``  — checkpointed streaming ingest + versioned sink
 - ``curation_pipeline`` — the 4-step LLM-curation composition
                           (Scrub → Sample → Budget → Pack)
+- ``quality_gate``      — the monitoring composition: profile →
+                          expectations gate (fail-fast) → MAD anomaly
 
 Each module keeps a ``run(...)`` entry point and stays runnable directly
 (``python -m etl_template_spark.examples.<name>``); the CLI subcommand
 is sugar over the same functions.
 """
 
-EXAMPLE_NAMES = ("etl_template", "streaming_ingest", "curation_pipeline")
+EXAMPLE_NAMES = (
+    "etl_template",
+    "streaming_ingest",
+    "curation_pipeline",
+    "quality_gate",
+)

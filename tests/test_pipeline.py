@@ -368,3 +368,56 @@ def test_curation_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     detail = spark.sql(f"DESCRIBE TABLE EXTENDED Pack_v{v}").collect()
     assert any(r["col_name"] == "Statistics" for r in detail)
     spark.sql(f"DROP TABLE IF EXISTS Pack_v{v}")
+
+
+def test_quality_gate_example_green_path(spark, sf_dir, tmp_path, monkeypatch):
+    """examples.quality_gate — the monitoring composition as living
+    documentation: fixture data passes the default expectations, all
+    three steps Complete, and the persisted gate report / anomaly
+    scores are readable versioned datasets."""
+    from etl_template_spark.examples import quality_gate as ex
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    root = str(tmp_path / "data")
+    result = ex.run(root, sf_dir)
+    assert result.overall_status == "Completed"
+    assert [s.status for s in result.steps.values()] == ["Completed"] * 3
+
+    from etl_template_spark import read_versioned
+
+    report = read_versioned(spark, root, "Gate").collect()
+    assert {r["col_name"] for r in report} == {
+        "event_id", "user_id", "event_type", "ts", "value"
+    }
+    assert not any(r["null_violation"] or r["distinct_violation"] for r in report)
+    scores = read_versioned(spark, root, "Anomaly").collect()
+    assert len(scores) > 0 and {"d", "mad_score", "is_anomaly"} <= set(
+        scores[0].asDict()
+    )
+
+
+def test_quality_gate_example_poison_spec_fails_run(spark, sf_dir, tmp_path, monkeypatch):
+    """Poison-pill golden test (the atomic-sink discipline applied to
+    expectations): an unsatisfiable spec must abort the run at the Gate
+    step — Failed recorded in the manifest, the Anomaly step never
+    executed, no Gate output version committed."""
+    import pytest as _pytest
+
+    from etl_template_spark.examples import quality_gate as ex
+    from etl_template_spark.pipeline import StepFailed
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    root = str(tmp_path / "data")
+    poison = [("event_id", 0.0, 10**12)]  # nothing has 10^12 distinct ids
+    p = ex.build_pipeline(root, sf_dir, expectations=poison)
+    with _pytest.raises(StepFailed):
+        p.run(spark)
+
+    from etl_template_spark.pipeline import PipelineRun
+
+    manifest = PipelineRun.load_status("quality_gate", p.status_path)
+    assert manifest.overall_status == "Failed"
+    assert manifest.steps["Gate"].status == "Failed"
+    assert "quality gate violated" in (manifest.steps["Gate"].message or "")
+    assert manifest.steps["Anomaly"].status in ("Pending", "NotStarted")
+    assert manifest.steps["Gate"].output_version is None
