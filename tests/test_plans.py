@@ -470,3 +470,35 @@ def test_dedup_bloom_two_phase_prefilter(spark, sf_dir):
     assert p.count("Join") >= 2  # bucket prefilter + exact verify
     assert "BroadcastHashJoin" in p  # the bucket set is the broadcast side
     assert "xxhash64" in p
+
+
+def test_hll_registers_partial_combine_map_side(spark, sf_dir):
+    """The portable HLL's scale story is that register max-merge
+    partial-aggregates map-side, so the shuffle payload is <=256 rows
+    per source regardless of corpus size — pin the partial_max on rho
+    (and no window/sort anywhere in the sketch build)."""
+    p = plan_of(spark, sf_dir, "q_agg_hll")
+    assert "partial_max(rho" in p
+    assert "WindowExec" not in p and "Window" not in p.split("== Physical Plan ==")[-1]
+
+
+def test_attribution_join_is_keyed_never_loop(spark, sf_dir):
+    """The touch-credit join must be a keyed join on user (hash or
+    sort-merge; broadcast at fixture scale) with the time band as a
+    residual condition — a BNLJ/cartesian here would pair every
+    purchase with every touch at 100 TB."""
+    p = plan_of(spark, sf_dir, "q_attribution_linear")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
+
+
+def test_scd2_lookup_is_keyed_never_loop(spark, sf_dir):
+    """PIT lookup: equi-join on the entity key with interval containment
+    residual — the naive time-range formulation would be a loop join."""
+    p = plan_of(spark, sf_dir, "q_scd2_lookup")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
