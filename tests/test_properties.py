@@ -414,3 +414,125 @@ def test_hll_registers_match_python_reference(spark, values):
         rho = 41 if w == 0 else (w & -w).bit_length()  # tz + 1
         want[bucket] = max(want.get(bucket, 0), rho)
     assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=9),      # day offset
+            st.floats(-50, 50, allow_nan=False),        # value
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),  # one observation per (user, day)
+    ),
+)
+@settings(**_SETTINGS)
+def test_locf_matches_pandas_ffill(spark, obs):
+    """The LOCF grid must equal pandas groupby().ffill() on the dense
+    (user x day) grid — a third implementation sharing nothing with
+    either the Spark window or the DuckDB IGNORE NULLS oracle."""
+    import etl_template_spark.queries.impute as imp
+
+    rows = [
+        (i, f"2024-01-{d+1:02d} 12:00:00", u * 10 + 7, "purchase", float(v))
+        for i, (u, d, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = imp.load_table
+    imp.load_table = lambda *_: df
+    try:
+        got = {
+            (r["user_id"], str(r["d"])): r["value_locf"]
+            for r in imp.q_locf_impute(spark, "unused").collect()
+        }
+    finally:
+        imp.load_table = orig
+
+    pdf = pd.DataFrame(
+        [(u * 10 + 7, d, v) for (u, d, v) in obs], columns=["u", "d", "v"]
+    )
+    lo, hi = pdf["d"].min(), pdf["d"].max()
+    days = list(range(lo, hi + 1))
+    users = sorted(pdf["u"].unique())
+    grid = pd.MultiIndex.from_product([users, days], names=["u", "d"]).to_frame(
+        index=False
+    )
+    merged = grid.merge(pdf, on=["u", "d"], how="left")
+    merged["f"] = merged.groupby("u")["v"].ffill()
+    want = {
+        (int(r.u), f"2024-01-{int(r.d)+1:02d}"): (None if pd.isna(r.f) else r.f)
+        for r in merged.itertuples()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        a, b = got[k], want[k]
+        assert (a is None) == (b is None) and (a is None or a == b), (k, a, b)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),           # user
+            st.integers(min_value=0, max_value=20),          # day
+            st.sampled_from(["click", "view", "purchase"]),  # type
+            st.integers(min_value=1, max_value=100),         # value (int→exact)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_attribution_matches_python_reference(spark, events):
+    """Linear attribution recomputed by direct Python iteration over
+    random journeys: in-window membership (inclusive 7-day bound),
+    equal split, 'direct' fallback, per-channel totals."""
+    import math
+
+    import etl_template_spark.queries.attribution as attr
+
+    rows = [
+        (i, f"2024-01-{d+1:02d} 00:00:00", u, t, float(v))
+        for i, (u, d, t, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = attr.load_table
+    attr.load_table = lambda *_: df
+    try:
+        got = {
+            r["channel"]: (r["n_credits"], r["attributed_value"])
+            for r in attr.q_attribution_linear(spark, "unused").collect()
+        }
+    finally:
+        attr.load_table = orig
+
+    want: dict[str, list] = {}
+    for u, d, t, v in events:
+        if t != "purchase":
+            continue
+        touches = [
+            tt for (uu, dd, tt, _) in events
+            if uu == u and tt != "purchase" and d - 7 <= dd <= d
+        ]
+        credits = touches or ["direct"]
+        for ch in credits:
+            cur = want.setdefault(ch, [0, 0.0])
+            cur[0] += 1
+            # engine rounds each share to 6dp before the exact sum
+            cur[1] += round(v / len(credits), 6)
+    if not want:
+        assert got == {}
+        return
+    assert set(got) == set(want)
+    for ch, (n, total) in want.items():
+        assert got[ch][0] == n
+        assert math.isclose(got[ch][1], total, rel_tol=0, abs_tol=1e-9), (
+            ch, got[ch][1], total
+        )
