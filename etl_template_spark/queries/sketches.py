@@ -51,8 +51,15 @@ from ..registry import register
 _M = 256          # registers (p = 8)
 _MAX_RHO = 41     # 40 payload bits + 1
 _SCALE = 2 ** _MAX_RHO
-# identical constant-folded double in both engines
-_ALPHA_EXPR = "(0.7213 / (1.0 + 1.079 / 256.0))"
+# The alpha literals MUST ride the double path in BOTH engines: a bare
+# `0.7213 / (1.0 + ...)` parses as DECIMAL in both Spark and DuckDB,
+# and the two engines' decimal division rules then produce different
+# constants (verified: they differ in the 8th significant digit —
+# latent until a fixture leaves the linear-counting branch).  The
+# round-6 ADVICE caught this exact class in the BM25 oracle; here every
+# literal is written in scientific notation (DOUBLE in both parsers),
+# so both engines fold the identical IEEE op tree.
+_ALPHA_EXPR = "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0))"
 
 _HLL_ORACLE = f"""
     WITH hashed AS (
@@ -74,7 +81,7 @@ _HLL_ORACLE = f"""
       FROM regs GROUP BY source),
     est AS (
       SELECT source, v_zero,
-             {_ALPHA_EXPR} * {_M}.0 * {_M}.0 * {_SCALE}.0
+             {_ALPHA_EXPR} * {_M}.0e0 * {_M}.0e0 * {_SCALE}.0e0
                / CAST(s_scaled AS DOUBLE) AS e_raw
       FROM sketch),
     exact AS (
@@ -82,11 +89,11 @@ _HLL_ORACLE = f"""
       GROUP BY source)
     SELECT x.source,
            x.n_exact,
-           round(CASE WHEN e.e_raw <= 2.5 * {_M} AND e.v_zero > 0
-                      THEN {_M}.0 * ln({_M}.0 / e.v_zero)
+           round(CASE WHEN e.e_raw <= {2.5 * _M}e0 AND e.v_zero > 0
+                      THEN {_M}.0e0 * ln({_M}.0e0 / e.v_zero)
                       ELSE e.e_raw END, 4) AS n_hll,
-           round((CASE WHEN e.e_raw <= 2.5 * {_M} AND e.v_zero > 0
-                       THEN {_M}.0 * ln({_M}.0 / e.v_zero)
+           round((CASE WHEN e.e_raw <= {2.5 * _M}e0 AND e.v_zero > 0
+                       THEN {_M}.0e0 * ln({_M}.0e0 / e.v_zero)
                        ELSE e.e_raw END - x.n_exact) / x.n_exact, 6) AS rel_err
     FROM exact x JOIN est e ON x.source = e.source
     ORDER BY x.source
@@ -128,14 +135,22 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_scaled"),
         (_M - F.count(F.lit(1))).alias("v_zero"),
     )
-    e_raw = F.expr(
-        f"{_ALPHA_EXPR} * {_M}.0 * {_M}.0 * {_SCALE}.0 / cast(s_scaled as double)"
+    # Python floats are IEEE doubles, and scientific-notation SQL
+    # literals are doubles in both engines — the op tree below is
+    # literal-for-literal the oracle's (see _ALPHA_EXPR comment).
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    e_raw = (
+        F.lit(alpha)
+        * F.lit(float(_M))
+        * F.lit(float(_M))
+        * F.lit(float(_SCALE))
+        / F.col("s_scaled").cast("double")
     )
     est = sketch.select("source", "v_zero", e_raw.alias("e_raw"))
     exact = d.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
     corrected = F.when(
-        (F.col("e_raw") <= 2.5 * _M) & (F.col("v_zero") > 0),
-        F.expr(f"{_M}.0 * ln({_M}.0 / v_zero)"),
+        (F.col("e_raw") <= F.lit(2.5 * _M)) & (F.col("v_zero") > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v_zero")),
     ).otherwise(F.col("e_raw"))
     return (
         exact.join(est, "source")

@@ -321,3 +321,34 @@ def test_scd2_lookup_pins_version_at_fact_time(spark, monkeypatch):
     assert out[4]["segment_value"] == 100.0
     assert out[5]["segment_value"] == 200.0  # valid_from inclusive
     assert out[6]["segment_value"] == 200.0  # open current interval
+
+
+def test_hll_raw_branch_matches_duckdb_bit_exact(spark, monkeypatch):
+    """The fixture's per-source cardinalities always take the
+    linear-counting branch, which is exactly how a decimal-vs-double
+    literal divergence in the RAW-estimate path could hide (the round-6
+    ADVICE class).  Force the raw branch with a high-cardinality
+    synthetic corpus and hash-compare both engines bit-exactly."""
+    import duckdb
+
+    import etl_template_spark.queries.sketches as sk
+    from tests.test_oracle_differential import compare
+
+    n = 5000  # >> 2.5 * 256 → raw harmonic-mean estimate path
+    df = spark.range(n).selectExpr(
+        "cast(id as string) as text", "'srcA' as source"
+    )
+    monkeypatch.setattr(sk, "load_table", lambda *_: df)
+    out = sk.q_agg_hll(spark, "unused")
+    assert out.collect()[0]["n_exact"] == n  # sanity: all distinct
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT CAST(range AS VARCHAR) AS text, 'srcA' AS source FROM range({n})"
+    )
+    compare(out, con, sk._HLL_ORACLE)
+    # and the raw branch really ran: v_zero == 0 at this fill level or
+    # the estimate exceeds the correction threshold
+    row = out.collect()[0]
+    assert row["n_hll"] > 2.5 * 256
