@@ -3,6 +3,8 @@ streaming rows; batch-equivalent twins live in queries/streaming_batch.py).
 """
 
 from .jobs import (  # noqa: F401
+    attribution_fold,
+    attribution_tws_stream,
     dedup_stream,
     dedup_stream_within_watermark,
     distinct_users_stream,

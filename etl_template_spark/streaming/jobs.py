@@ -749,3 +749,156 @@ def distinct_users_stream(
         )
         .select(F.col("w.start").alias("win_start"), "n_users", "n_events")
     )
+
+
+ATTRIBUTION_TOUCH_TYPES = ("click", "view", "signup")
+
+
+def attribution_fold(user_id, touches, rows, window_ms):
+    """The per-key attribution transition function, factored out of the
+    streaming processor so its semantics are unit-testable without the
+    transformWithState Python workers (which need google.protobuf):
+    given the carried touch list and one micro-batch of this user's
+    rows, return (credit rows, pruned touch list).  Rows fold in
+    (ts, touches-before-purchases, event_id) order: the batch twin's
+    lookback bound is INCLUSIVE (``touch.ts <= purchase.ts``), so a
+    same-instant touch must be visible to the purchase regardless of
+    event-id order — the tie rule that makes stream and batch agree.
+    Credit rows are (event_id, user_id, channel, share, n_touches);
+    the returned touch list is pruned at ``max_batch_ts - window_ms``
+    — lossless, because an older touch can never fall inside a later
+    purchase's lookback."""
+    import pandas as pd
+
+    out = []
+    max_ts = None
+    ordered = sorted(rows, key=lambda r: (r[1], r[2] == "purchase", r[0]))
+    for event_id, ts, et, value in ordered:
+        max_ts = ts if max_ts is None or ts > max_ts else max_ts
+        if et in ATTRIBUTION_TOUCH_TYPES:
+            touches.append((ts, et))
+        elif et == "purchase":
+            lo = ts - pd.Timedelta(milliseconds=window_ms)
+            hits = [c for (t, c) in touches if lo <= t <= ts]
+            credits = hits or ["direct"]
+            share = value / len(credits)
+            for ch in credits:
+                out.append((int(event_id), int(user_id), ch, share, len(hits)))
+    if max_ts is not None:
+        cutoff = max_ts - pd.Timedelta(milliseconds=window_ms)
+        touches = [(t, c) for (t, c) in touches if t >= cutoff]
+    return out, touches
+
+
+def attribution_tws_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window_days: int = 7,
+    idle_ttl: str | None = None,
+) -> DataFrame:
+    """Streaming linear multi-touch attribution: the incremental twin of
+    ``q_attribution_linear`` (queries/attribution.py) on the Spark 4
+    ``transformWithState`` API.
+
+    Per user key the state is a ListState of (ts, channel) touches.
+    Each purchase reads the list, keeps the touches inside the lookback
+    window (``touch.ts`` in ``[purchase.ts - window_days, purchase.ts]``,
+    inclusive — identical bounds to the batch query), and emits one
+    credit row per in-window touch with ``share = value / n`` — or a
+    single full-value ``direct`` credit when no touch qualifies.  Rows
+    within a micro-batch fold in (ts, event_id) order, so a same-batch
+    touch-then-purchase sequence attributes exactly as the batch join
+    does.
+
+    The eviction story is the point: touches older than the lookback
+    can NEVER earn credit again, so pruning the list at
+    ``max_seen_ts - window_days`` (on every update) and idle-evicting
+    whole keys after ``idle_ttl >= window_days`` of silence are both
+    SEMANTICS-PRESERVING — state stays bounded by each user's 7-day
+    touch volume, and the stream provably equals the batch query over
+    any backlog (test_streaming proves it across micro-batches).  That
+    is the property that makes this runnable forever on an unbounded
+    stream: the operator's correctness window IS its state-retention
+    window.
+
+    Stream-vs-batch caveat (inherent to Append-mode credits): a touch
+    that ARRIVES in a later micro-batch than a same-or-later-timestamp
+    purchase cannot credit it retroactively — the credit row is already
+    emitted.  Within any one micro-batch the fold's tie-aware total
+    order (attribution_fold) makes same-instant touch+purchase agree
+    with the batch twin; across batches the watermark is the lateness
+    budget, exactly as for the window aggregates.
+
+    At scale: RocksDB list state (``ROCKSDB_STATE_CONF``), Append-mode
+    credit deltas keyed by purchase event_id — a downstream stateless
+    per-channel rollup (or the versioned sink) consumes them without
+    reprocessing history.  Runtime gate as the other tws ops: the
+    Python workers need ``google.protobuf``; plan construction is
+    dependency-free."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    window_ms = window_days * 86_400_000
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
+
+    class _Attribution(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._touches = handle.getListState("touches", "ts timestamp, channel string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            touches = list(self._touches.get()) if self._touches.exists() else []
+            pdfs = list(rows)
+            batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
+            rows_in = (
+                [
+                    (r["event_id"], r["ts"], r["event_type"], r["value"])
+                    for _, r in batch.iterrows()
+                ]
+                if len(batch)
+                else []
+            )  # attribution_fold imposes the tie-aware total order itself
+            out, touches = attribution_fold(
+                int(key[0]), touches, rows_in, window_ms
+            )
+            if touches:
+                self._touches.put(touches)
+            else:
+                self._touches.clear()
+            if ttl_ms is not None:
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + ttl_ms
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["event_id", "user_id", "channel", "share", "n_touches"],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # idle eviction — lossless when idle_ttl >= the lookback
+            # window (see docstring)
+            self._touches.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_Attribution(),
+            outputStructType=(
+                "event_id bigint, user_id bigint, channel string, "
+                "share double, n_touches int"
+            ),
+            outputMode="Append",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+    )

@@ -768,3 +768,136 @@ def test_funnel_tws_matches_batch_twin_over_backlog(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_attribution_tws_plan_constructs(spark, events_dir):
+    """attribution_tws_stream plan construction is environment-free
+    (with and without the TTL timer path): the unstarted streaming
+    frame must carry the declared credit schema."""
+    from etl_template_spark.streaming import attribution_tws_stream
+
+    for ttl in (None, "7 days"):
+        out = attribution_tws_stream(
+            read_events_stream(spark, events_dir), idle_ttl=ttl
+        )
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "event_id", "user_id", "channel", "share", "n_touches",
+        ]
+
+
+def test_attribution_fold_matches_batch_twin_over_microbatches(spark):
+    """The factored per-key transition function, driven over simulated
+    micro-batches (cross-batch touch carry + lossless pruning), must
+    land on exactly the batch q_attribution_linear channel totals for
+    the same events — including a touch outside the lookback, a
+    same-timestamp touch (inclusive bound), and a touchless 'direct'
+    purchase in a later batch."""
+    import pandas as pd
+
+    import etl_template_spark.queries.attribution as attr
+    from etl_template_spark.streaming import attribution_fold
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),    # outside 7d of the purchase
+        (2, "2024-01-05 00:00:00", 1, "view", 0.0),     # in window (batch 1)
+        (3, "2024-01-09 12:00:00", 1, "click", 0.0),    # in window (batch 2)
+        (4, "2024-01-10 00:00:00", 1, "purchase", 12.0),
+        (5, "2024-01-10 00:00:00", 1, "signup", 0.0),   # same-ts: inclusive? no — ts ties
+        (6, "2024-01-12 00:00:00", 2, "purchase", 7.0),  # touchless → direct
+        (7, "2024-01-13 00:00:00", 1, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = attr.load_table
+    attr.load_table = lambda *_: df
+    try:
+        batch_totals = {
+            r["channel"]: (r["n_credits"], round(r["attributed_value"], 6))
+            for r in attr.q_attribution_linear(spark, "unused").collect()
+        }
+    finally:
+        attr.load_table = orig
+
+    # drive the fold per user over two micro-batches split mid-journey
+    window_ms = 7 * 86_400_000
+    pdf = pd.DataFrame(
+        [(e, pd.Timestamp(t), u, et, v) for (e, t, u, et, v) in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    batches = [pdf[pdf["event_id"] <= 2], pdf[pdf["event_id"] > 2]]
+    credits = []
+    state: dict = {}
+    for b in batches:
+        for uid, grp in b.groupby("user_id"):
+            ordered = [
+                (r.event_id, r.ts, r.event_type, r.value)
+                for r in grp.sort_values(["ts", "event_id"]).itertuples()
+            ]
+            out, state[uid] = attribution_fold(
+                uid, state.get(uid, []), ordered, window_ms
+            )
+            credits.extend(out)
+
+    got: dict = {}
+    for _eid, _uid, ch, share, _n in credits:
+        cur = got.setdefault(ch, [0, 0.0])
+        cur[0] += 1
+        cur[1] += round(share, 6)
+    got_totals = {ch: (n, round(v, 6)) for ch, (n, v) in got.items()}
+    assert got_totals == batch_totals
+    # and pruning really dropped the stale touch: user 1's carried state
+    # after the last batch holds only touches within 7d of its max ts
+    assert all(t >= pd.Timestamp("2024-01-06") for (t, _) in state[1])
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python workers require google.protobuf "
+    "(absent in this container); attribution_fold carries the same "
+    "transition semantics and is tested above",
+)
+def test_attribution_tws_matches_batch_twin(spark, tmp_path):
+    """End-to-end tws run over a bounded backlog: per-channel share
+    totals from the streamed credits must equal q_attribution_linear
+    on the same events."""
+    from etl_template_spark.streaming import attribution_tws_stream
+    from etl_template_spark.streaming.jobs import ROCKSDB_STATE_CONF
+
+    rows = [
+        (1, "2024-01-05 00:00:00", 1, "view", 0.0),
+        (2, "2024-01-09 00:00:00", 1, "click", 0.0),
+        (3, "2024-01-10 00:00:00", 1, "purchase", 12.0),
+        (4, "2024-01-12 00:00:00", 2, "purchase", 7.0),
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for e in rows:
+            f.write(json.dumps({
+                "event_id": e[0], "ts": e[1], "user_id": e[2],
+                "event_type": e[3], "value": e[4], "props": "{}",
+            }) + "\n")
+
+    old = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        out = attribution_tws_stream(
+            read_events_stream(spark, path), idle_ttl="7 days"
+        )
+        run_available_now(out, "attr_tws_out", str(tmp_path / "ckpt"))
+        got = {}
+        for r in spark.table("attr_tws_out").collect():
+            cur = got.setdefault(r["channel"], [0, 0.0])
+            cur[0] += 1
+            cur[1] += r["share"]
+        assert got == {"view": [1, 6.0], "click": [1, 6.0], "direct": [1, 7.0]}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
