@@ -352,3 +352,60 @@ def test_hll_raw_branch_matches_duckdb_bit_exact(spark, monkeypatch):
     # the estimate exceeds the correction threshold
     row = out.collect()[0]
     assert row["n_hll"] > 2.5 * 256
+
+
+def test_repetition_drop_and_null_branches_match_duckdb(spark, monkeypatch):
+    """The fixture corpus never triggers verdict='drop' or the
+    short-doc NULL branches (verified), so the oracle CASE arms for
+    them go cross-engine-unexercised — the hiding pattern the HLL raw
+    branch had.  Force all arms with a synthetic corpus and
+    hash-compare both engines."""
+    import duckdb
+
+    import etl_template_spark.queries.repetition as rep
+    from tests.test_oracle_differential import compare
+
+    rows = [
+        (1, " ".join(["loop the loop again and"] * 8)),  # >30% dup 5-grams → drop
+        (2, "tiny"),                                     # no 5-grams, no bigram
+        (3, "four short words here"),                    # bigrams, no 5-grams
+        (4, "all fresh tokens never repeat in this doc at all"),  # keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(rep, "load_table", lambda *_: df)
+    out = rep.q_quality_repetition(spark, "unused")
+    verdicts = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert verdicts[1] == "drop" and verdicts[2] == "keep"  # both arms live
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    compare(out, con, rep._REPETITION_ORACLE)
+
+
+def test_anomaly_degenerate_mad_matches_duckdb(spark, monkeypatch):
+    """The fixture's MAD is always positive, so the oracle's NULL-score
+    arm (mad = 0) never runs cross-engine — force a constant series and
+    hash-compare both engines."""
+    import duckdb
+
+    import etl_template_spark.queries.anomaly as anom
+    from tests.test_oracle_differential import compare
+
+    rows = [
+        (i, f"2024-01-{i+1:02d} 00:00:00", 1, "purchase", 5.0) for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(anom, "load_table", lambda *_: df)
+    out = anom.q_anomaly_mad(spark, "unused")
+    assert all(r["mad_score"] is None for r in out.collect())  # the arm is live
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    compare(out, con, anom._ANOMALY_ORACLE)
