@@ -66,10 +66,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``|score| > 3`` flag as anomalies.  ``mad_score`` is NULL when the
     MAD degenerates to 0 (constant series) — both engines agree."""
     ev = load_table(spark, sf_dir, "events")
+    # The daily series feeds THREE consumers (median pass, MAD pass,
+    # final scoring); without a persist each one re-aggregates the fact
+    # table — 3x the corpus scan cost at 100 TB.  The cached frame is
+    # calendar-bounded (one row per day), so the persist is a few KB.
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         dsum("value").alias("total"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ).persist()
     med = exact_group_percentiles(
         daily.withColumn("g", F.lit(1)), "g", [("med", "total", 0.5)]
     ).select("med")
