@@ -74,16 +74,22 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a partial top-k."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(tokens_col().alias("w"))
+    # Both count tables are vocabulary-sized; persisting them costs KBs
+    # and spares the corpus-sized explode for each downstream consumer
+    # (uni feeds the total + both component joins, bi feeds the total +
+    # the candidate set — 5 re-scans otherwise).
     uni = (
         toks.select(F.explode("w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     nu = uni.agg(F.sum("c").alias("n_uni"))
     bi = (
         toks.select(F.explode(shingles_col(F.col("w"), 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     nb = bi.agg(F.sum("c").alias("n_bi"))
 

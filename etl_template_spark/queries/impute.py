@@ -76,12 +76,17 @@ def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubles — values are *picked*, so cross-engine exactness is
     structural."""
     ev = load_table(spark, sf_dir, "events")
+    # The per-(entity, day) aggregate feeds three consumers (bounds,
+    # entity dim, grid join); persisting it spares two full re-scans of
+    # the fact table, and the frame is entity x observed-day sized —
+    # far smaller than the raw events.
     obs = (
         ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 7))
         .groupBy("user_id", F.to_date("ts").alias("d"))
         .agg(
             F.max(F.struct("ts", "event_id", "value"))["value"].alias("value_obs")
         )
+        .persist()
     )
     bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     users = obs.select("user_id").distinct()

@@ -106,8 +106,12 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     back per-document on the same key — AQE coalesces the doc-keyed
     shuffles, nothing is corpus-global, and no UDF breaks codegen."""
     d = load_table(spark, sf_dir, "documents")
+    # Tokenized once, shared by all three signal pipelines AND the
+    # final per-doc base — without the persist each consumer re-scans
+    # and re-splits the corpus (the q_dedup_fuzzy shared-shingle-table
+    # discipline).
     toks = d.select("doc_id", F.length("text").alias("n_chars"),
-                    tokens_col().alias("w"))
+                    tokens_col().alias("w")).persist()
 
     five = (
         toks.select("doc_id", F.explode(shingles_col(F.col("w"), 5)).alias("g"))
@@ -152,7 +156,7 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_5grams") > 0, F.col("dup_occ") * 1.0 / F.col("n_5grams")
     )
     return (
-        d.select("doc_id", F.length("text").alias("n_chars"))
+        toks.select("doc_id", "n_chars")
         .join(five_doc, "doc_id", "left")
         .join(top_bi, "doc_id", "left")
         .join(runs, "doc_id", "left")
