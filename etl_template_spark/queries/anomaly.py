@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..compat import dsum, dsum_sql
 from ..io import load_table
 from ..operators.percentiles import exact_group_percentiles
@@ -73,7 +74,8 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
         dsum("value").alias("total"),
         F.count(F.lit(1)).alias("n_events"),
-    ).persist()
+    )
+    daily = persist_tracked(daily)
     med = exact_group_percentiles(
         daily.withColumn("g", F.lit(1)), "g", [("med", "total", 0.5)]
     ).select("med")

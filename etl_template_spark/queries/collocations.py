@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..io import load_table
 from ..operators.dedup import shingles_col, tokens_col
 from ..registry import register
@@ -82,15 +83,15 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    uni = persist_tracked(uni)
     nu = uni.agg(F.sum("c").alias("n_uni"))
     bi = (
         toks.select(F.explode(shingles_col(F.col("w"), 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+    bi = persist_tracked(bi)
     nb = bi.agg(F.sum("c").alias("n_bi"))
 
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("count_w1"))

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..io import load_table
 from ..registry import register
 from .timeseries import date_spine
@@ -86,8 +87,8 @@ def q_locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.struct("ts", "event_id", "value"))["value"].alias("value_obs")
         )
-        .persist()
     )
+    obs = persist_tracked(obs)
     bounds = obs.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     users = obs.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(date_spine(bounds, "lo", "hi")))

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..compat import dsum, dsum_sql
 from ..io import load_table
 from ..registry import register
@@ -148,7 +149,11 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-source sum is decimal-exact (compat.dsum), so the oracle
     reproduces every score bit-for-bit."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    # The (source, lang) count table feeds four consumers (per-source
+    # totals, per-lang totals, the corpus total, and the term join);
+    # persisting this group-sized frame keeps the corpus scan single.
     sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    sl = persist_tracked(sl)
     s = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
     lg = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
     tot = sl.agg(F.sum("n_sl").alias("n_tot"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..io import load_table
 from ..operators.dedup import shingles_col, tokens_col
 from ..registry import register
@@ -111,7 +112,8 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and re-splits the corpus (the q_dedup_fuzzy shared-shingle-table
     # discipline).
     toks = d.select("doc_id", F.length("text").alias("n_chars"),
-                    tokens_col().alias("w")).persist()
+                    tokens_col().alias("w"))
+    toks = persist_tracked(toks)
 
     five = (
         toks.select("doc_id", F.explode(shingles_col(F.col("w"), 5)).alias("g"))

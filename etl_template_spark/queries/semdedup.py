@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..compat import davg_sql
+from ..caching import persist_tracked
 from ..io import load_table
 from ..operators.topk import salted_block_join
 from ..registry import register
@@ -116,7 +117,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is restated verbatim in the DuckDB oracle and hash-checked."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(e)
+    # the assignment feeds both pair-join sides AND the final verdict
+    # join — without a persist each consumer re-runs the quantizer
+    # build + broadcast assignment over the corpus (3x)
     assigned = _assign_cells(e, cents, n=1)  # vec_id, label, embedding, cell
+    assigned = persist_tracked(assigned)
     a = assigned.select(
         "cell", F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..io import load_table
 from ..registry import register
 
@@ -75,9 +76,12 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, so a data-derived spine must recurse); counts and the
     synthetic-row marker are integer/bool exact."""
     orders = load_table(spark, sf_dir, "orders")
+    # daily feeds both the bounds aggregate and the spine join; the
+    # persist (calendar-sized) keeps the fact scan single.
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+    daily = persist_tracked(daily)
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = date_spine(bounds, "lo", "hi")
     return (
