@@ -311,6 +311,75 @@ def run_available_now(
     return q
 
 
+BATCH_MARKER = "_BATCH_ID"
+
+
+def commit_stream_batch(
+    batch_df: DataFrame, root: str, step: str, batch_id: int
+) -> int | None:
+    """Idempotently commit one foreachBatch micro-batch as a version.
+
+    foreachBatch is AT-LEAST-ONCE: after a crash between the version
+    commit and the checkpoint WAL write, Structured Streaming replays
+    the batch with the SAME batch_id — a naive per-batch
+    ``write_versioned`` then lands the rows twice (in two immutable
+    versions; ``latest`` readers survive, but changelog/merged-history
+    consumers double-count).  This commit path closes that window by
+    making the batch-id marker atomic WITH version visibility:
+
+    1. if any committed version already carries this ``batch_id``
+       marker, the batch is a replay — return its version, write
+       nothing;
+    2. write the batch to a scratch directory (Spark's own job-commit
+       protocol makes the scratch write all-or-nothing);
+    3. drop the ``_BATCH_ID`` marker INTO the scratch dir — before
+       anything is visible;
+    4. claim ``v=N`` (atomic mkdir) and ``os.rename`` the scratch over
+       it — one atomic filesystem operation publishes data + Spark's
+       ``_SUCCESS`` + the marker together.
+
+    A crash before (4) leaves only scratch (GC'd, replay rewrites); a
+    crash after (4) leaves the marker in place (replay skips).  There is
+    no state in which the rows are visible without their marker, so the
+    sink is exactly-once at dataset-version granularity — the
+    generalized form of the reference's resume-from-cursor contract
+    (tools.go:676-806) that survives redelivery, not just restart."""
+    import shutil
+    import uuid
+
+    from ..io import _step_dir, claim_next_version, list_versions
+
+    # (1) replay detection over committed versions
+    for v in list_versions(root, step):
+        d = os.path.join(_step_dir(root, step), f"v={v}")
+        marker = os.path.join(d, BATCH_MARKER)
+        if os.path.isfile(os.path.join(d, "_SUCCESS")) and os.path.isfile(marker):
+            with open(marker) as fh:
+                if fh.read().strip() == str(batch_id):
+                    return v
+    if batch_df.isEmpty():
+        return None
+    # (2) scratch write on the same filesystem (rename must be atomic)
+    step_root = _step_dir(root, step)
+    os.makedirs(step_root, exist_ok=True)
+    scratch = os.path.join(step_root, f"_inflight-{batch_id}-{uuid.uuid4().hex}")
+    try:
+        batch_df.write.mode("overwrite").parquet(scratch)
+        # (3) marker travels inside the not-yet-visible directory
+        with open(os.path.join(scratch, BATCH_MARKER), "w") as fh:
+            fh.write(str(batch_id))
+        # (4) atomic publish: POSIX rename replaces an EMPTY target
+        # directory atomically, so the claimed dir is overwritten in one
+        # operation — no rmdir first (that would release the claim to a
+        # concurrent writer for a moment)
+        version, path = claim_next_version(root, step)
+        os.rename(scratch, path)
+        return version
+    except BaseException:
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
+
+
 def versioned_stream_sink(
     df: DataFrame,
     root: str,
@@ -318,15 +387,14 @@ def versioned_stream_sink(
     checkpoint_dir: str,
 ) -> StreamingQuery:
     """Stream → versioned dataset: each micro-batch commits as a new
-    ``v=N`` via foreachBatch (R7 semantics on a stream).  The
-    checkpoint's WAL makes batch ids exactly-once: a replayed batch
-    claims a FRESH version rather than corrupting an old one, so
-    versions are immutable even across crash-recovery."""
-    from ..io import write_versioned
+    ``v=N`` via foreachBatch (R7 semantics on a stream), through the
+    idempotent ``commit_stream_batch`` path — a crash-replayed batch id
+    is detected and skipped, so the sink is exactly-once at version
+    granularity even across foreachBatch redelivery (not merely across
+    clean restarts)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            write_versioned(batch_df, root, step)
+        commit_stream_batch(batch_df, root, step, batch_id)
 
     return (
         df.writeStream.foreachBatch(_sink)

@@ -901,3 +901,74 @@ def test_attribution_tws_matches_batch_twin(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_commit_stream_batch_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch redelivery: committing the SAME batch id twice must
+    land exactly one version (the replay returns the original version
+    and writes nothing); a new batch id commits a new version."""
+    from etl_template_spark.io import list_versions, read_versioned
+    from etl_template_spark.streaming.jobs import commit_stream_batch
+
+    root = str(tmp_path / "data")
+    df = spark.range(5).selectExpr("id", "id * 2 AS doubled")
+
+    v1 = commit_stream_batch(df, root, "ingest", batch_id=0)
+    v_replay = commit_stream_batch(df, root, "ingest", batch_id=0)  # redelivery
+    assert v1 == v_replay == 1
+    assert list_versions(root, "ingest") == [1]
+    assert read_versioned(spark, root, "ingest").count() == 5
+
+    v2 = commit_stream_batch(spark.range(3).selectExpr("id", "id AS doubled"),
+                             root, "ingest", batch_id=1)
+    assert v2 == 2 and list_versions(root, "ingest") == [1, 2]
+
+
+def test_commit_stream_batch_crash_before_publish_leaves_nothing(spark, tmp_path):
+    """Simulated crash between the scratch write and the atomic rename:
+    no version is visible, the stream reader sees nothing, and the
+    replayed batch commits cleanly afterward."""
+    import glob
+
+    from etl_template_spark.datasource import VersionedStreamReader
+    from etl_template_spark.io import list_versions
+    from etl_template_spark.streaming.jobs import commit_stream_batch
+
+    root = str(tmp_path / "data")
+    df = spark.range(4).selectExpr("id", "id AS doubled")
+
+    # fake the pre-rename crash: produce only the scratch artifacts
+    step_root = os.path.join(root, "ingest")
+    os.makedirs(step_root)
+    scratch = os.path.join(step_root, "_inflight-0-deadbeef")
+    df.write.parquet(scratch)
+    with open(os.path.join(scratch, "_BATCH_ID"), "w") as f:
+        f.write("0")
+
+    assert list_versions(root, "ingest") == []  # invisible
+    assert VersionedStreamReader(root, "ingest", "earliest").read(
+        {"version": -1}
+    )[1] == {"version": -1}
+
+    # the replay (same batch id) must commit exactly one version
+    v = commit_stream_batch(df, root, "ingest", batch_id=0)
+    assert v == 1 and list_versions(root, "ingest") == [1]
+    # the orphaned scratch is untouched garbage, not a visible version
+    assert glob.glob(os.path.join(step_root, "_inflight-*"))
+
+
+def test_commit_stream_batch_marker_rides_the_atomic_publish(spark, tmp_path):
+    """The committed version directory must contain Spark's _SUCCESS and
+    the batch marker together — the no-marker-without-visibility /
+    no-visibility-without-marker invariant the exactly-once argument
+    rests on."""
+    from etl_template_spark.streaming.jobs import BATCH_MARKER, commit_stream_batch
+
+    root = str(tmp_path / "data")
+    v = commit_stream_batch(
+        spark.range(2).selectExpr("id", "id AS doubled"), root, "ingest", 7
+    )
+    d = os.path.join(root, "ingest", f"v={v}")
+    assert os.path.isfile(os.path.join(d, "_SUCCESS"))
+    with open(os.path.join(d, BATCH_MARKER)) as f:
+        assert f.read() == "7"
