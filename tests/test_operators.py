@@ -744,3 +744,84 @@ def test_date_spine_inclusive_bounds(spark):
     days = [str(r["d"]) for r in date_spine(bounds, "lo", "hi").collect()]
     assert days == ["2024-02-27", "2024-02-28", "2024-02-29",
                     "2024-03-01", "2024-03-02"]  # leap day included
+
+
+# ----------------------------------------------------------- relevance ----
+
+
+def test_rank_metrics_hand_computed(spark):
+    """nDCG/MRR/recall on a worked example checked by hand:
+    q1 run = [d1(rel 3), d2(rel 0), d3(rel 1)];
+    ideal = [3, 1] -> DCG = 7/1 + 1/log2(3)? no — gains:
+    DCG  = (2^3-1)/log2(2) + 0 + (2^1-1)/log2(4) = 7 + 0.5 = 7.5
+    IDCG = 7/log2(2) + 1/log2(3) = 7 + 0.63093 = 7.63093
+    MRR = 1/1; recall@10 = 2/2."""
+    import math
+
+    from etl_template_spark.operators.relevance import rank_metrics
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d1", 3), ("q1", "d3", 1)],
+        "query_id string, doc_id string, rel int",
+    )
+    r = rank_metrics(run, qrels, k=10).collect()[0]
+    idcg = 7.0 + 1.0 / math.log2(3.0)
+    assert abs(r["ndcg"] - round(7.5 / idcg, 6)) < 1e-9
+    assert r["mrr"] == 1.0
+    assert r["recall"] == 1.0
+    assert r["n_rel"] == 2 and r["n_retrieved"] == 3
+
+
+def test_rank_metrics_edges(spark):
+    """Edge semantics: a query the ranker never answered scores 0 (not
+    NULL); a first hit at rank 4 gives MRR 0.25; rel-0-only qrels give
+    ndcg/recall 0; k truncation drops deep hits."""
+    from etl_template_spark.operators.relevance import rank_metrics
+
+    run = spark.createDataFrame(
+        [("q2", "dA", 4), ("q3", "dX", 1), ("q4", "dZ", 6)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d9", 2),   # never retrieved
+         ("q2", "dA", 1),   # hit at rank 4
+         ("q3", "dX", 0),   # retrieved but irrelevant
+         ("q4", "dZ", 2)],  # hit but beyond k=5
+        "query_id string, doc_id string, rel int",
+    )
+    out = {r["query_id"]: r for r in rank_metrics(run, qrels, k=5).collect()}
+    assert set(out) == {"q1", "q2", "q3", "q4"}
+    assert out["q1"]["ndcg"] == 0.0 and out["q1"]["mrr"] == 0.0
+    assert out["q2"]["mrr"] == 0.25 and out["q2"]["recall"] == 1.0
+    assert out["q3"]["ndcg"] == 0.0 and out["q3"]["recall"] == 0.0
+    assert out["q3"]["n_rel"] == 0
+    assert out["q4"]["ndcg"] == 0.0 and out["q4"]["recall"] == 0.0  # k-truncated
+
+
+def test_rank_metrics_perfect_ranking_is_1(spark):
+    """Property: ranking the qrels in ideal order scores nDCG exactly 1
+    and recall 1 for every query, regardless of grade distribution."""
+    import random
+
+    from etl_template_spark.operators.relevance import rank_metrics
+
+    rng = random.Random(7)
+    run_rows, qrel_rows = [], []
+    for q in range(8):
+        grades = [rng.randint(0, 3) for _ in range(rng.randint(1, 6))]
+        docs = [f"d{q}_{i}" for i in range(len(grades))]
+        qrel_rows += [(f"q{q}", d, g) for d, g in zip(docs, grades)]
+        ideal = sorted(zip(docs, grades), key=lambda t: (-t[1], t[0]))
+        run_rows += [(f"q{q}", d, r + 1) for r, (d, _) in enumerate(ideal)]
+    run = spark.createDataFrame(run_rows, "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame(qrel_rows, "query_id string, doc_id string, rel int")
+    for r in rank_metrics(run, qrels, k=10).collect():
+        if r["n_rel"] > 0:
+            assert r["ndcg"] == 1.0, r
+            assert r["recall"] == 1.0, r
+        else:
+            assert r["ndcg"] == 0.0
