@@ -1,0 +1,110 @@
+"""Bounded-iteration PageRank over an edge list — graph importance for
+curation (authority-weight documents by their link graph, rank users by
+interaction graph) beyond what connected components (cluster.py) gives.
+
+Design constraints, in the engine's house style:
+
+- **Fixed iteration count, not convergence-to-epsilon.**  A fixed
+  ``iters`` makes the result a pure function of the input — the r8
+  registration can restate the same ``iters`` rounds as a recursive-CTE
+  oracle and hash-compare, which an epsilon loop (whose round count
+  depends on float drift) cannot.  Ten iterations is the classic
+  operating point (Brin & Page ran ~50 on the whole web; curation
+  graphs are shallower).
+- **Decimal-exact contribution sums.**  The per-node incoming sum is a
+  float accumulation — order-dependent on a cluster.  Each contribution
+  is rounded to scale 9 and summed in decimal (compat.dec, widened
+  scale since ranks are ~1e-? small), making every iteration — and
+  therefore the final ranks — bit-identical at any parallelism and
+  reproducible in DuckDB.
+- **Dangling mass redistributed uniformly** (the standard correction):
+  nodes with no out-edges leak their rank to all nodes equally;
+  without this, total rank drains and scores depend on graph plumbing.
+- **Per-round lineage truncation** with ``localCheckpoint(eager=True)``
+  (the cluster.py lesson: the plan, not the data, becomes the
+  bottleneck by round ~15 otherwise).
+
+Scale shape per iteration: one equi-join of ranks onto the out-degree-
+annotated edge list (both keyed by node — co-partitioned after the
+first round), one hash aggregate with map-side partial combine, one
+1-row dangling-mass aggregate broadcast back.  State is one row per
+node.  O(iters) rounds, each a single shuffle — the textbook
+MapReduce PageRank, declared in DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..compat import dec
+
+_SCALE = 9  # rank values are small; scale-6 would quantize too coarsely
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank) for every node appearing in ``edges`` (either side),
+    after exactly ``iters`` synchronous iterations from the uniform
+    start.  Ranks sum to ~1 (dangling mass redistributed).  Rank is
+    rounded to scale-9 decimal each round — deterministic across
+    engines, runs, and partitionings."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("t").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar: fixes the teleport term
+    outdeg = e.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # edges annotated with the source's out-degree, checkpointed once
+    e_deg = (
+        e.join(outdeg, e["s"] == outdeg["id"])
+        .select("s", "t", "deg")
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("id", "s"), "s")
+            .select(
+                F.col("t").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum(dec(F.col("contrib"), _SCALE)).cast("double").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(outdeg, "id", "left_anti")
+            .agg(F.sum(dec(F.col("rank"), _SCALE)).cast("double").alias("mass"))
+        )
+        d_mass = F.broadcast(dangling)
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(d_mass)
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.coalesce(F.col("mass"), F.lit(0.0))
+                        / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round(F.col("rank"), _SCALE).alias("rank"))

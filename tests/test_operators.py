@@ -825,3 +825,67 @@ def test_rank_metrics_perfect_ranking_is_1(spark):
             assert r["recall"] == 1.0, r
         else:
             assert r["ndcg"] == 0.0
+
+
+# ------------------------------------------------------------ pagerank ----
+
+
+def test_pagerank_matches_networkx_free_reference(spark):
+    """Bounded-iteration PageRank vs a direct Python power-iteration
+    (same damping, same dangling redistribution, same round count) on a
+    small directed graph with a dangling node and a hub."""
+    from etl_template_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 -> 3, 3 is hub-ish
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+
+    # pure-Python synchronous power iteration, mirroring the operator
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    out = {u: [v for (s, v) in edges if s == u] for u in nodes}
+    rank = {u: 1.0 / n for u in nodes}
+    d = 0.85
+    for _ in range(10):
+        inflow = {u: 0.0 for u in nodes}
+        for u in nodes:
+            for v in out[u]:
+                inflow[v] += round(rank[u] / len(out[u]), 9)
+        dangling = sum(round(rank[u], 9) for u in nodes if not out[u])
+        rank = {
+            u: (1 - d) / n + d * (inflow[u] + dangling / n) for u in nodes
+        }
+    for u in nodes:
+        assert abs(got[u] - round(rank[u], 9)) < 1e-8, (u, got[u], rank[u])
+    # mass conservation: ranks sum to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node must score
+    exactly the same rank (and the dangling path is never triggered)."""
+    from etl_template_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    ranks = [r["rank"] for r in pagerank(df, iters=8).collect()]
+    assert len(set(ranks)) == 1
+    assert abs(sum(ranks) - 1.0) < 1e-9
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """The decimal-exact contribution sums make the result identical
+    under different input partitionings — the cluster-reproducibility
+    property the operator promises."""
+    from etl_template_spark.operators.graph import pagerank
+
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(120)]
+    a = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    b = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    ra = sorted(map(tuple, pagerank(a, iters=6).collect()))
+    rb = sorted(map(tuple, pagerank(b, iters=6).collect()))
+    assert ra == rb
