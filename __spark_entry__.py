@@ -103,13 +103,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q_agg_group"].build(spark, sf_dir)
 
 
+def _released(build: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a builder so each build first drops the PREVIOUS query's
+    tracked persisted intermediates (etl_template_spark.caching).  The
+    driver's loop is build -> collect -> next build, so at build time
+    the prior result is already materialized and its caches are dead
+    weight; without this, a 50-query recording session accumulates
+    every shared shingle/signature/register table it ever persisted."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_template_spark.caching import release_tracked
+
+        release_tracked()
+        return build(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2B.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Column names are aliased identically in builder and oracle.
     """
-    return {name: REGISTRY[name].build for name in _exposure_order()}
+    return {name: _released(REGISTRY[name].build) for name in _exposure_order()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -351,6 +351,12 @@ class Pipeline:
                     register_versioned_table(
                         spark, self.data_root, s.name, version=version
                     )
+                # the write materialized df_out; any intermediates its
+                # builder persisted (caching.persist_tracked) are now
+                # dead weight — drop them before the next step runs
+                from .caching import release_tracked
+
+                release_tracked()
                 return version
 
             run.execute_step(
