@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.hll import hll_estimate, hll_registers
 from ..registry import register
 
 _M = 256          # registers (p = 8)
@@ -109,57 +110,17 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size — the sketch IS the scale story, and the
     strict hash oracle proves both engines build the identical one."""
     d = load_table(spark, sf_dir, "documents")
-    hashed = d.select(
-        "source",
-        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    )
-    slotted = hashed.select(
-        "source",
-        (F.col("h") % _M).alias("bucket"),
-        F.expr(f"h div {_M}").alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(_MAX_RHO)).otherwise(
-        F.expr("cast(log2(w & -w) as int) + 1")
-    )
-    regs = (
-        slotted.withColumn("rho", rho)
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    sketch = regs.groupBy("source").agg(
-        (
-            F.sum(F.expr(f"cast(pow(2, {_MAX_RHO} - rho) as bigint)"))
-            + (_M - F.count(F.lit(1))) * F.lit(_SCALE).cast("bigint")
-        ).alias("s_scaled"),
-        (_M - F.count(F.lit(1))).alias("v_zero"),
-    )
-    # Python floats are IEEE doubles, and scientific-notation SQL
-    # literals are doubles in both engines — the op tree below is
-    # literal-for-literal the oracle's (see _ALPHA_EXPR comment).
-    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
-    e_raw = (
-        F.lit(alpha)
-        * F.lit(float(_M))
-        * F.lit(float(_M))
-        * F.lit(float(_SCALE))
-        / F.col("s_scaled").cast("double")
-    )
-    est = sketch.select("source", "v_zero", e_raw.alias("e_raw"))
+    regs = hll_registers(d, "text", "source")
+    est = hll_estimate(regs, "source")
     exact = d.groupBy("source").agg(F.countDistinct("text").alias("n_exact"))
-    corrected = F.when(
-        (F.col("e_raw") <= F.lit(2.5 * _M)) & (F.col("v_zero") > 0),
-        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v_zero")),
-    ).otherwise(F.col("e_raw"))
     return (
         exact.join(est, "source")
         .select(
             "source",
             "n_exact",
-            F.round(corrected, 4).alias("n_hll"),
-            F.round((corrected - F.col("n_exact")) / F.col("n_exact"), 6).alias(
-                "rel_err"
-            ),
+            F.round(F.col("estimate"), 4).alias("n_hll"),
+            F.round(
+                (F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
         )
     )

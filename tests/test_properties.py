@@ -388,24 +388,10 @@ def test_hll_registers_match_python_reference(spark, values):
     leaving registers unchanged."""
     import hashlib
 
+    from etl_template_spark.operators.hll import hll_registers
+
     df = spark.createDataFrame([(str(v),) for v in values], "text string")
-    regs_df = (
-        df.select(
-            F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 12), 16, 10)
-            .cast("bigint")
-            .alias("h")
-        )
-        .select((F.col("h") % 256).alias("bucket"), F.expr("h div 256").alias("w"))
-        .withColumn(
-            "rho",
-            F.when(F.col("w") == 0, 41).otherwise(
-                F.expr("cast(log2(w & -w) as int) + 1")
-            ),
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    got = {r["bucket"]: r["rho"] for r in regs_df.collect()}
+    got = {r["bucket"]: r["rho"] for r in hll_registers(df, "text").collect()}
 
     want: dict[int, int] = {}
     for v in values:

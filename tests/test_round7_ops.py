@@ -215,20 +215,12 @@ def test_hll_registers_merge_across_shards(spark):
     independently."""
     from pyspark.sql import functions as F2
 
+    from etl_template_spark.operators.hll import hll_registers
+
     d = spark.read.parquet(f"{SF}/documents.parquet")
 
     def regs(df):
-        s = df.select(
-            F2.conv(F2.substring(F2.sha2(F2.col("text"), 256), 1, 12), 16, 10)
-            .cast("bigint")
-            .alias("h")
-        ).select((F2.col("h") % 256).alias("bucket"), F2.expr("h div 256").alias("w"))
-        rho = F2.when(F2.col("w") == 0, 41).otherwise(
-            F2.expr("cast(log2(w & -w) as int) + 1")
-        )
-        return s.withColumn("rho", rho).groupBy("bucket").agg(
-            F2.max("rho").alias("rho")
-        )
+        return hll_registers(df, "text")
 
     full = regs(d)
     a = regs(d.filter(F2.col("doc_id") % 2 == 0))
