@@ -276,7 +276,10 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
         which is the correct at-least-once posture: stall loudly rather
         than lose the batch silently."""
         hi: int | None = None
-        for v in sorted(list_versions(self._root, self._step)):
+        # committed_only=False: the contiguous-prefix scan must SEE the
+        # uncommitted claim to stop before it (the filtered listing
+        # would silently skip the hole and lose its rows on commit)
+        for v in sorted(list_versions(self._root, self._step, committed_only=False)):
             d = _version_dir(self._root, self._step, v)
             if os.path.isfile(os.path.join(d, "_SUCCESS")):
                 hi = v

@@ -240,7 +240,27 @@ def _step_dir(root: str, step: str) -> str:
     return os.path.join(root, step)
 
 
-def list_versions(root: str, step: str) -> list[int]:
+def _version_committed(step_dir: str, n: int) -> bool:
+    """A version is COMMITTED iff its directory carries Spark's
+    ``_SUCCESS`` marker.  Every writer in this engine goes through
+    Spark's file-output commit protocol (which writes ``_SUCCESS`` on
+    job success) or through ``commit_stream_batch``'s atomic rename of
+    a fully-built directory — so a ``v=N`` without ``_SUCCESS`` is
+    either a concurrent writer mid-commit or a crash remnant (claimed
+    between ``claim_next_version``'s mkdir and the publish), and
+    readers must not surface it (r7 ADVICE: a crashed claim otherwise
+    breaks ``latest`` reads until the next version lands and poisons
+    merged-history reads forever)."""
+    return os.path.isfile(os.path.join(step_dir, f"v={n}", "_SUCCESS"))
+
+
+def list_versions(root: str, step: str, committed_only: bool = True) -> list[int]:
+    """Version numbers of ``step``, ascending.  By default only
+    COMMITTED versions (``_SUCCESS`` present) — the read-committed view
+    every reader wants.  ``committed_only=False`` additionally lists
+    claimed-but-unpublished directories; it exists for writers
+    (``claim_next_version`` must not re-issue a claimed number) and GC
+    (``prune_versions`` sweeps crash remnants)."""
     d = _step_dir(root, step)
     if not os.path.isdir(d):
         return []
@@ -249,10 +269,13 @@ def list_versions(root: str, step: str) -> list[int]:
         m = _VERSION_RE.match(entry)
         if m:
             out.append(int(m.group(1)))
+    if committed_only:
+        out = [n for n in out if _version_committed(d, n)]
     return sorted(out)
 
 
 def latest_version(root: str, step: str) -> int | None:
+    """Latest COMMITTED version (uncommitted claims are invisible)."""
     versions = list_versions(root, step)
     return versions[-1] if versions else None
 
@@ -263,9 +286,15 @@ def claim_next_version(root: str, step: str) -> tuple[int, str]:
     The reference lists files and increments (tools.go:343-366) which races
     under concurrent writers; ``os.mkdir`` is atomic on POSIX, so the first
     writer to create ``v=N`` owns it and losers retry with N+1.
+
+    The starting guess counts UNCOMMITTED claims too (``committed_only=
+    False``) so a concurrent writer's claimed-but-unpublished version is
+    never re-contended; the mkdir loop would survive that anyway, but
+    starting past it avoids the pointless collision.
     """
     os.makedirs(_step_dir(root, step), exist_ok=True)
-    n = (latest_version(root, step) or 0) + 1
+    all_versions = list_versions(root, step, committed_only=False)
+    n = (all_versions[-1] if all_versions else 0) + 1
     while True:
         path = os.path.join(_step_dir(root, step), f"v={n}")
         try:
@@ -476,12 +505,20 @@ def read_versioned_merged(
     predicate prunes whole version directories at planning time."""
     ensure_engine_conf(spark)
     step_dir = _step_dir(root, step)
-    if not list_versions(root, step):
+    versions = list_versions(root, step)
+    if not versions:
         raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    # explicit committed paths, not a "v=*" glob: an uncommitted claim
+    # (crash remnant / concurrent writer mid-publish) is an EMPTY
+    # directory the glob would feed to the parquet reader, failing every
+    # merged-history read until someone GCs it (r7 ADVICE).  basePath
+    # still makes Spark parse v=N as a partition column, so _version
+    # predicates prune whole directories exactly as before.
+    paths = [os.path.join(step_dir, f"v={n}") for n in versions]
     return (
         spark.read.option("mergeSchema", "true")
         .option("basePath", step_dir)
-        .parquet(os.path.join(step_dir, "v=*"))
+        .parquet(*paths)
         .withColumnRenamed("v", "_version")
     )
 
@@ -503,13 +540,32 @@ def prune_versions(
     pruned version fails fast on its next scan with a missing-path
     error rather than reading partial data; readers of the kept
     versions are untouched — versions are immutable).  Never prunes the
-    latest version, even with ``keep_last=0``."""
+    latest version, even with ``keep_last=0``.
+
+    Crash-remnant sweep (r7 ADVICE): uncommitted claims (``v=N``
+    without ``_SUCCESS``) and orphaned ``_inflight-*`` scratch
+    directories BELOW the newest claim are crash leftovers — invisible
+    to readers since the committed-only listing, but still disk — and
+    are removed here.  The newest claim is spared because it may be a
+    concurrent writer mid-publish."""
     keep_last = max(1, keep_last)
-    versions = list_versions(root, step)
-    doomed = versions[:-keep_last] if len(versions) > keep_last else []
-    for n in doomed:
-        shutil.rmtree(os.path.join(_step_dir(root, step), f"v={n}"))
-    return doomed
+    step_dir = _step_dir(root, step)
+    all_versions = list_versions(root, step, committed_only=False)
+    committed = list_versions(root, step)
+    newest = all_versions[-1] if all_versions else 0
+    # the retention window counts COMMITTED versions only, so an
+    # uncommitted claim at the top can never push the latest committed
+    # version out of the kept set
+    doomed = committed[:-keep_last] if len(committed) > keep_last else []
+    # uncommitted claims below the newest are dead regardless of keep_last
+    doomed += [n for n in all_versions if n not in set(committed) and n < newest]
+    for n in sorted(set(doomed)):
+        shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
+    if os.path.isdir(step_dir):
+        for entry in os.listdir(step_dir):
+            if entry.startswith("_inflight-"):
+                shutil.rmtree(os.path.join(step_dir, entry), ignore_errors=True)
+    return sorted(set(doomed))
 
 
 def process_scratch_root(prefix: str, sf_dir: str) -> str:

@@ -53,7 +53,18 @@ def pagerank(
     after exactly ``iters`` synchronous iterations from the uniform
     start.  Ranks sum to ~1 (dangling mass redistributed).  Rank is
     rounded to scale-9 decimal each round — deterministic across
-    engines, runs, and partitionings."""
+    engines, runs, and partitionings.
+
+    Multigraph semantics (r7 ADVICE): parallel edges are DEDUPLICATED
+    (``.distinct()``) — the graph is treated as unweighted and simple,
+    so ten links from A to B contribute exactly what one link would.
+    Weighted PageRank (contribution proportional to edge multiplicity)
+    is a different operator; pre-aggregate edges to (src, dst, weight)
+    and divide by weighted out-degree if that is what you want.
+
+    Raises ``ValueError`` on an empty edge frame: there are no nodes,
+    so no rank distribution exists (and the teleport term would divide
+    by zero)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
     nodes = (
         e.select(F.col("s").alias("id"))
@@ -62,6 +73,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar: fixes the teleport term
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge frame — no nodes to rank")
     outdeg = e.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )

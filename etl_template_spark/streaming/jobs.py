@@ -338,29 +338,73 @@ def commit_stream_batch(
        it — one atomic filesystem operation publishes data + Spark's
        ``_SUCCESS`` + the marker together.
 
-    A crash before (4) leaves only scratch (GC'd, replay rewrites); a
-    crash after (4) leaves the marker in place (replay skips).  There is
-    no state in which the rows are visible without their marker, so the
-    sink is exactly-once at dataset-version granularity — the
+    A crash before (4) leaves only scratch (invisible; swept by the
+    next successful commit and by the retention GC); a crash BETWEEN
+    the claim and the rename leaves an empty claimed ``v=N`` without
+    ``_SUCCESS`` — invisible to every reader since the committed-only
+    version listing (io.py), reclaimed by ``prune_versions`` — and a
+    crash after (4) leaves the marker in place (replay skips).  There
+    is no state in which the rows are visible without their marker, so
+    the sink is exactly-once at dataset-version granularity — the
     generalized form of the reference's resume-from-cursor contract
-    (tools.go:676-806) that survives redelivery, not just restart."""
+    (tools.go:676-806) that survives redelivery, not just restart.
+
+    Replay detection is O(1) per batch, not O(total versions): batch
+    ids and version numbers both increase monotonically under
+    foreachBatch's single-writer contract, and only the LAST
+    uncommitted batch is ever redelivered — so the newest
+    marker-bearing committed version decides (match → replay; smaller
+    id → genuinely new batch).  A full scan runs only in the
+    can't-happen-in-practice case of a marker NEWER than the incoming
+    batch id (e.g. a hand-rolled out-of-order replay), trading O(n)
+    there for correctness.
+
+    Portability: step (4) relies on POSIX ``rename(2)`` atomically
+    replacing an empty target directory — true for local/NFS/HDFS-style
+    filesystems, NOT for S3-style object stores where "rename" is a
+    non-atomic copy+delete per object.  On an object store, commit by
+    writing a small manifest/pointer object instead (the standard
+    Delta/Iceberg-style commit), or route through a metadata service;
+    this local-FS path is the single-box contract the reference's
+    checkpoint loop assumes (tools.go:676-806)."""
     import shutil
     import uuid
 
     from ..io import _step_dir, claim_next_version, list_versions
 
-    # (1) replay detection over committed versions
-    for v in list_versions(root, step):
-        d = os.path.join(_step_dir(root, step), f"v={v}")
+    step_root = _step_dir(root, step)
+
+    def _marker_batch(v: int) -> int | None:
+        d = os.path.join(step_root, f"v={v}")
         marker = os.path.join(d, BATCH_MARKER)
         if os.path.isfile(os.path.join(d, "_SUCCESS")) and os.path.isfile(marker):
             with open(marker) as fh:
-                if fh.read().strip() == str(batch_id):
-                    return v
+                try:
+                    return int(fh.read().strip())
+                except ValueError:
+                    return None
+        return None
+
+    # (1) replay detection: newest marker-bearing committed version
+    # decides in O(1); full scan only on the out-of-order anomaly
+    committed = list_versions(root, step)
+    newest_marked = None
+    for v in reversed(committed):
+        mb = _marker_batch(v)
+        if mb is not None:
+            newest_marked = (v, mb)
+            break
+    if newest_marked is not None:
+        v, mb = newest_marked
+        if mb == batch_id:
+            return v
+        if mb > batch_id:  # out-of-order replay: fall back to full scan
+            for v2 in committed:
+                if _marker_batch(v2) == batch_id:
+                    return v2
     if batch_df.isEmpty():
         return None
     # (2) scratch write on the same filesystem (rename must be atomic)
-    step_root = _step_dir(root, step)
     os.makedirs(step_root, exist_ok=True)
     scratch = os.path.join(step_root, f"_inflight-{batch_id}-{uuid.uuid4().hex}")
     try:
@@ -374,10 +418,23 @@ def commit_stream_batch(
         # concurrent writer for a moment)
         version, path = claim_next_version(root, step)
         os.rename(scratch, path)
-        return version
     except BaseException:
         shutil.rmtree(scratch, ignore_errors=True)
         raise
+    # (5) sweep crash remnants from PRIOR attempts: under the
+    # single-writer foreachBatch contract any other _inflight-* dir
+    # with batch id <= ours is a dead predecessor (its batch either
+    # just committed or was superseded); ours was renamed away in (4)
+    for entry in os.listdir(step_root):
+        if not entry.startswith("_inflight-"):
+            continue
+        try:
+            stale_bid = int(entry.split("-")[1])
+        except (IndexError, ValueError):
+            continue
+        if stale_bid <= batch_id:
+            shutil.rmtree(os.path.join(step_root, entry), ignore_errors=True)
+    return version
 
 
 def versioned_stream_sink(
@@ -822,7 +879,7 @@ def distinct_users_stream(
 ATTRIBUTION_TOUCH_TYPES = ("click", "view", "signup")
 
 
-def attribution_fold(user_id, touches, rows, window_ms):
+def attribution_fold(user_id, touches, rows, window_ms, slack_ms=0):
     """The per-key attribution transition function, factored out of the
     streaming processor so its semantics are unit-testable without the
     transformWithState Python workers (which need google.protobuf):
@@ -832,10 +889,21 @@ def attribution_fold(user_id, touches, rows, window_ms):
     lookback bound is INCLUSIVE (``touch.ts <= purchase.ts``), so a
     same-instant touch must be visible to the purchase regardless of
     event-id order — the tie rule that makes stream and batch agree.
-    Credit rows are (event_id, user_id, channel, share, n_touches);
-    the returned touch list is pruned at ``max_batch_ts - window_ms``
-    — lossless, because an older touch can never fall inside a later
-    purchase's lookback."""
+    Credit rows are (event_id, user_id, channel, share, n_touches).
+
+    Pruning (r7 ADVICE): the returned touch list is pruned at
+    ``max_batch_ts - window_ms - slack_ms``.  The slack term exists
+    because a purchase may arrive in a LATER micro-batch with an
+    EARLIER event time — anything the stream's watermark admits — and
+    its lookback ``[ts - window, ts]`` must still see every touch it
+    would have seen in the batch query.  The watermark guarantees any
+    future-admitted row has ``ts >= max_global_ts - delay``, and this
+    key's ``max_batch_ts <= max_global_ts``, so a cutoff of
+    ``max_batch_ts - window - delay`` can never drop a touch a
+    still-admissible purchase could credit: pruning is lossless iff
+    ``slack_ms`` covers the watermark delay.  With ``slack_ms=0`` the
+    prune is lossless only for streams whose purchases never arrive
+    event-time-late across a batch boundary."""
     import pandas as pd
 
     out = []
@@ -853,7 +921,7 @@ def attribution_fold(user_id, touches, rows, window_ms):
             for ch in credits:
                 out.append((int(event_id), int(user_id), ch, share, len(hits)))
     if max_ts is not None:
-        cutoff = max_ts - pd.Timedelta(milliseconds=window_ms)
+        cutoff = max_ts - pd.Timedelta(milliseconds=window_ms + slack_ms)
         touches = [(t, c) for (t, c) in touches if t >= cutoff]
     return out, touches
 
@@ -878,16 +946,24 @@ def attribution_tws_stream(
     touch-then-purchase sequence attributes exactly as the batch join
     does.
 
-    The eviction story is the point: touches older than the lookback
-    can NEVER earn credit again, so pruning the list at
-    ``max_seen_ts - window_days`` (on every update) and idle-evicting
-    whole keys after ``idle_ttl >= window_days`` of silence are both
-    SEMANTICS-PRESERVING — state stays bounded by each user's 7-day
-    touch volume, and the stream provably equals the batch query over
-    any backlog (test_streaming proves it across micro-batches).  That
-    is the property that makes this runnable forever on an unbounded
-    stream: the operator's correctness window IS its state-retention
-    window.
+    The eviction story is the point: the watermark bounds how
+    event-time-late a future purchase can arrive, so a touch older than
+    ``lookback + watermark-delay`` below the key's max seen ts can
+    NEVER earn credit again.  Pruning the list at
+    ``max_seen_ts - window_days - watermark_delay`` (on every update,
+    via ``attribution_fold``'s ``slack_ms``) and idle-evicting whole
+    keys after ``idle_ttl >= window_days + watermark-delay`` of silence
+    are therefore SEMANTICS-PRESERVING — state stays bounded by each
+    user's ``7-day + delay`` touch volume, and the stream equals the
+    batch query over any backlog whose lateness the watermark admits
+    (test_streaming proves it across micro-batches, including a
+    late-arriving purchase whose lookback reaches slack-retained
+    touches).  That is the property that makes this runnable forever on
+    an unbounded stream: the operator's correctness window IS its
+    state-retention window.  (Without the slack term — the r7 ADVICE
+    bug — a purchase arriving in a later micro-batch with an earlier
+    event time could find its touches already pruned and silently fall
+    back to 'direct'.)
 
     Stream-vs-batch caveat (inherent to Append-mode credits): a touch
     that ARRIVES in a later micro-batch than a same-or-later-timestamp
@@ -910,6 +986,9 @@ def attribution_tws_stream(
     )
 
     window_ms = window_days * 86_400_000
+    # the watermark delay is the prune slack: a purchase this much
+    # event-time-late must still find its lookback touches (r7 ADVICE)
+    slack_ms = _duration_ms(watermark)
     ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
 
     class _Attribution(StatefulProcessor):
@@ -930,7 +1009,7 @@ def attribution_tws_stream(
                 else []
             )  # attribution_fold imposes the tie-aware total order itself
             out, touches = attribution_fold(
-                int(key[0]), touches, rows_in, window_ms
+                int(key[0]), touches, rows_in, window_ms, slack_ms
             )
             if touches:
                 self._touches.put(touches)

@@ -332,6 +332,46 @@ def test_prune_versions_keeps_newest(spark, tmp_path):
     assert list_versions(root, "s") == [5]
 
 
+def test_uncommitted_claim_is_invisible_to_readers(spark, tmp_path):
+    """r7 ADVICE: a crash between claim_next_version's mkdir and the
+    publish leaves an empty v=N without _SUCCESS.  Readers (latest,
+    pinned-by-default, merged-history) must skip it; the writer-facing
+    listing still sees it so the claim is never re-issued; the
+    retention GC reclaims it."""
+    from etl_template_spark.io import (
+        claim_next_version,
+        latest_version,
+        list_versions,
+        prune_versions,
+        read_versioned,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    # simulate the crashed claim: v=2 exists, empty, no _SUCCESS
+    os.mkdir(os.path.join(root, "s", "v=2"))
+
+    assert list_versions(root, "s") == [1]  # readers' view
+    assert list_versions(root, "s", committed_only=False) == [1, 2]  # writers'
+    assert latest_version(root, "s") == 1
+    assert read_versioned(spark, root, "s").count() == 1  # latest = v1, no error
+    assert read_versioned_merged(spark, root, "s").count() == 1  # glob-free
+
+    # the next writer claims PAST the dead v=2, never colliding with it
+    n, path = claim_next_version(root, "s")
+    assert n == 3
+    os.rmdir(path)  # release the test's own claim
+
+    # retention GC sweeps the uncommitted remnant (below the newest claim
+    # nothing committed is lost); the released v=3 claim was reused
+    write_versioned(spark.createDataFrame([("2", "b")], SCHEMA), root, "s")
+    pruned = prune_versions(root, "s", keep_last=5)
+    assert 2 in pruned
+    assert list_versions(root, "s", committed_only=False) == [1, 3]
+
+
 def test_hilbert_matches_reference_and_is_unit_step(spark):
     """The expression-compiled Hilbert transform must equal the classic
     xy2d automaton on a full grid (bijection included), and consecutive

@@ -889,3 +889,22 @@ def test_pagerank_deterministic_across_partitionings(spark):
     ra = sorted(map(tuple, pagerank(a, iters=6).collect()))
     rb = sorted(map(tuple, pagerank(b, iters=6).collect()))
     assert ra == rb
+
+
+def test_pagerank_empty_graph_raises_and_multigraph_dedups(spark):
+    """r7 ADVICE: an empty edge frame must raise (not ZeroDivisionError
+    deep in the teleport term), and parallel edges are documented to
+    collapse — ten A→B links rank exactly like one."""
+    import pytest as _pytest
+
+    from etl_template_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError, match="empty edge frame"):
+        pagerank(empty)
+
+    single = spark.createDataFrame([(1, 2)], "src long, dst long")
+    multi = spark.createDataFrame([(1, 2)] * 10, "src long, dst long")
+    rs = sorted(map(tuple, pagerank(single, iters=5).collect()))
+    rm = sorted(map(tuple, pagerank(multi, iters=5).collect()))
+    assert rs == rm

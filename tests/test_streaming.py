@@ -853,6 +853,49 @@ def test_attribution_fold_matches_batch_twin_over_microbatches(spark):
     assert all(t >= pd.Timestamp("2024-01-06") for (t, _) in state[1])
 
 
+def test_attribution_fold_late_purchase_keeps_slack_touches():
+    """r7 ADVICE (medium): a purchase may arrive in a LATER micro-batch
+    with an EARLIER event time (anything the watermark admits).  Its
+    lookback ``[ts - 7d, ts]`` reaches touches in
+    ``[max_ts - 7d - delay, max_ts - 7d)`` — which slack-less pruning
+    has already dropped, silently degrading the credit to 'direct'.
+    With ``slack_ms`` = the watermark delay the credit survives; the
+    slack-less fold demonstrably loses it (the regression shape)."""
+    import pandas as pd
+
+    from etl_template_spark.streaming import attribution_fold
+
+    window_ms = 7 * 86_400_000
+    slack_ms = 3_600_000  # "1 hour" watermark
+    # batch 1: a touch just inside the slack band, plus a much newer
+    # event that drags max_batch_ts forward so the prune cutoff passes
+    # the touch
+    b1 = [
+        (1, pd.Timestamp("2024-01-02 23:30:00"), "click", 0.0),
+        (2, pd.Timestamp("2024-01-10 00:00:00"), "view", 0.0),
+    ]
+    # batch 2: the late purchase — event time 50 min behind batch 1's
+    # max, admissible under the 1 h watermark; its lookback includes
+    # the 01-02 23:30 touch
+    b2 = [(3, pd.Timestamp("2024-01-09 23:10:00"), "purchase", 10.0)]
+
+    # with slack: the touch survives pruning and earns the credit
+    out1, touches = attribution_fold(1, [], b1, window_ms, slack_ms)
+    assert out1 == []
+    assert (pd.Timestamp("2024-01-02 23:30:00"), "click") in touches
+    out2, _ = attribution_fold(1, touches, b2, window_ms, slack_ms)
+    # the 01-10 view is AFTER the purchase's event time → excluded by
+    # the inclusive upper bound; only the slack-retained click credits
+    assert [ch for (_e, _u, ch, _s, _n) in out2] == ["click"]
+
+    # without slack (the pre-fix behavior): the touch is pruned at
+    # max_ts - 7d = 01-03 00:00 and the purchase falls back to direct
+    _, touches0 = attribution_fold(1, [], b1, window_ms)
+    assert (pd.Timestamp("2024-01-02 23:30:00"), "click") not in touches0
+    out2b, _ = attribution_fold(1, touches0, b2, window_ms)
+    assert [ch for (_e, _u, ch, _s, _n) in out2b] == ["direct"]
+
+
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState Python workers require google.protobuf "
@@ -953,8 +996,9 @@ def test_commit_stream_batch_crash_before_publish_leaves_nothing(spark, tmp_path
     # the replay (same batch id) must commit exactly one version
     v = commit_stream_batch(df, root, "ingest", batch_id=0)
     assert v == 1 and list_versions(root, "ingest") == [1]
-    # the orphaned scratch is untouched garbage, not a visible version
-    assert glob.glob(os.path.join(step_root, "_inflight-*"))
+    # and the successful commit sweeps the dead predecessor's scratch
+    # (r7 ADVICE: orphaned _inflight-* dirs must not accumulate)
+    assert glob.glob(os.path.join(step_root, "_inflight-*")) == []
 
 
 def test_commit_stream_batch_marker_rides_the_atomic_publish(spark, tmp_path):
