@@ -52,6 +52,8 @@ from . import (  # noqa: F401,E402
     sketches,
     attribution,
     temporal,
+    graph_q,
+    relevance_q,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

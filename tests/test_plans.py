@@ -313,6 +313,7 @@ _BNLJ_ALLOWED = {
     "q_anomaly_mad": "1-row median/MAD scalars over the bounded daily series",
     "q_ngram_pmi": "1-row unigram/bigram corpus totals feeding pmi",
     "q_locf_impute": "calendar-bounded date spine crossed onto the entity dim",
+    "q_rank_metrics": "1-row (N, total-token) globals feeding idf/avgdl",
 }
 
 
