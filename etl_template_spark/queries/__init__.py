@@ -54,6 +54,10 @@ from . import (  # noqa: F401,E402
     temporal,
     graph_q,
     relevance_q,
+    rolling,
+    splits,
+    dq,
+    containment,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]
