@@ -10,6 +10,8 @@ from .jobs import (  # noqa: F401
     distinct_users_stream,
     funnel_stream,
     funnel_tws_stream,
+    interval_join_fold,
+    interval_join_tws_stream,
     join_streams,
     read_events_stream,
     retention_stream,

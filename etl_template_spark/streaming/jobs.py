@@ -1049,3 +1049,189 @@ def attribution_tws_stream(
             timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
+
+
+def interval_join_fold(user_id, clicks, purchases, rows, window_ms, slack_ms=0):
+    """Per-key transition function of the windowed stream-stream join
+    (``interval_join_tws_stream``), factored out so its semantics are
+    unit-testable without the transformWithState Python workers (which
+    need google.protobuf) — the attribution_fold pattern.
+
+    Given this user's carried click/purchase buffers and one
+    micro-batch of rows, return (joined rows, clicks, purchases).  The
+    join contract is q_stream_join's interval join verbatim: every
+    (click, purchase) pair with ``click.ts <= purchase.ts <=
+    click.ts + window_ms``.
+
+    Exactly-once pair emission under ANY arrival interleaving: rows
+    fold in (ts, clicks-before-purchases, event_id) order, and each row
+    first PROBES the opposite buffer (which holds everything that
+    arrived before it) and then INSERTS itself — so a pair emits
+    exactly when its later-arriving side processes, never twice.  The
+    symmetric probe is what makes a LATE click (arriving in a later
+    micro-batch than its purchase, event time admitted by the
+    watermark) still produce its pair — the one-directional
+    probe-on-purchase design would silently drop it.
+
+    Pruning carries the r7-ADVICE slack lesson: clicks prune at
+    ``max_ts - window_ms - slack_ms`` (a still-admissible late purchase
+    at ``max_ts - slack`` can reach a click ``window`` before that) and
+    purchases prune at ``max_ts - slack_ms`` (a purchase only matches
+    clicks at or before its own ts, so once no admissible click can
+    precede it, it is dead).  With ``slack_ms`` covering the watermark
+    delay the buffers are lossless; state per key is bounded by
+    ``window + slack`` of clicks plus ``slack`` of purchases."""
+    import pandas as pd
+
+    out = []
+    max_ts = None
+    win = pd.Timedelta(milliseconds=window_ms)
+    ordered = sorted(rows, key=lambda r: (r[1], r[2] == "purchase", r[0]))
+    for event_id, ts, et, value in ordered:
+        max_ts = ts if max_ts is None or ts > max_ts else max_ts
+        if et == "click":
+            for p_id, p_ts, p_value in purchases:
+                if ts <= p_ts <= ts + win:
+                    out.append(
+                        (int(user_id), int(event_id), ts, int(p_id), p_ts, p_value)
+                    )
+            clicks.append((event_id, ts))
+        elif et == "purchase":
+            for c_id, c_ts in clicks:
+                if c_ts <= ts <= c_ts + win:
+                    out.append(
+                        (int(user_id), int(c_id), c_ts, int(event_id), ts, value)
+                    )
+            purchases.append((event_id, ts, value))
+    if max_ts is not None:
+        slack = pd.Timedelta(milliseconds=slack_ms)
+        c_cut = max_ts - win - slack
+        p_cut = max_ts - slack
+        clicks = [(i, t) for (i, t) in clicks if t >= c_cut]
+        purchases = [(i, t, v) for (i, t, v) in purchases if t >= p_cut]
+    return out, clicks, purchases
+
+
+def interval_join_tws_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    window: str = "2 hours",
+    idle_ttl: str | None = None,
+) -> DataFrame:
+    """Windowed stream-stream JOIN as an explicit stateful operator on
+    the Spark 4 ``transformWithState`` API — ``q_stream_join``'s
+    incremental twin (each purchase matched to same-user clicks at most
+    ``window`` before it), and the r8 new-capability class: where the
+    other tws operators AGGREGATE per key, this one maintains BOTH join
+    buffers as typed ListStates and emits the join product itself.
+
+    Why build it when ``join_streams`` (the native watermarked
+    stream-stream join) exists: the native join's buffer retention and
+    emission policy are fixed by Catalyst; the explicit form is the
+    extension point for join semantics Spark cannot express — per-pair
+    dedup keys, top-1-match joins, join-and-fold outputs — while this
+    baseline stays differential-testable against both the native join
+    and the batch interval join.  State per user key is bounded by
+    ``window + watermark`` of clicks and ``watermark`` of purchases
+    (interval_join_fold's pruning, slack = the watermark delay), so the
+    operator runs forever on an unbounded stream.
+
+    Emission is Append-mode join rows; pair-uniqueness holds across any
+    micro-batch interleaving the watermark admits (probe-then-insert
+    fold order — see interval_join_fold).  ``idle_ttl`` (processing
+    time) additionally evicts whole silent keys via a re-armed per-key
+    timer; time-pruning inside the fold already bounds live keys'
+    state, so the TTL only reclaims abandoned keys (lossless once
+    ``idle_ttl >= window + watermark``, same argument as attribution).
+
+    At scale: RocksDB list state (``ROCKSDB_STATE_CONF``); the shuffle
+    is one hash partitioning of the event stream by user_id — identical
+    to the batch join's equi-join shuffle, amortized across the
+    stream's lifetime.  Runtime gate as the other tws operators: the
+    Python workers need ``google.protobuf``; plan construction is
+    dependency-free."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    window_ms = _duration_ms(window)
+    slack_ms = _duration_ms(watermark)
+    ttl_ms = _duration_ms(idle_ttl) if idle_ttl is not None else None
+
+    class _IntervalJoin(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._clicks = handle.getListState(
+                "clicks", "click_id bigint, ts timestamp"
+            )
+            self._purchases = handle.getListState(
+                "purchases", "purchase_id bigint, ts timestamp, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            clicks = list(self._clicks.get()) if self._clicks.exists() else []
+            purchases = (
+                list(self._purchases.get()) if self._purchases.exists() else []
+            )
+            pdfs = list(rows)
+            batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
+            rows_in = (
+                [
+                    (r["event_id"], r["ts"], r["event_type"], r["value"])
+                    for _, r in batch.iterrows()
+                ]
+                if len(batch)
+                else []
+            )  # interval_join_fold imposes the probe-then-insert order
+            out, clicks, purchases = interval_join_fold(
+                int(key[0]), clicks, purchases, rows_in, window_ms, slack_ms
+            )
+            if clicks:
+                self._clicks.put(clicks)
+            else:
+                self._clicks.clear()
+            if purchases:
+                self._purchases.put(purchases)
+            else:
+                self._purchases.clear()
+            if ttl_ms is not None:
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + ttl_ms
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "user_id", "click_id", "click_ts",
+                        "purchase_id", "purchase_ts", "purchase_value",
+                    ],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # idle eviction cleans BOTH buffers atomically — the
+            # multi-state cleanup shape timers exist for
+            self._clicks.clear()
+            self._purchases.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_IntervalJoin(),
+            outputStructType=(
+                "user_id bigint, click_id bigint, click_ts timestamp, "
+                "purchase_id bigint, purchase_ts timestamp, "
+                "purchase_value double"
+            ),
+            outputMode="Append",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        )
+    )

@@ -203,7 +203,8 @@ def test_transform_with_state_plan_constructs(spark, events_dir):
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState Python workers require google.protobuf "
-    "(absent in this container); running_totals_stream covers the same "
+    "(absent in this container; package installation is prohibited here — "
+    "see pyproject [streaming-state] extra); running_totals_stream covers the same "
     "semantics on applyInPandasWithState",
 )
 def test_transform_with_state_running_totals(spark, events_dir, tmp_path):
@@ -899,7 +900,8 @@ def test_attribution_fold_late_purchase_keeps_slack_touches():
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState Python workers require google.protobuf "
-    "(absent in this container); attribution_fold carries the same "
+    "(absent in this container; package installation is prohibited here — "
+    "see pyproject [streaming-state] extra); attribution_fold carries the same "
     "transition semantics and is tested above",
 )
 def test_attribution_tws_matches_batch_twin(spark, tmp_path):
@@ -1016,3 +1018,200 @@ def test_commit_stream_batch_marker_rides_the_atomic_publish(spark, tmp_path):
     assert os.path.isfile(os.path.join(d, "_SUCCESS"))
     with open(os.path.join(d, BATCH_MARKER)) as f:
         assert f.read() == "7"
+
+
+# ---------------------------------------------------------------- r8 ------
+# windowed stream-stream interval join on transformWithState
+
+
+def test_interval_join_tws_plan_constructs(spark, events_dir):
+    """interval_join_tws_stream plan construction is environment-free
+    (with and without the TTL timer path): the unstarted streaming
+    frame must carry the declared join-row schema."""
+    from etl_template_spark.streaming import interval_join_tws_stream
+
+    for ttl in (None, "1 day"):
+        out = interval_join_tws_stream(
+            read_events_stream(spark, events_dir), idle_ttl=ttl
+        )
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == [
+            "user_id", "click_id", "click_ts",
+            "purchase_id", "purchase_ts", "purchase_value",
+        ]
+
+
+def _drive_interval_join_fold(batches, window_ms, slack_ms):
+    """Run interval_join_fold per user over a list of pandas micro-
+    batches, returning all emitted join rows."""
+    from etl_template_spark.streaming import interval_join_fold
+
+    rows, state = [], {}
+    for b in batches:
+        for uid, grp in b.groupby("user_id"):
+            ordered = [
+                (r.event_id, r.ts, r.event_type, r.value)
+                for r in grp.sort_values(["ts", "event_id"]).itertuples()
+            ]
+            clicks, purchases = state.get(uid, ([], []))
+            out, clicks, purchases = interval_join_fold(
+                uid, clicks, purchases, ordered, window_ms, slack_ms
+            )
+            state[uid] = (clicks, purchases)
+            rows.extend(out)
+    return rows, state
+
+
+def test_interval_join_fold_matches_batch_twin_over_microbatches(spark):
+    """The factored join transition function, driven over simulated
+    micro-batches, must land on exactly the batch q_stream_join rows
+    for the same events — including a cross-batch pair, a same-instant
+    pair (inclusive bounds), an out-of-window click, a LATE CLICK
+    arriving after its purchase (the symmetric probe), and a LATE
+    PURCHASE reaching a slack-retained click."""
+    import pandas as pd
+
+    import etl_template_spark.queries.streaming_batch as sb
+
+    rows = [
+        # user 1: ordinary click→purchase split across batches
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 11:30:00", 1, "purchase", 20.0),     # batch 2
+        # user 1: out-of-window click (3h before the purchase)
+        (3, "2024-01-01 08:30:00", 1, "click", 0.0),
+        # user 2: same-instant click+purchase (inclusive bound)
+        (4, "2024-01-02 09:00:00", 2, "click", 0.0),
+        (5, "2024-01-02 09:00:00", 2, "purchase", 5.0),
+        # user 3: LATE CLICK — purchase arrives in batch 2, the click
+        # (earlier event time, within the 1h watermark) only in batch 3
+        (6, "2024-01-03 12:40:00", 3, "purchase", 7.0),      # batch 2
+        (7, "2024-01-03 12:10:00", 3, "click", 0.0),         # batch 3, late
+        # user 4: LATE PURCHASE — a newer event drags max_ts forward in
+        # batch 2; the purchase arrives in batch 3 with an event time
+        # whose window reaches the click only slack-retention keeps
+        (8, "2024-01-04 10:00:00", 4, "click", 0.0),
+        (9, "2024-01-04 12:30:00", 4, "click", 0.0),         # batch 2
+        (10, "2024-01-04 11:55:00", 4, "purchase", 9.0),     # batch 3, late
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    orig = sb.load_table
+    sb.load_table = lambda *_: df
+    try:
+        batch_rows = sorted(
+            map(tuple, sb.q_stream_join(spark, "unused").collect())
+        )
+    finally:
+        sb.load_table = orig
+
+    pdf = pd.DataFrame(
+        [(e, pd.Timestamp(t), u, et, v) for (e, t, u, et, v) in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    batches = [
+        pdf[pdf["event_id"].isin([1, 3, 4, 5, 8])],
+        pdf[pdf["event_id"].isin([2, 6, 9])],
+        pdf[pdf["event_id"].isin([7, 10])],
+    ]
+    window_ms = 2 * 3_600_000
+    got, state = _drive_interval_join_fold(
+        batches, window_ms, slack_ms=3_600_000
+    )
+    got_rows = sorted(
+        (u, c, cts.to_pydatetime(), p, pts.to_pydatetime(), v)
+        for (u, c, cts, p, pts, v) in got
+    )
+    assert got_rows == batch_rows
+    # sanity on the scenario itself: 4 pairs, one per user
+    assert len(batch_rows) == 4
+    # pruning really bounded the buffers: user 4's click buffer holds
+    # nothing older than max_ts - window - slack
+    import pandas as _pd
+
+    for uid, (clicks, purchases) in state.items():
+        assert all(
+            t >= _pd.Timestamp("2024-01-04 09:30:00") for (_i, t) in clicks
+        ) or uid != 4
+
+
+def test_interval_join_fold_slackless_drops_late_sides():
+    """Regression shape: with slack_ms=0 the late-click pair still
+    emits (the click probes buffered purchases), but the late-PURCHASE
+    pair is lost because its click was pruned at max_ts - window —
+    exactly the r7-ADVICE failure mode the watermark slack closes."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            (8, pd.Timestamp("2024-01-04 10:00:00"), 4, "click", 0.0),
+            (9, pd.Timestamp("2024-01-04 12:30:00"), 4, "click", 0.0),
+            (10, pd.Timestamp("2024-01-04 11:55:00"), 4, "purchase", 9.0),
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    batches = [
+        pdf[pdf["event_id"].isin([8])],
+        pdf[pdf["event_id"].isin([9])],
+        pdf[pdf["event_id"].isin([10])],
+    ]
+    window_ms = 2 * 3_600_000
+    with_slack, _ = _drive_interval_join_fold(batches, window_ms, 3_600_000)
+    without, _ = _drive_interval_join_fold(batches, window_ms, 0)
+    assert {c for (_u, c, *_r) in with_slack} == {8}
+    assert without == []  # click 8 pruned after batch 2; pair lost
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python workers require google.protobuf "
+    "(absent in this container; pip install is prohibited here — see "
+    "pyproject dev extra); interval_join_fold carries the same "
+    "transition semantics and is tested above",
+)
+def test_interval_join_tws_matches_batch_twin(spark, tmp_path):
+    """Full transformWithStateInPandas run vs the batch interval join."""
+    import pandas as pd
+
+    import etl_template_spark.queries.streaming_batch as sb
+    from etl_template_spark.streaming import interval_join_tws_stream
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 11:30:00", 1, "purchase", 20.0),
+        (4, "2024-01-02 09:00:00", 2, "click", 0.0),
+        (5, "2024-01-02 09:00:00", 2, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orig = sb.load_table
+    sb.load_table = lambda *_: df
+    try:
+        expected = sorted(map(tuple, sb.q_stream_join(spark, "unused").collect()))
+    finally:
+        sb.load_table = orig
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = df.toPandas()
+    with open(os.path.join(src, "all.jsonl"), "w") as f:
+        for _, r in pdf.iterrows():
+            f.write(json.dumps({
+                "event_id": int(r.event_id),
+                "ts": r.ts.isoformat(sep=" "),
+                "user_id": int(r.user_id),
+                "event_type": r.event_type,
+                "value": float(r.value),
+                "props": None,
+            }) + "\n")
+    out = interval_join_tws_stream(read_events_stream(spark, src))
+    q = (
+        out.writeStream.format("memory").queryName("ij_tws")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ij_tws").collect()))
+    assert got == expected
