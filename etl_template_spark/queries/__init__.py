@@ -58,6 +58,7 @@ from . import (  # noqa: F401,E402
     splits,
     dq,
     containment,
+    prefixjoin,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]
