@@ -12,7 +12,9 @@ from .jobs import (  # noqa: F401
     funnel_tws_stream,
     interval_join_fold,
     interval_join_tws_stream,
+    heavy_hitters_tws_stream,
     join_streams,
+    mg_fold,
     read_events_stream,
     retention_stream,
     run_available_now,

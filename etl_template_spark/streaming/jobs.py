@@ -1235,3 +1235,124 @@ def interval_join_tws_stream(
             timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
+
+
+def mg_fold(counts, items, k):
+    """Misra-Gries transition function of the sharded streaming
+    heavy-hitters operator (``heavy_hitters_tws_stream``), factored out
+    for protobuf-free unit testing (the attribution_fold pattern).
+
+    Given the carried counter map (at most ``k`` entries) and one
+    micro-batch of this shard's items, return the updated map.  The MG
+    update: increment a tracked item; start tracking an untracked item
+    while capacity remains; otherwise decrement EVERY counter by one
+    (conceptually cancelling k+1 distinct items against each other) and
+    drop zeros.  Guarantees, per shard: every tracked count is a LOWER
+    bound on the item's true shard count, undercounted by at most
+    (shard stream length)/(k+1) — so any item with true frequency above
+    that bound is guaranteed present, and counts are EXACT whenever the
+    shard's distinct-item count never exceeds k (no decrement ever
+    fires).  Deterministic: no tie-breaking is needed because the
+    decrement touches all counters equally."""
+    for it in items:
+        if it in counts:
+            counts[it] += 1
+        elif len(counts) < k:
+            counts[it] = 1
+        else:
+            for key in list(counts):
+                counts[key] -= 1
+                if counts[key] == 0:
+                    del counts[key]
+    return counts
+
+
+def heavy_hitters_tws_stream(
+    items: DataFrame,
+    col: str = "token",
+    k: int = 64,
+    n_shards: int = 32,
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming heavy hitters: q_heavy_hitters' incremental twin on
+    ``transformWithState`` with typed MAP STATE — the r8 new state
+    primitive (the other tws operators carry ValueState/ListState; a
+    frequency sketch is the canonical map-shaped state).
+
+    Sharding IS the correctness architecture: items group by
+    ``pmod(hash(item), n_shards)``, so every occurrence of a given item
+    lands in the SAME shard and the per-shard Misra-Gries guarantee
+    (``mg_fold``) applies to the item's FULL stream frequency — shard
+    parallelism without sketch-merge error, unlike sketch-per-partition
+    designs that must merge lossy summaries.  Each micro-batch a shard
+    emits its current tracked (item, cnt_lower) set (Update mode, ≤ k
+    rows per shard); the batch-twin threshold filter (count ≥ N·θ) is a
+    stateless downstream consumer, exactly as the batch operator's
+    exact-count second pass is.
+
+    State is the MapState itself — ≤ k entries per shard regardless of
+    stream length or vocabulary size, the O(1/θ)-space bound that makes
+    vocabulary-head monitoring runnable forever on an unbounded token
+    stream.  ``watermark_col`` (optional) declares event time for
+    pipelines that compose this with windowed consumers; the sketch
+    itself is order-insensitive so no watermark is required.
+
+    Runtime gate as the other tws operators: the Python workers need
+    ``google.protobuf``; plan construction is dependency-free and
+    ``mg_fold`` carries the transition semantics under test."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _HeavyHitters(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "item string", "cnt bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            counts = (
+                {it[0]: c[0] for it, c in self._counts.iterator()}
+                if self._counts.exists()
+                else {}
+            )
+            pdfs = list(rows)
+            batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
+            items = batch["item"].tolist() if len(batch) else []
+            before = dict(counts)
+            counts = mg_fold(counts, items, k)
+            # reconcile the MapState against the folded dict: update
+            # changed keys, remove evicted ones (cheaper than clear+
+            # rewrite for the common small-delta batch)
+            for it, c in counts.items():
+                if before.get(it) != c:
+                    self._counts.updateValue((it,), (c,))
+            for it in before:
+                if it not in counts:
+                    self._counts.removeKey((it,))
+            if counts:
+                yield pd.DataFrame(
+                    {
+                        "shard": [int(key[0])] * len(counts),
+                        "item": list(counts),
+                        "cnt_lower": list(counts.values()),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    src = items
+    if watermark_col is not None:
+        src = src.withWatermark(watermark_col, watermark)
+    keyed = src.select(
+        F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("shard"),
+        F.col(col).alias("item"),
+    )
+    return keyed.groupBy("shard").transformWithStateInPandas(
+        statefulProcessor=_HeavyHitters(),
+        outputStructType="shard bigint, item string, cnt_lower bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

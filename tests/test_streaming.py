@@ -1215,3 +1215,107 @@ def test_interval_join_tws_matches_batch_twin(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.sql("SELECT * FROM ij_tws").collect()))
     assert got == expected
+
+
+# ---------------------------------------------------------------- r8 ------
+# sharded streaming heavy hitters on MapState
+
+
+def test_mg_fold_guarantees_on_zipf_stream():
+    """Misra-Gries invariants over a Zipf-ish stream driven in
+    micro-batches: (1) tracked counts are LOWER bounds on true counts,
+    (2) undercount is at most stream_len/(k+1), (3) every item with
+    true count > stream_len/(k+1) is tracked, (4) at most k entries."""
+    import random
+
+    from etl_template_spark.streaming import mg_fold
+
+    rng = random.Random(8)
+    # Zipf-ish: item i appears ~ 1/i
+    stream = [f"w{i}" for i in range(1, 60) for _ in range(600 // i)]
+    rng.shuffle(stream)
+    true = {}
+    for it in stream:
+        true[it] = true.get(it, 0) + 1
+
+    k = 16
+    counts = {}
+    for start in range(0, len(stream), 500):  # micro-batches of 500
+        counts = mg_fold(counts, stream[start : start + 500], k)
+
+    n = len(stream)
+    assert len(counts) <= k
+    for it, c in counts.items():
+        assert c <= true[it]
+        assert true[it] - c <= n / (k + 1)
+    for it, t in true.items():
+        if t > n / (k + 1):
+            assert it in counts, f"guaranteed heavy hitter {it} missing"
+
+
+def test_mg_fold_exact_when_capacity_suffices():
+    """With k >= distinct items no decrement ever fires: the sketch IS
+    the exact frequency table, independent of batch boundaries."""
+    from etl_template_spark.streaming import mg_fold
+
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    one_shot = mg_fold({}, list(stream), 10)
+    batched = {}
+    for i in range(0, len(stream), 3):
+        batched = mg_fold(batched, stream[i : i + 3], 10)
+    assert one_shot == batched == {"a": 5, "b": 3, "c": 2}
+
+
+def test_heavy_hitters_tws_plan_constructs(spark, events_dir):
+    """heavy_hitters_tws_stream plan construction is environment-free:
+    the unstarted streaming frame must carry the declared sketch-row
+    schema, keyed by the hash shard."""
+    from etl_template_spark.streaming import heavy_hitters_tws_stream
+
+    stream = read_events_stream(spark, events_dir).select(
+        F.col("event_type").alias("token"), "ts"
+    )
+    out = heavy_hitters_tws_stream(stream, col="token", k=8, n_shards=4)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["shard", "item", "cnt_lower"]
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState Python workers require google.protobuf "
+    "(absent in this container; package installation is prohibited here — "
+    "see pyproject [streaming-state] extra); mg_fold carries the same "
+    "transition semantics and is tested above",
+)
+def test_heavy_hitters_tws_matches_exact_counts(spark, events_dir, tmp_path):
+    """Full MapState run with ample capacity: final per-item lower
+    bounds equal the exact batch counts."""
+    from etl_template_spark.streaming import heavy_hitters_tws_stream
+
+    stream = read_events_stream(spark, events_dir).select(
+        F.col("event_type").alias("token")
+    )
+    out = heavy_hitters_tws_stream(stream, col="token", k=64, n_shards=4)
+    q = (
+        out.writeStream.format("memory").queryName("hh_tws")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        r["item"]: r["cnt_lower"]
+        for r in spark.sql(
+            "SELECT item, MAX(cnt_lower) AS cnt_lower FROM hh_tws GROUP BY item"
+        ).collect()
+    }
+    batch = (
+        spark.read.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .json(events_dir)
+        .groupBy("event_type")
+        .count()
+    )
+    expect = {r["event_type"]: r["count"] for r in batch.collect()}
+    assert got == expect
