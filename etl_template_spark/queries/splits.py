@@ -20,11 +20,20 @@ Scale shapes:
   of a real split is ``write_versioned(..., partition_by=['split'])``
   — already covered by the sink family.
 - ``q_dataset_mixture`` ranks per language (window over |langs|
-  bounded partitions — the shuffle is one hash partitioning by lang,
-  skew-bounded by the dominant language's share) and joins a broadcast
-  (lang, take_n) dim built from a 5-row aggregate; selection is a
-  rank-filter, so the plan is WindowGroupLimit-shaped, not a sort of
-  the corpus.
+  bounded partitions — the shuffle is one hash partitioning by lang)
+  and joins a broadcast (lang, take_n) dim built from a 5-row
+  aggregate; selection is a rank-filter, so the plan is
+  WindowGroupLimit-shaped, not a sort of the corpus.  Skew honesty:
+  the per-language window funnels the dominant language into one task
+  — fine to tens of GB per language, the serial bottleneck beyond.
+  The 100 TB mitigation keeps the same CONTRACT (select the take_n
+  hash-smallest per language) but finds the take_n-th hash threshold
+  by bucketed rank counting (partition the hash space, count per
+  (lang, bucket), prefix-sum to locate the threshold bucket, sort only
+  inside it) and then assigns ranks with a partitioned window over the
+  selected ~take_n rows — the generic distributed quantile-selection
+  rewrite, worth its extra pass only when a single language outgrows a
+  task.
 
 Reference parity: the reference has no sampling/splitting surface
 (SURVEY §2A); declared engine surface per §2B.
