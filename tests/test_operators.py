@@ -259,7 +259,12 @@ def test_concurrent_version_claims_unique(tmp_path):
     for t in threads:
         t.join()
     assert sorted(claimed) == list(range(1, 17))  # no duplicates, no gaps
-    assert latest_version(root, "step") == 16
+    # bare claims carry no _SUCCESS, so READERS see nothing (the r8
+    # read-committed contract) while the writer-facing listing sees all
+    from etl_template_spark.io import list_versions
+
+    assert latest_version(root, "step") is None
+    assert list_versions(root, "step", committed_only=False)[-1] == 16
 
 
 # ----------------------------------------------------- approx agg ----
