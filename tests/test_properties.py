@@ -522,3 +522,144 @@ def test_attribution_matches_python_reference(spark, events):
         assert math.isclose(got[ch][1], total, rel_tol=0, abs_tol=1e-9), (
             ch, got[ch][1], total
         )
+
+
+# ------------------------------------------------ streaming fold twins ----
+# Spark-free randomized differentials: the per-key transition functions
+# of the tws operators vs brute-force batch definitions, over arbitrary
+# WATERMARK-ADMISSIBLE arrival interleavings and random micro-batch
+# cuts.  Arrival order is generated as sort-by-(ts + jitter) with jitter
+# in [0, delay]: every prefix then satisfies ts_i >= max_seen_ts - delay
+# — exactly the set of interleavings a watermark of `delay` admits, so
+# the folds' slack-pruning losslessness claim is the thing under test.
+
+_fold_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=50_000),     # event-time sec
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(min_value=0, max_value=7_200),      # arrival jitter sec
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _arrival_batches(events, delay_s, rnd, n_cuts):
+    """Arrival order = sort by (ts + min(jitter, delay)); split into
+    random contiguous micro-batches."""
+    arr = sorted(
+        (
+            (ts + min(j, delay_s), eid, uid, ts, et)
+            for eid, (uid, ts, et, j) in enumerate(events)
+        ),
+    )
+    cuts = sorted(rnd.sample(range(1, len(arr)), min(n_cuts, len(arr) - 1))) if len(arr) > 1 else []
+    batches, lo = [], 0
+    for c in cuts + [len(arr)]:
+        if c > lo:
+            batches.append(arr[lo:c])
+            lo = c
+    return batches
+
+
+@given(_fold_events, st.integers(min_value=0, max_value=10), st.randoms())
+@settings(**_SETTINGS)
+def test_interval_join_fold_exact_under_admissible_interleavings(
+    events, n_cuts, rnd
+):
+    """Every (click, purchase) pair of the batch interval join — and
+    nothing else — must emit exactly once, for ANY watermark-admissible
+    arrival order and ANY micro-batch segmentation."""
+    from etl_template_spark.streaming import interval_join_fold
+
+    delay_s = 3_600
+    window_ms = 2 * 3_600_000
+    base = pd.Timestamp("2024-01-01")
+
+    expected = sorted(
+        (cu, ce, pe)
+        for ce, (cu, cts, cet, _) in enumerate(events)
+        if cet == "click"
+        for pe, (pu, pts, pet, _) in enumerate(events)
+        if pet == "purchase"
+        and pu == cu
+        and cts <= pts <= cts + window_ms // 1000
+    )
+
+    got, state = [], {}
+    for batch in _arrival_batches(events, delay_s, rnd, n_cuts):
+        per_user: dict = {}
+        for _ak, eid, uid, ts, et in batch:
+            per_user.setdefault(uid, []).append(
+                (eid, base + pd.Timedelta(seconds=ts), et, 1.0)
+            )
+        for uid, rows in per_user.items():
+            clicks, purchases = state.get(uid, ([], []))
+            out, clicks, purchases = interval_join_fold(
+                uid, clicks, purchases, rows, window_ms, delay_s * 1000
+            )
+            state[uid] = (clicks, purchases)
+            got.extend((u, c, p) for (u, c, _ct, p, _pt, _v) in out)
+    assert sorted(got) == expected  # exactly-once AND complete
+
+
+@given(_fold_events, st.integers(min_value=0, max_value=10), st.randoms())
+@settings(**_SETTINGS)
+def test_attribution_fold_totals_under_admissible_interleavings(
+    events, n_cuts, rnd
+):
+    """Per-purchase credit sets must equal the operator's STATED
+    contract under any admissible arrival order and batch cuts: a
+    purchase credits every in-window touch that arrived in the same or
+    an earlier micro-batch (the slack-pruning losslessness property —
+    no eligible-and-arrived touch is ever pruned away), while a touch
+    arriving in a LATER batch than its purchase is conservatively
+    dropped (the documented Append-mode caveat: credit rows are
+    emitted, never retracted).  When arrival order equals event-time
+    order (all jitters 0 — a subset hypothesis explores) the
+    arrival-aware expectation reduces to the batch twin, so this
+    property subsumes the exact-equivalence case."""
+    from etl_template_spark.streaming import attribution_fold
+    from etl_template_spark.streaming.jobs import ATTRIBUTION_TOUCH_TYPES
+
+    delay_s = 3_600
+    window_ms = 2 * 3_600_000
+    base = pd.Timestamp("2024-01-01")
+
+    batches = _arrival_batches(events, delay_s, rnd, n_cuts)
+    batch_of = {
+        eid: bi for bi, b in enumerate(batches) for (_ak, eid, _u, _t, _e) in b
+    }
+
+    def expected_credits():
+        out = {}
+        for pe, (pu, pts, pet, _) in enumerate(events):
+            if pet != "purchase":
+                continue
+            hits = sorted(
+                tet
+                for te, (tu, tts, tet, _) in enumerate(events)
+                if tet in ATTRIBUTION_TOUCH_TYPES
+                and tu == pu
+                and pts - window_ms // 1000 <= tts <= pts
+                and batch_of[te] <= batch_of[pe]  # arrived in time
+            )
+            out[pe] = hits or ["direct"]
+        return out
+
+    got: dict = {}
+    state: dict = {}
+    for batch in batches:
+        per_user: dict = {}
+        for _ak, eid, uid, ts, et in batch:
+            per_user.setdefault(uid, []).append(
+                (eid, base + pd.Timedelta(seconds=ts), et, 1.0)
+            )
+        for uid, rows in per_user.items():
+            out, state[uid] = attribution_fold(
+                uid, state.get(uid, []), rows, window_ms, delay_s * 1000
+            )
+            for (eid, _u, ch, _s, _n) in out:
+                got.setdefault(eid, []).append(ch)
+    assert {k: sorted(v) for k, v in got.items()} == expected_credits()

@@ -1319,3 +1319,21 @@ def test_heavy_hitters_tws_matches_exact_counts(spark, events_dir, tmp_path):
     )
     expect = {r["event_type"]: r["count"] for r in batch.collect()}
     assert got == expect
+
+
+def test_commit_stream_batch_out_of_order_replay_falls_back_to_scan(spark, tmp_path):
+    """The O(1) replay check reads only the newest marker; a replay of
+    an OLDER batch id (cannot happen under foreachBatch, but the code
+    defends it) must fall back to the full scan and still return the
+    original version instead of double-committing."""
+    from etl_template_spark.io import list_versions
+    from etl_template_spark.streaming.jobs import commit_stream_batch
+
+    root = str(tmp_path / "data")
+    df = spark.range(3).selectExpr("id", "id AS doubled")
+    v0 = commit_stream_batch(df, root, "ingest", batch_id=0)
+    v1 = commit_stream_batch(df, root, "ingest", batch_id=1)
+    assert (v0, v1) == (1, 2)
+    # hand-rolled out-of-order replay of batch 0: newest marker is 1
+    assert commit_stream_batch(df, root, "ingest", batch_id=0) == v0
+    assert list_versions(root, "ingest") == [1, 2]  # nothing re-committed
