@@ -53,6 +53,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     damping: float = 0.85,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """(id, rank) for every node appearing in ``edges`` (either side),
     after exactly ``iters`` synchronous iterations from the uniform
@@ -69,7 +70,19 @@ def pagerank(
 
     Raises ``ValueError`` on an empty edge frame: there are no nodes,
     so no rank distribution exists (and the teleport term would divide
-    by zero)."""
+    by zero).
+
+    RESUMABLE AS DATA (r8): each round's rank vector is itself rounded
+    to scale-9 decimal, so the per-round state is exactly
+    representable and iteration composes: ``pagerank(e, iters=a+b)``
+    equals ``pagerank(e, iters=b, init_ranks=pagerank(e, iters=a))``
+    BIT-FOR-BIT (tests assert it).  That identity is what makes the
+    nightly incremental pattern sound — persist the rank vector,
+    resume more rounds later, or warm-start after an edge delta
+    (``init_ranks`` ranks absent from the new node set are dropped;
+    new nodes start at the uniform 1/n — a warm START, not an exact
+    delta algorithm; convergence, not equality, is the contract when
+    the graph changed)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
     nodes = (
         e.select(F.col("s").alias("id"))
@@ -90,7 +103,21 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
 
-    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    else:
+        # warm start: carried ranks for known nodes, uniform for new
+        # ones; ranks for nodes no longer in the graph drop via the join
+        ranks = (
+            nodes.join(init_ranks.select("id", "rank"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("rank"), F.lit(1.0) / F.lit(float(n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     teleport = (1.0 - damping) / n_nodes
     for i in range(iters):
         contribs = (
@@ -113,14 +140,17 @@ def pagerank(
             .crossJoin(d_mass)
             .select(
                 "id",
-                (
+                # the round-9 rounding makes each round's rank vector
+                # exactly representable — the resume-as-data identity
+                F.round(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
                         + F.coalesce(F.col("mass"), F.lit(0.0))
                         / F.lit(float(n_nodes))
-                    )
+                    ),
+                    _SCALE,
                 ).alias("rank"),
             )
         )

@@ -72,10 +72,12 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
             f" WHERE d.id IS NULL)"
         )
         ctes.append(
-            f"r{i} AS (SELECT nodes.id, {teleport} + {_DAMPING}::DOUBLE *"
+            # per-round round-9 mirrors the operator's resumable-as-data
+            # state (each round's rank vector is exactly representable)
+            f"r{i} AS (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
             f" (COALESCE(c{i}.inflow, 0.0::DOUBLE)"
             f" + COALESCE((SELECT mass FROM m{i}), 0.0::DOUBLE)"
-            f" / CAST({n} AS DOUBLE)) AS rank"
+            f" / CAST({n} AS DOUBLE)), 9) AS rank"
             f" FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)"
         )
     return (
