@@ -10,6 +10,8 @@ shims — the round-6 verdict's cleanup).
                           (Scrub → Sample → Budget → Pack)
 - ``quality_gate``      — the monitoring composition: profile →
                           expectations gate (fail-fast) → MAD anomaly
+- ``dataset_release``   — the release composition: constraint gate →
+                          mixture → split → composition audit
 
 Each module keeps a ``run(...)`` entry point and stays runnable directly
 (``python -m etl_template_spark.examples.<name>``); the CLI subcommand
@@ -21,4 +23,5 @@ EXAMPLE_NAMES = (
     "streaming_ingest",
     "curation_pipeline",
     "quality_gate",
+    "dataset_release",
 )

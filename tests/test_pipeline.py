@@ -421,3 +421,64 @@ def test_quality_gate_example_poison_spec_fails_run(spark, sf_dir, tmp_path, mon
     assert "quality gate violated" in (manifest.steps["Gate"].message or "")
     assert manifest.steps["Anomaly"].status in ("Pending", "NotStarted")
     assert manifest.steps["Gate"].output_version is None
+
+
+def test_dataset_release_example_runs(spark, sf_dir, tmp_path, monkeypatch):
+    """examples.dataset_release — the round-8 release composition as
+    living documentation: the gate passes on fixture data, the mixture
+    honors targets-or-availability, every selected doc gets a split,
+    and the published audit reconciles with the split step's rows."""
+    from etl_template_spark.examples import dataset_release as ex
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    root = str(tmp_path / "data")
+    result = ex.run(root, sf_dir)
+    assert result.overall_status == "Completed"
+    assert [s.status for s in result.steps.values()] == ["Completed"] * 4
+
+    from etl_template_spark import read_versioned
+    from etl_template_spark.queries.splits import _MIX_TARGETS
+
+    assigned = read_versioned(spark, root, "Split").collect()
+    assert all(r["split"] in ("train", "val", "test") for r in assigned)
+    audit = read_versioned(spark, root, "Publish").collect()
+    assert sum(r["n_docs"] for r in audit) == len(assigned)
+    # mixture: no language above its target
+    by_lang: dict = {}
+    for r in assigned:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert all(n <= _MIX_TARGETS[lang] for lang, n in by_lang.items())
+
+
+def test_dataset_release_gate_poison_fails_run(spark, sf_dir, tmp_path, monkeypatch):
+    """A corpus violating a release constraint must abort at Check:
+    Failed in the manifest, nothing selected or published."""
+    import pytest as _pytest
+
+    from etl_template_spark.examples import dataset_release as ex
+    from etl_template_spark.pipeline import PipelineRun, StepFailed
+
+    # poison: a document with an out-of-vocabulary language
+    from etl_template_spark.io import load_table as real_load
+
+    def poisoned(spark_, sfd, table):
+        d = real_load(spark_, sfd, table)
+        if table == "documents":
+            bad = spark.createDataFrame(
+                [(999_999, "rogue text", "xx", "srcX", 10)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            d = d.unionByName(bad)
+        return d
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(ex, "load_table", poisoned)
+    root = str(tmp_path / "data")
+    p = ex.build_pipeline(root, sf_dir)
+    with _pytest.raises(StepFailed):
+        p.run(spark)
+    manifest = PipelineRun.load_status("dataset_release", p.status_path)
+    assert manifest.overall_status == "Failed"
+    assert manifest.steps["Check"].status == "Failed"
+    assert "lang_in_mixture_vocab" in (manifest.steps["Check"].message or "")
+    assert manifest.steps["Check"].output_version is None
