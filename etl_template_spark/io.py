@@ -547,7 +547,12 @@ def prune_versions(
     directories BELOW the newest claim are crash leftovers — invisible
     to readers since the committed-only listing, but still disk — and
     are removed here.  The newest claim is spared because it may be a
-    concurrent writer mid-publish."""
+    concurrent writer mid-publish.  The sweep assumes versions commit
+    in claim order (true for serial pipeline steps and the
+    single-writer streaming sink): with concurrent writers that can
+    commit OUT of claim order, a claim below a newer committed version
+    may still be live — don't run retention GC while such writers are
+    in flight."""
     keep_last = max(1, keep_last)
     step_dir = _step_dir(root, step)
     all_versions = list_versions(root, step, committed_only=False)
