@@ -61,7 +61,11 @@ def check(spark: SparkSession, _: DataFrame | None, sf_dir: str = SF_DIR) -> Dat
         F.sum(
             F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
         ).alias("v_text_empty"),
-        F.sum(F.when(~F.col("lang").isin(langs), 1).otherwise(0)).alias(
+        # when(valid, 0).otherwise(1): a NULL lang can never satisfy the
+        # domain constraint (plain ~isin is NULL for NULL and would
+        # count 0 — the doc would pass the gate, then silently vanish
+        # in the mixture join)
+        F.sum(F.when(F.col("lang").isin(langs), 0).otherwise(1)).alias(
             "v_lang_domain"
         ),
     )

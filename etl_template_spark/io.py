@@ -543,11 +543,14 @@ def prune_versions(
     latest version, even with ``keep_last=0``.
 
     Crash-remnant sweep (r7 ADVICE): uncommitted claims (``v=N``
-    without ``_SUCCESS``) and orphaned ``_inflight-*`` scratch
-    directories BELOW the newest claim are crash leftovers — invisible
-    to readers since the committed-only listing, but still disk — and
-    are removed here.  The newest claim is spared because it may be a
-    concurrent writer mid-publish.  The sweep assumes versions commit
+    without ``_SUCCESS``) below the newest claim are crash leftovers —
+    invisible to readers since the committed-only listing, but still
+    disk — and are removed here; ``_inflight-*`` streaming scratch is
+    removed only when a committed ``_BATCH_ID`` marker PROVES its batch
+    already landed (an unproven scratch may be a live writer
+    mid-publish — see the inline comment).  The newest claim is spared
+    because it may be a concurrent writer mid-publish.  The sweep
+    assumes versions commit
     in claim order (true for serial pipeline steps and the
     single-writer streaming sink): with concurrent writers that can
     commit OUT of claim order, a claim below a newer committed version
@@ -566,9 +569,33 @@ def prune_versions(
     doomed += [n for n in all_versions if n not in set(committed) and n < newest]
     for n in sorted(set(doomed)):
         shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
-    if os.path.isdir(step_dir):
+    # _inflight-{batch_id}-* scratch (the streaming sink's staging dirs;
+    # see streaming/jobs.py::commit_stream_batch) is swept ONLY when a
+    # committed version's _BATCH_ID marker proves that batch already
+    # landed — an unproven scratch may be a LIVE writer between its
+    # Spark write and the atomic rename, and deleting it mid-publish
+    # could race the rename into a committed-but-partial version (r8
+    # review).  Never-committed crash scratch is reclaimed by the
+    # replay's own post-commit sweep instead.
+    newest_marked = None
+    for n in reversed(committed):
+        marker = os.path.join(step_dir, f"v={n}", "_BATCH_ID")
+        if os.path.isfile(marker):
+            try:
+                with open(marker) as fh:
+                    newest_marked = int(fh.read().strip())
+            except ValueError:
+                pass
+            break
+    if newest_marked is not None and os.path.isdir(step_dir):
         for entry in os.listdir(step_dir):
-            if entry.startswith("_inflight-"):
+            if not entry.startswith("_inflight-"):
+                continue
+            try:
+                bid = int(entry.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if bid <= newest_marked:
                 shutil.rmtree(os.path.join(step_dir, entry), ignore_errors=True)
     return sorted(set(doomed))
 

@@ -250,3 +250,45 @@ def ngram_jaccard_pairs_prefix(
         a.join(b, "s").where(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
     )
     return verified_jaccard(candidates, shingles, threshold, sizes=sizes)
+
+
+def df_capped_pair_counts(shingles: DataFrame, n_docs: DataFrame):
+    """The DF-capped inverted-index candidate pipeline shared by
+    q_dedup_ngram (Jaccard) and q_dedup_containment (containment) —
+    factored here (r8 review) so the cap semantics and join shape have
+    one fix point.  Returns ``(sizes, common)``: per-doc pruned shingle
+    counts ``(doc_id, n_sh)`` and per-pair co-occurrence counts
+    ``(d1, d2, c)`` with ``d1 < d2``; the caller supplies the scoring
+    denominator (Jaccard's ``n1 + n2 − c`` vs containment's
+    ``least(n1, n2)``).
+
+    Contract: shingles present in more than ``max(5, 1% of corpus)``
+    documents are dropped BEFORE the self-join — the 100 TB guard
+    against quadratic stopword buckets, stated in both oracles, so the
+    cap is checked semantics, not a silent approximation.
+
+    Keep-list join on the shingle value (no forced broadcast: the kept
+    vocabulary is corpus-scaled; AQE broadcasts it only when small).
+    Deliberately agg+join rather than a COUNT() OVER (PARTITION BY s)
+    filter (measured ~equal locally): the window form funnels every
+    occurrence of a hot shingle into ONE un-splittable task, while
+    this shape partial-aggregates the DF count map-side and lets AQE
+    skew-split the probe side of the keep-join — the hot keys being
+    filtered out is exactly when the shuffle must not serialize them.
+    """
+    dfreq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
+    kept = shingles.join(
+        dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
+        "s",
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("d1"), "s")
+    b = kept.select(F.col("doc_id").alias("d2"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return sizes, common

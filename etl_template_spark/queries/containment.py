@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.dedup import df_capped_pair_counts
 from ..registry import register
 from .llm_text import _SHINGLES_SQL, _doc_shingles
 
@@ -71,21 +72,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
-    kept = sh.join(
-        dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
-        "s",
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("d1"), "s")
-    b = kept.select(F.col("doc_id").alias("d2"), "s")
-    common = (
-        a.join(b, "s")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # the SAME candidate pipeline as q_dedup_ngram, by construction:
+    # both call the one helper (operators/dedup.py, r8 review)
+    sizes, common = df_capped_pair_counts(sh, n_docs)
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     n_small = F.least(F.col("n1"), F.col("n2"))

@@ -13,6 +13,15 @@ The only multi-table constraint (lineitem → orders referential
 integrity) is a single left-anti join count, the join strategy left to
 AQE (the FK side is corpus-sized; never forced broadcast).
 
+NULL contract (r8 review): every constraint is written in the VALID
+form — ``when(valid, 0).otherwise(1)`` / ``CASE WHEN valid THEN 0 ELSE
+1 END`` — so a NULL, which satisfies no predicate, always counts as a
+violation.  The violation form (``when(violated, 1).otherwise(0)``)
+silently passes NULLs (a NULL predicate falls to otherwise(0)), which
+is exactly the corruption a DQ gate exists to catch; both engines have
+identical three-valued logic, so the differential can never flag the
+difference — the contract has to be chosen, and it is chosen strict.
+
 Scale shape at 100 TB: two full scans (orders, lineitem) with map-side
 combine into 1-row aggregates, one anti-join, three 1-row unions — the
 report cost is the cost of reading the data once, which is the floor
@@ -39,13 +48,13 @@ from ..registry import register
     WITH o AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
-             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
-             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_status
       FROM orders),
     l AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
-             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc
       FROM lineitem),
     fk AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS v
@@ -78,18 +87,18 @@ def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_stats = o.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v_cust"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_price"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1)).alias("v_price"),
         F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 0).otherwise(1)
         ).alias("v_status"),
     )
     l_stats = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+            F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)
         ).alias("v_qty"),
         F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+            F.when(F.col("l_discount").between(0, 0.1), 0).otherwise(1)
         ).alias("v_disc"),
     )
     fk_viol = (

@@ -33,6 +33,7 @@ from ..operators.dedup import (
     MH_AB as _MH_AB,
     MH_BANDS as _MH_BANDS,
     MH_PRIME as _MH_P,
+    df_capped_pair_counts,
     shingle_id,
     shingles_col,
     tokens_col,
@@ -408,29 +409,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
-    # Keep-list join on the shingle value (no forced broadcast: the kept
-    # vocabulary is corpus-scaled; AQE broadcasts it only when small).
-    # Deliberately agg+join rather than a COUNT() OVER (PARTITION BY s)
-    # filter (measured ~equal locally): the window form funnels every
-    # occurrence of a hot shingle into ONE un-splittable task, while
-    # this shape partial-aggregates the DF count map-side and lets AQE
-    # skew-split the probe side of the keep-join — the hot keys being
-    # filtered out is exactly when the shuffle must not serialize them.
-    kept = sh.join(
-        dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
-        "s",
-    )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("d1"), "s")
-    b = kept.select(F.col("doc_id").alias("d2"), "s")
-    common = (
-        a.join(b, "s")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # candidate generation factored into operators/dedup.py (r8 review —
+    # q_dedup_containment shares the identical contract; the keep-join
+    # shape rationale lives on the helper's docstring)
+    sizes, common = df_capped_pair_counts(sh, n_docs)
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))

@@ -1272,8 +1272,6 @@ def heavy_hitters_tws_stream(
     col: str = "token",
     k: int = 64,
     n_shards: int = 32,
-    watermark_col: str | None = None,
-    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming heavy hitters: q_heavy_hitters' incremental twin on
     ``transformWithState`` with typed MAP STATE — the r8 new state
@@ -1294,9 +1292,11 @@ def heavy_hitters_tws_stream(
     State is the MapState itself — ≤ k entries per shard regardless of
     stream length or vocabulary size, the O(1/θ)-space bound that makes
     vocabulary-head monitoring runnable forever on an unbounded token
-    stream.  ``watermark_col`` (optional) declares event time for
-    pipelines that compose this with windowed consumers; the sketch
-    itself is order-insensitive so no watermark is required.
+    stream.  The sketch is order-insensitive and aggregates over ALL
+    time, so it declares no watermark and its output carries no
+    event-time column; a pipeline that wants windowed heavy hitters
+    should window BEFORE this operator (feed it one windowed slice) or
+    use the windowed aggregate family instead.
 
     Runtime gate as the other tws operators: the Python workers need
     ``google.protobuf``; plan construction is dependency-free and
@@ -1343,10 +1343,7 @@ def heavy_hitters_tws_stream(
         def close(self) -> None:
             pass
 
-    src = items
-    if watermark_col is not None:
-        src = src.withWatermark(watermark_col, watermark)
-    keyed = src.select(
+    keyed = items.select(
         F.pmod(F.xxhash64(F.col(col)), F.lit(n_shards)).alias("shard"),
         F.col(col).alias("item"),
     )

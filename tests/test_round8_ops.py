@@ -109,6 +109,9 @@ def test_constraint_check_counts_planted_violations(spark, monkeypatch):
             (1, 10, "O", 5.0),
             (2, None, "F", 7.0),    # null custkey
             (3, 12, "X", -1.0),     # bad status AND non-positive price
+            (4, 13, None, None),    # NULL status AND NULL price: the
+                                    # valid-form contract counts BOTH
+                                    # (r8 review: NULLs satisfy nothing)
         ],
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
     ).withColumn("o_orderdate", F.current_timestamp())
@@ -117,6 +120,7 @@ def test_constraint_check_counts_planted_violations(spark, monkeypatch):
             (1, 5.0, 0.05),
             (99, 60.0, 0.05),   # orphan orderkey AND quantity out of range
             (2, 3.0, 0.5),      # discount out of range
+            (3, None, 0.05),    # NULL quantity → range violation
         ],
         "l_orderkey long, l_quantity double, l_discount double",
     )
@@ -128,13 +132,13 @@ def test_constraint_check_counts_planted_violations(spark, monkeypatch):
     out = {r["check_name"]: r for r in dq.q_constraint_check(spark, SF).collect()}
 
     assert out["orders_custkey_not_null"]["n_violations"] == 1
-    assert out["orders_totalprice_positive"]["n_violations"] == 1
-    assert out["orders_status_domain"]["n_violations"] == 1
-    assert out["lineitem_quantity_range"]["n_violations"] == 1
+    assert out["orders_totalprice_positive"]["n_violations"] == 2  # -1.0 + NULL
+    assert out["orders_status_domain"]["n_violations"] == 2  # 'X' + NULL
+    assert out["lineitem_quantity_range"]["n_violations"] == 2  # 60.0 + NULL
     assert out["lineitem_discount_range"]["n_violations"] == 1
     assert out["lineitem_orderkey_fk"]["n_violations"] == 1
     assert all(not r["pass"] for r in out.values())
-    assert all(r["n_checked"] == 3 for r in out.values())
+    assert all(r["n_checked"] == 4 for r in out.values())
 
 
 # ----------------------------------------------- q_dedup_containment ----

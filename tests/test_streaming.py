@@ -1337,3 +1337,38 @@ def test_commit_stream_batch_out_of_order_replay_falls_back_to_scan(spark, tmp_p
     # hand-rolled out-of-order replay of batch 0: newest marker is 1
     assert commit_stream_batch(df, root, "ingest", batch_id=0) == v0
     assert list_versions(root, "ingest") == [1, 2]  # nothing re-committed
+
+
+def test_prune_versions_spares_unproven_inflight_scratch(spark, tmp_path):
+    """r8 review: retention GC must NOT delete _inflight-* scratch
+    whose batch has no committed marker — it may be a LIVE writer
+    between its Spark write and the atomic rename.  Once a committed
+    version's marker proves the batch landed, the scratch is dead and
+    sweeps."""
+    import glob
+
+    from etl_template_spark.io import prune_versions
+    from etl_template_spark.streaming.jobs import commit_stream_batch
+
+    root = str(tmp_path / "data")
+    df = spark.range(3).selectExpr("id", "id AS doubled")
+    step_root = os.path.join(root, "ingest")
+
+    # a live-looking scratch for batch 0, fully built but not renamed
+    os.makedirs(step_root)
+    scratch = os.path.join(step_root, "_inflight-0-live")
+    df.write.parquet(scratch)
+    with open(os.path.join(scratch, "_BATCH_ID"), "w") as f:
+        f.write("0")
+
+    # GC before any commit: the scratch must survive (unproven)
+    prune_versions(root, "ingest", keep_last=1)
+    assert glob.glob(os.path.join(step_root, "_inflight-*"))
+
+    # batch 0 commits (the replay path); its own sweep already clears
+    # predecessors — recreate a stale scratch to exercise the GC path
+    commit_stream_batch(df, root, "ingest", batch_id=0)
+    stale = os.path.join(step_root, "_inflight-0-stale")
+    os.makedirs(stale)
+    prune_versions(root, "ingest", keep_last=1)
+    assert glob.glob(os.path.join(step_root, "_inflight-*")) == []
