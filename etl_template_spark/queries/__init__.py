@@ -59,6 +59,7 @@ from . import (  # noqa: F401,E402
     dq,
     containment,
     prefixjoin,
+    ddsketch,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

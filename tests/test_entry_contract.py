@@ -374,31 +374,32 @@ def test_documented_query_counts_match_registry():
 
 
 # The intended round-8 correctness window, pinned at the end of the
-# round-8 build: the eight new queries lead (registry order — pagerank,
+# round-8 build: the nine new queries lead (registry order — pagerank,
 # rank-metrics, rolling stats, split/mixture, DQ checks, containment
-# dedup, prefix-filter exact Jaccard), then the 14 INVALIDATED llm_text
+# dedup, prefix-filter exact Jaccard, the decimal quantile sketch),
+# then the 14 INVALIDATED llm_text
 # entries (the r8-review refactor moved the shared DF-capped candidate
 # pipeline into operators/dedup.py, editing their defining module),
 # then the remaining 21-query r4-stale tail (subquery family,
 # agg_stats/percentile/string_agg, streaming batch twins, extensions),
-# then the seven stalest r5 scan/sink entries — 8+14+21+7 = 50
-# exactly.  The invalidation costs NO slots: every invalidated entry
-# was already in the window as r4-stale, so the 50-query SET is
-# unchanged from the pre-refactor pin; only the order moved.
+# then the six stalest r5 scan/sink entries — 9+14+21+6 = 50 exactly.
+# The invalidation costs NO slots (every invalidated entry was already
+# in the window as r4-stale); the ninth fresh query displaces one r5
+# scan entry (q_scan_pyds) to the r9 window head.
 ROUND8_WINDOW = [
     'q_pagerank', 'q_rank_metrics', 'q_rolling_stats', 'q_train_test_split',
     'q_dataset_mixture', 'q_constraint_check', 'q_dedup_containment', 'q_dedup_prefix',
-    'q_dedup_exact', 'q_dedup_fuzzy', 'q_dedup_cluster', 'q_dedup_incremental',
-    'q_dedup_ngram', 'q_dedup_simhash', 'q_text_stats', 'q_lang_id',
-    'q_quality_score', 'q_token_count', 'q_fingerprint', 'q_tfidf',
-    'q_heavy_hitters', 'q_corpus_curation', 'q_subquery_scalar', 'q_subquery_in',
-    'q_subquery_correlated', 'q_agg_stats', 'q_agg_percentile', 'q_string_agg',
-    'q_stream_tumbling', 'q_stream_sliding', 'q_sessionize', 'q_stream_dedup_late',
-    'q_stream_join', 'q_sessionize_native', 'q_stream_distinct_users', 'q_agg_mode',
-    'q_agg_minmax_by', 'q_agg_cond_count', 'q_histogram', 'q_events_transitions',
-    'q_dedup_keep_best', 'q_contamination_check', 'q_ngram_novelty', 'q_scan_parquet',
-    'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc', 'q_sink_partitioned',
-    'q_sink_versioned', 'q_scan_pyds',
+    'q_quantile_sketch', 'q_dedup_exact', 'q_dedup_fuzzy', 'q_dedup_cluster',
+    'q_dedup_incremental', 'q_dedup_ngram', 'q_dedup_simhash', 'q_text_stats',
+    'q_lang_id', 'q_quality_score', 'q_token_count', 'q_fingerprint',
+    'q_tfidf', 'q_heavy_hitters', 'q_corpus_curation', 'q_subquery_scalar',
+    'q_subquery_in', 'q_subquery_correlated', 'q_agg_stats', 'q_agg_percentile',
+    'q_string_agg', 'q_stream_tumbling', 'q_stream_sliding', 'q_sessionize',
+    'q_stream_dedup_late', 'q_stream_join', 'q_sessionize_native', 'q_stream_distinct_users',
+    'q_agg_mode', 'q_agg_minmax_by', 'q_agg_cond_count', 'q_histogram',
+    'q_events_transitions', 'q_dedup_keep_best', 'q_contamination_check', 'q_ngram_novelty',
+    'q_scan_parquet', 'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc',
+    'q_sink_partitioned', 'q_sink_versioned',
 ]
 
 

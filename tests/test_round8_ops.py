@@ -251,3 +251,70 @@ def test_rank_metrics_fixture_is_nonvacuous(spark):
         assert 0.0 < r["mrr"] <= 1.0
         assert 0.0 < r["recall"] <= 1.0
     assert any(r["ndcg"] < 1.0 for r in rows)
+
+
+# ----------------------------------------------------- q_quantile_sketch ----
+
+
+def test_quantile_sketch_merges_as_data(spark):
+    """The sketch artifact must merge by plain SUM: bins built per
+    shard and summed must equal bins built over the whole frame — the
+    q_agg_hll-style mergeability that lets 100 TB build sketches per
+    partition and roll them up."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries.ddsketch import sketch_bins
+
+    li = load_table(spark, SF, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    whole = sorted(
+        map(tuple, sketch_bins(li, "l_returnflag", cents).collect())
+    )
+    shards = [
+        sketch_bins(li.where(F.col("l_orderkey") % 3 == i), "l_returnflag", cents)
+        for i in range(3)
+    ]
+    merged = sorted(
+        map(
+            tuple,
+            shards[0]
+            .unionByName(shards[1])
+            .unionByName(shards[2])
+            .groupBy("l_returnflag", "d", "p2")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect(),
+        )
+    )
+    assert merged == whole
+
+
+def test_quantile_sketch_estimates_within_certified_bounds(spark):
+    """Self-certification: every estimate must lie within its OWN
+    emitted rel_err_bound of the exact quantile (computed
+    independently via percentile_cont on the same data)."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_quantile_sketch"].build(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        (r["l_returnflag"], q): r[f"p{q}"]
+        for q in (0.5, 0.9, 0.99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_cont({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+                ).alias(f"p{q}")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+        .collect()
+    }
+    assert len(rows) == 9
+    for r in rows:
+        ex = exact[(r["l_returnflag"], r["q"])]
+        rel = abs(r["est"] - ex) / ex
+        # the bin containing the rank-selected value certifies its own
+        # half-width; the exact (interpolated) quantile can sit at most
+        # one bin boundary away from the midpoint → bound + width slack
+        assert rel <= r["rel_err_bound"] + 0.01, (r, ex, rel)
