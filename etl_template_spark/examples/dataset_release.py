@@ -68,12 +68,20 @@ def check(spark: SparkSession, _: DataFrame | None, sf_dir: str = SF_DIR) -> Dat
         F.sum(F.when(F.col("lang").isin(langs), 0).otherwise(1)).alias(
             "v_lang_domain"
         ),
+        # uniqueness folds into the SAME aggregate: n - count(distinct)
+        # is the number of surplus duplicate rows (r8 ADVICE — the
+        # docstring promised this invariant; a duplicated doc_id would
+        # be MULTIPLIED by the mixture join on doc_id downstream)
+        (F.count(F.lit(1)) - F.count_distinct(F.col("doc_id"))).alias(
+            "v_id_duplicate"
+        ),
     )
     report = stats.selectExpr(
-        "stack(3, "
+        "stack(4, "
         "'doc_id_not_null', n, v_id_null, "
         "'text_non_empty', n, v_text_empty, "
-        "'lang_in_mixture_vocab', n, v_lang_domain"
+        "'lang_in_mixture_vocab', n, v_lang_domain, "
+        "'doc_id_unique', n, v_id_duplicate"
         ") AS (check_name, n_checked, n_violations)"
     ).select(
         "check_name",

@@ -26,6 +26,7 @@ import math
 import os
 import re
 import shutil
+import time
 from collections.abc import Callable
 from typing import NamedTuple
 
@@ -527,6 +528,7 @@ def prune_versions(
     root: str,
     step: str,
     keep_last: int = 3,
+    min_claim_age: float = 3600.0,
 ) -> list[int]:
     """Retention GC: delete all but the newest ``keep_last`` versions of
     ``step``; returns the pruned version numbers.
@@ -549,13 +551,20 @@ def prune_versions(
     removed only when a committed ``_BATCH_ID`` marker PROVES its batch
     already landed (an unproven scratch may be a live writer
     mid-publish — see the inline comment).  The newest claim is spared
-    because it may be a concurrent writer mid-publish.  The sweep
-    assumes versions commit
-    in claim order (true for serial pipeline steps and the
-    single-writer streaming sink): with concurrent writers that can
-    commit OUT of claim order, a claim below a newer committed version
-    may still be live — don't run retention GC while such writers are
-    in flight."""
+    because it may be a concurrent writer mid-publish.
+
+    ``min_claim_age`` (r8 ADVICE — enforcement, not a docstring caveat):
+    ``claim_next_version`` is designed for CONCURRENT writers, and a
+    slow writer's claim can fall below a faster writer's committed
+    version while its job is still streaming files into the claimed
+    directory — commit order need not equal claim order.  An
+    uncommitted claim is therefore swept only when the claim
+    directory's mtime is at least ``min_claim_age`` seconds old
+    (default one hour): a directory actively receiving task output has
+    a fresh mtime, so only genuinely stale crash remnants qualify.
+    Jobs that legitimately write one version for longer than the grace
+    period should pass a larger ``min_claim_age``; ``0`` restores the
+    unconditional sweep (safe only with strictly serial writers)."""
     keep_last = max(1, keep_last)
     step_dir = _step_dir(root, step)
     all_versions = list_versions(root, step, committed_only=False)
@@ -565,8 +574,21 @@ def prune_versions(
     # uncommitted claim at the top can never push the latest committed
     # version out of the kept set
     doomed = committed[:-keep_last] if len(committed) > keep_last else []
-    # uncommitted claims below the newest are dead regardless of keep_last
-    doomed += [n for n in all_versions if n not in set(committed) and n < newest]
+    # uncommitted claims below the newest are CANDIDATE remnants
+    # regardless of keep_last — but only claims older than the grace
+    # period are provably dead (a younger one may be a live concurrent
+    # writer that claimed early and is committing out of claim order)
+    now = time.time()
+    for n in all_versions:
+        if n in set(committed) or n >= newest:
+            continue
+        claim_dir = os.path.join(step_dir, f"v={n}")
+        try:
+            age = now - os.path.getmtime(claim_dir)
+        except OSError:
+            continue  # raced away — nothing to sweep
+        if age >= min_claim_age:
+            doomed.append(n)
     for n in sorted(set(doomed)):
         shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
     # _inflight-{batch_id}-* scratch (the streaming sink's staging dirs;

@@ -402,6 +402,21 @@ def commit_stream_batch(
             for v2 in committed:
                 if _marker_batch(v2) == batch_id:
                     return v2
+            # r8 ADVICE: an incoming batch id BELOW the newest committed
+            # marker with no matching marker anywhere means the
+            # checkpoint was rolled back or corrupted out from under the
+            # sink.  Appending would silently reorder the versioned
+            # stream's history (old rows landing as the newest version),
+            # so stall loudly instead — matching the sink's stated
+            # exactly-once-at-version-granularity contract.  Recovery is
+            # operator-driven: restore the checkpoint, or start a fresh
+            # checkpoint against a fresh step.
+            raise RuntimeError(
+                f"commit_stream_batch: incoming batch_id={batch_id} is below "
+                f"the newest committed marker ({mb} at v={v}) and no committed "
+                "version carries it — the streaming checkpoint appears rolled "
+                "back or corrupted; refusing to append out-of-order history"
+            )
     if batch_df.isEmpty():
         return None
     # (2) scratch write on the same filesystem (rename must be atomic)
@@ -513,8 +528,8 @@ def funnel_stream(
         tv, tc, tp = state.get if state.exists else (None, None, None)
         rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
         if len(rows):
-            for _, r in rows.sort_values("ts").iterrows():
-                et, ts = r["event_type"], r["ts"]
+            srt = rows.sort_values("ts")
+            for et, ts in zip(srt["event_type"], srt["ts"]):
                 if et == "view" and tv is None:
                     tv = ts
                 elif et == "click" and tc is None and tv is not None and ts > tv:
@@ -611,8 +626,8 @@ def funnel_tws_stream(
             if len(batch):
                 # same monotone fold as funnel_stream: batch rows in
                 # event-time order; stages never regress
-                for _, r in batch.sort_values("ts").iterrows():
-                    et, ts = r["event_type"], r["ts"]
+                srt = batch.sort_values("ts")
+                for et, ts in zip(srt["event_type"], srt["ts"]):
                     if et == "view" and tv is None:
                         tv = ts
                     elif (
@@ -822,11 +837,12 @@ def transitions_stream(
         prevs, nexts = [], []
         rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
         if len(rows):
-            for _, r in rows.sort_values(["ts", "event_id"]).iterrows():
+            srt = rows.sort_values(["ts", "event_id"])
+            for ts, et in zip(srt["ts"], srt["event_type"]):
                 if last_type is not None:
                     prevs.append(last_type)
-                    nexts.append(r["event_type"])
-                last_ts, last_type = r["ts"], r["event_type"]
+                    nexts.append(et)
+                last_ts, last_type = ts, et
         state.update((last_ts, last_type))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -1001,10 +1017,14 @@ def attribution_tws_stream(
             pdfs = list(rows)
             batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
             rows_in = (
-                [
-                    (r["event_id"], r["ts"], r["event_type"], r["value"])
-                    for _, r in batch.iterrows()
-                ]
+                list(
+                    zip(
+                        batch["event_id"],
+                        batch["ts"],
+                        batch["event_type"],
+                        batch["value"],
+                    )
+                )
                 if len(batch)
                 else []
             )  # attribution_fold imposes the tie-aware total order itself
@@ -1178,10 +1198,14 @@ def interval_join_tws_stream(
             pdfs = list(rows)
             batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
             rows_in = (
-                [
-                    (r["event_id"], r["ts"], r["event_type"], r["value"])
-                    for _, r in batch.iterrows()
-                ]
+                list(
+                    zip(
+                        batch["event_id"],
+                        batch["ts"],
+                        batch["event_type"],
+                        batch["value"],
+                    )
+                )
                 if len(batch)
                 else []
             )  # interval_join_fold imposes the probe-then-insert order

@@ -4,6 +4,7 @@ malformed line), schema discipline, versioned read/write resolution."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -350,8 +351,12 @@ def test_uncommitted_claim_is_invisible_to_readers(spark, tmp_path):
 
     root = str(tmp_path)
     write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
-    # simulate the crashed claim: v=2 exists, empty, no _SUCCESS
+    # simulate the crashed claim: v=2 exists, empty, no _SUCCESS;
+    # backdate it past the r9 grace period so the sweep sees a STALE
+    # remnant rather than a possibly-live concurrent writer
     os.mkdir(os.path.join(root, "s", "v=2"))
+    stale = time.time() - 7200
+    os.utime(os.path.join(root, "s", "v=2"), (stale, stale))
 
     assert list_versions(root, "s") == [1]  # readers' view
     assert list_versions(root, "s", committed_only=False) == [1, 2]  # writers'
@@ -370,6 +375,43 @@ def test_uncommitted_claim_is_invisible_to_readers(spark, tmp_path):
     pruned = prune_versions(root, "s", keep_last=5)
     assert 2 in pruned
     assert list_versions(root, "s", committed_only=False) == [1, 3]
+
+
+def test_prune_versions_spares_young_uncommitted_claim(spark, tmp_path):
+    """r8 ADVICE enforcement: a concurrent writer can commit OUT of
+    claim order, so an uncommitted claim below a newer committed
+    version is not necessarily dead — it may be a slower live writer
+    mid-write.  The sweep must spare claims younger than
+    ``min_claim_age`` and reclaim them only once genuinely stale."""
+    from etl_template_spark.io import (
+        claim_next_version,
+        list_versions,
+        prune_versions,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    # slow writer claims v=2 and is still writing (fresh mtime) ...
+    n, slow_dir = claim_next_version(root, "s")
+    assert n == 2
+    # ... while a faster writer claims AND commits v=3
+    write_versioned(spark.createDataFrame([("2", "b")], SCHEMA), root, "s")
+    assert list_versions(root, "s") == [1, 3]
+
+    # default grace: the young in-flight claim survives retention GC
+    pruned = prune_versions(root, "s", keep_last=5)
+    assert 2 not in pruned and os.path.isdir(slow_dir)
+    # once stale past the grace period, the same sweep reclaims it
+    stale = time.time() - 7200
+    os.utime(slow_dir, (stale, stale))
+    pruned = prune_versions(root, "s", keep_last=5)
+    assert 2 in pruned and not os.path.isdir(slow_dir)
+    # min_claim_age=0 restores the unconditional (serial-writer) sweep
+    n, fresh_dir = claim_next_version(root, "s")
+    write_versioned(spark.createDataFrame([("3", "c")], SCHEMA), root, "s")
+    assert prune_versions(root, "s", keep_last=5, min_claim_age=0) == [n]
+    assert not os.path.isdir(fresh_dir)
 
 
 def test_hilbert_matches_reference_and_is_unit_step(spark):

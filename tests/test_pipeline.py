@@ -482,3 +482,32 @@ def test_dataset_release_gate_poison_fails_run(spark, sf_dir, tmp_path, monkeypa
     assert manifest.steps["Check"].status == "Failed"
     assert "lang_in_mixture_vocab" in (manifest.steps["Check"].message or "")
     assert manifest.steps["Check"].output_version is None
+
+
+def test_dataset_release_gate_catches_duplicate_ids(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r8 ADVICE: the docstring's id-uniqueness invariant must be
+    enforced — a duplicated doc_id would be multiplied by the mixture
+    join downstream, so it must abort at Check."""
+    import pytest as _pytest
+
+    from etl_template_spark.examples import dataset_release as ex
+    from etl_template_spark.io import load_table as real_load
+    from etl_template_spark.pipeline import PipelineRun, StepFailed
+
+    def duplicated(spark_, sfd, table):
+        d = real_load(spark_, sfd, table)
+        if table == "documents":
+            d = d.unionByName(d.limit(1))  # plant one duplicate doc_id
+        return d
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(ex, "load_table", duplicated)
+    root = str(tmp_path / "data")
+    p = ex.build_pipeline(root, sf_dir)
+    with _pytest.raises(StepFailed):
+        p.run(spark)
+    manifest = PipelineRun.load_status("dataset_release", p.status_path)
+    assert manifest.steps["Check"].status == "Failed"
+    assert "doc_id_unique" in (manifest.steps["Check"].message or "")

@@ -1339,6 +1339,28 @@ def test_commit_stream_batch_out_of_order_replay_falls_back_to_scan(spark, tmp_p
     assert list_versions(root, "ingest") == [1, 2]  # nothing re-committed
 
 
+def test_commit_stream_batch_refuses_rolled_back_checkpoint(spark, tmp_path):
+    """r8 ADVICE: an incoming batch id BELOW the newest committed
+    marker with no matching marker anywhere means the checkpoint was
+    rolled back/corrupted — committing would append old rows as the
+    NEWEST version, silently reordering history.  The sink must stall
+    loudly instead."""
+    import pytest
+
+    from etl_template_spark.io import list_versions
+    from etl_template_spark.streaming.jobs import commit_stream_batch
+
+    root = str(tmp_path / "data")
+    df = spark.range(3).selectExpr("id", "id AS doubled")
+    commit_stream_batch(df, root, "ingest", batch_id=5)
+    commit_stream_batch(df, root, "ingest", batch_id=6)
+    # batch 3 was never committed here; a rolled-back checkpoint would
+    # redeliver it — refuse rather than append out-of-order history
+    with pytest.raises(RuntimeError, match="rolled back or corrupted"):
+        commit_stream_batch(df, root, "ingest", batch_id=3)
+    assert list_versions(root, "ingest") == [1, 2]  # nothing committed
+
+
 def test_prune_versions_spares_unproven_inflight_scratch(spark, tmp_path):
     """r8 review: retention GC must NOT delete _inflight-* scratch
     whose batch has no committed marker — it may be a LIVE writer
