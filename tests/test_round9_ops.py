@@ -59,3 +59,89 @@ def test_quantile_rollup_merge_equals_direct_build(spark):
     rows_a = {tuple(r[k] for k in key): r["est"] for r in a.collect()}
     rows_b = {tuple(r[k] for k in key): r["est"] for r in b.collect()}
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+# ------------------------------------------- pagerank delta driver ----
+
+
+_EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3), (5, 1), (5, 3),
+    (6, 2), (2, 6), (6, 7), (7, 6), (4, 7),
+]
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_incremental_empty_delta_is_bit_exact(spark, tmp_path):
+    """Two k-round refreshes over an unchanged graph must equal one
+    2k-round from-scratch run BIT-FOR-BIT (the resume-as-data identity
+    carried through the versioned store's parquet round-trip)."""
+    from etl_template_spark.operators.graph import pagerank, pagerank_incremental
+
+    root = str(tmp_path)
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    r1, v1 = pagerank_incremental(spark, root, "pr", edges, iters=3)
+    r2, v2 = pagerank_incremental(spark, root, "pr", None, iters=3)
+    assert (v1, v2) == (1, 2)
+    assert _ranks(r2) == _ranks(pagerank(edges, iters=6))
+    assert _ranks(r1) == _ranks(pagerank(edges, iters=3))
+
+
+def test_pagerank_incremental_delta_converges_to_grown_fixed_point(
+    spark, tmp_path
+):
+    """Warm-start over an edge delta is a convergence contract: each
+    refresh decays the perturbation geometrically toward the grown
+    graph's unique fixed point (differential vs from-scratch pagerank
+    on the grown graph)."""
+    from etl_template_spark.operators.graph import pagerank, pagerank_incremental
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(_EDGES, "src long, dst long")
+    pagerank_incremental(spark, root, "pr", base, iters=6)
+
+    delta = spark.createDataFrame(
+        [(8, 1), (1, 8), (8, 3), (7, 8), (2, 4)], "src long, dst long"
+    )
+    grown = base.unionByName(delta)
+    ref = _ranks(pagerank(grown, iters=60))
+
+    r_after_1, _ = pagerank_incremental(spark, root, "pr", delta, iters=6)
+    d1 = max(abs(v - ref[k]) for k, v in _ranks(r_after_1).items())
+    for _ in range(4):
+        r_last, _ = pagerank_incremental(spark, root, "pr", None, iters=6)
+    d5 = max(abs(v - ref[k]) for k, v in _ranks(r_last).items())
+    assert set(_ranks(r_last)) == set(ref)  # node 8 appeared, none lost
+    assert d5 < 1e-3 and d5 < d1 / 5  # geometric decay toward the fixed point
+
+
+def test_pagerank_incremental_edge_log_stays_delta_sized(spark, tmp_path):
+    """The edge log must hold each edge ONCE: a delta overlapping
+    already-logged edges commits only the genuinely new ones, and a
+    fully-redundant delta commits no edge version at all."""
+    from etl_template_spark.io import list_versions, read_versioned
+    from etl_template_spark.operators.graph import pagerank_incremental
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(_EDGES, "src long, dst long")
+    pagerank_incremental(spark, root, "pr", base, iters=2)
+    overlap = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 1)], "src long, dst long"  # 2 dupes + 1 new
+    )
+    pagerank_incremental(spark, root, "pr", overlap, iters=2)
+    assert list_versions(root, "pr_edges") == [1, 2]
+    v2 = read_versioned(spark, root, "pr_edges", version=2).collect()
+    assert [(r["src"], r["dst"]) for r in v2] == [(9, 1)]
+    # fully-redundant delta: no new edge version, ranks still advance
+    pagerank_incremental(spark, root, "pr", overlap, iters=2)
+    assert list_versions(root, "pr_edges") == [1, 2]
+    assert list_versions(root, "pr_ranks") == [1, 2, 3]
+
+
+def test_pagerank_incremental_requires_initial_delta(spark, tmp_path):
+    from etl_template_spark.operators.graph import pagerank_incremental
+
+    with pytest.raises(ValueError, match="first call"):
+        pagerank_incremental(spark, str(tmp_path), "pr", None, iters=2)
