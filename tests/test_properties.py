@@ -663,3 +663,85 @@ def test_attribution_fold_totals_under_admissible_interleavings(
             for (eid, _u, ch, _s, _n) in out:
                 got.setdefault(eid, []).append(ch)
     assert {k: sorted(v) for k, v in got.items()} == expected_credits()
+
+
+# ------------------------------------------------ sharded Misra-Gries ----
+
+
+@given(
+    stream=st.lists(st.integers(0, 12), min_size=1, max_size=300),
+    k=st.integers(min_value=2, max_value=6),
+    n_shards=st.integers(min_value=1, max_value=4),
+    n_splits=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_fold_shard_union_bounds_vs_unsharded(stream, k, n_shards, n_splits):
+    """r8 VERDICT #3 — the invariant not yet pinned: the SHARD-UNION of
+    per-shard mg_fold sketches, over random streams / shardings /
+    micro-batch splits, against the unsharded sketch and the batch
+    Misra-Gries summary (operators/heavy.py):
+
+    - every union count is a lower bound on the item's true frequency,
+      undercounted by at most floor(shard_len/(k+1)) — the PER-SHARD
+      bound, which is ≤ the unsharded stream-length bound (sharding
+      never costs accuracy, the design claim of
+      heavy_hitters_tws_stream);
+    - guaranteed presence: any item whose TRUE GLOBAL frequency exceeds
+      its shard's length/(k+1) is tracked (each item's full stream
+      lands in one shard, so the global frequency IS the shard
+      frequency);
+    - exactness when a shard never exceeds capacity;
+    - both the union and heavy.py's batch MG-merge candidates contain
+      every globally-guaranteed item (the streaming and batch sketches
+      agree on what can never be evicted).
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    from etl_template_spark.operators.heavy import _mg_partition
+    from etl_template_spark.streaming.jobs import mg_fold
+
+    shards = {
+        s: [x for x in stream if x % n_shards == s] for s in range(n_shards)
+    }
+    union: dict = {}
+    for s, items in shards.items():
+        counts: dict = {}
+        step = max(1, -(-len(items) // n_splits))
+        for i in range(0, len(items), step):  # random-ish micro-batching
+            counts = mg_fold(counts, items[i : i + step], k)
+        assert len(counts) <= k  # the O(k) state bound
+        union.update(counts)
+
+    true = Counter(stream)
+    for it, c in union.items():
+        shard_len = len(shards[it % n_shards])
+        assert c <= true[it]  # lower bound, never an overcount
+        assert true[it] - c <= shard_len // (k + 1)  # undercount bound
+
+    guaranteed = {
+        it
+        for it, t in true.items()
+        if t * (k + 1) > len(shards[it % n_shards])
+    }
+    assert guaranteed <= set(union)
+
+    for s, items in shards.items():
+        if items and len(set(items)) <= k:  # capacity never exceeded
+            for it in set(items):
+                assert union[it] == true[it]
+
+    # unsharded fold obeys the WEAKER whole-stream bound; and the batch
+    # MG summary (heavy.py's mapInPandas body, driven directly) also
+    # retains every globally-guaranteed item of its shard
+    unsharded = mg_fold({}, list(stream), k)
+    for it, c in unsharded.items():
+        assert c <= true[it] and true[it] - c <= len(stream) // (k + 1)
+    for s, items in shards.items():
+        if not items:
+            continue
+        fn = _mg_partition("tok", k)
+        [cand] = list(fn(iter([pd.DataFrame({"tok": items})])))
+        batch_cands = set(cand["tok"])
+        assert {it for it in guaranteed if it % n_shards == s} <= batch_cands
