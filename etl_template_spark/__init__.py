@@ -25,6 +25,7 @@ Layout:
 __version__ = "0.2.0"
 
 from .io import (  # noqa: F401,E402
+    analyze_versioned,
     compact_versioned,
     delete_versioned,
     diff_versions,
@@ -41,6 +42,7 @@ from .session import get_spark  # noqa: F401,E402
 
 __all__ = [
     "Pipeline",
+    "analyze_versioned",
     "compact_versioned",
     "delete_versioned",
     "diff_versions",

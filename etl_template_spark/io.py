@@ -524,6 +524,57 @@ def read_versioned_merged(
     )
 
 
+def analyze_versioned(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    database: str = "etl_stats",
+) -> str:
+    """Collect cost-based-optimizer statistics for a committed version
+    (round 9 — the SURVEY §4.2 "enable spark.sql.cbo.enabled, collect
+    stats on versioned outputs" row): registers the version directory
+    as an external catalog table and runs ``ANALYZE TABLE`` (table-level
+    always; column-level for ``columns``), returning the table name.
+
+    Why it matters at 100 TB: a path-based parquet read carries only
+    file SIZE, so Catalyst cannot estimate what a selective filter
+    leaves — a post-filter dimension that would fit in a broadcast is
+    still costed at full scan size and falls back to a sort-merge join,
+    and multi-way join reorder has no row counts to order by.  With
+    rowCount + per-column NDV/min/max recorded here, CBO's filter
+    estimation shrinks the estimate and flips those decisions
+    (test_plans.py asserts the broadcast flip), and
+    ``spark.sql.cbo.joinReorder.enabled`` gets real cardinalities.
+
+    Run it where a real deployment would: right after
+    ``write_versioned`` commits, while the files are hot in page cache.
+    Versions are immutable, so stats never go stale for their version —
+    a new version gets its own table (``{database}.{step}_v{N}``).
+    Scope caveat: the default in-memory catalog holds these stats for
+    the SESSION; persistence across sessions needs a metastore-backed
+    catalog, to which this helper ports unchanged (it is plain ANALYZE
+    DDL).  ``spark.sql.cbo.enabled`` must be on for planners to USE the
+    stats; the helper only records them."""
+    v = latest_version(root, step) if version is None else version
+    if v is None or not _version_committed(_step_dir(root, step), v):
+        raise FileNotFoundError(
+            f"analyze_versioned: no committed v={version!r} for step {step!r}"
+        )
+    path = os.path.join(_step_dir(root, step), f"v={v}")
+    safe_db = re.sub(r"[^A-Za-z0-9_]", "_", database)
+    safe_step = re.sub(r"[^A-Za-z0-9_]", "_", step)
+    table = f"{safe_db}.{safe_step}_v{v}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {safe_db}")
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {table} USING PARQUET LOCATION '{path}'")
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        col_list = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {col_list}")
+    return table
+
+
 def prune_versions(
     root: str,
     step: str,

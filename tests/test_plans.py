@@ -8,6 +8,7 @@ directory-level partition pruning, and the absence of the scale-killers
 
 from __future__ import annotations
 
+import os
 import pytest
 
 from etl_template_spark.queries import REGISTRY
@@ -205,6 +206,96 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_flip_broadcast_decision(spark, tmp_path):
+    """analyze_versioned (SURVEY §4.2's CBO row, round 9): a path-based
+    parquet read carries only FILE SIZE, so a selectively-filtered
+    dimension is still costed at full size and joins as sort-merge.
+    With the version registered and ANALYZEd (rowCount + column NDV),
+    CBO's filter estimation shrinks the post-filter estimate below the
+    broadcast threshold and the SAME query plans a broadcast join —
+    stats must actually CHANGE a decision, not just be recorded."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import analyze_versioned, read_versioned, write_versioned
+
+    root = str(tmp_path)
+    dim = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("category"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    fact = spark.range(200_000).select(
+        (F.col("id") % 4000).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    write_versioned(dim, root, "dim")
+    write_versioned(fact, root, "fact")
+    dim_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(os.path.join(root, "dim", "v=1"))
+        for fn in fns
+    )
+
+    forced = {
+        "spark.sql.cbo.enabled": "true",
+        # between the post-filter estimate (~1/50th) and the file size:
+        # only a stats-informed planner can clear it
+        "spark.sql.autoBroadcastJoinThreshold": str(dim_bytes // 2),
+    }
+    saved = {k: spark.conf.get(k, None) for k in forced}
+    table = None
+    try:
+        for k, v in forced.items():
+            spark.conf.set(k, v)
+        table = analyze_versioned(spark, root, "dim", columns=["category", "k"])
+        stats = spark.sql(f"DESC EXTENDED {table}").where(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert "4000 rows" in stats[0]["data_type"]  # rowCount recorded
+
+        f = read_versioned(spark, root, "fact")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        sel = F.col("category") == F.lit("c7")
+        p_path = (
+            f.join(read_versioned(spark, root, "dim").where(sel), "k")
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        p_stats = (
+            f.join(spark.table(table).where(sel), "k")
+            ._jdf.queryExecution()
+            .explainString(mode)
+        )
+        assert "SortMergeJoin" in p_path and "BroadcastHashJoin" not in p_path
+        assert "BroadcastHashJoin" in p_stats and "SortMergeJoin" not in p_stats
+    finally:
+        if table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            spark.sql("DROP DATABASE IF EXISTS etl_stats")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_analyze_versioned_requires_committed_version(spark, tmp_path):
+    """Stats on an uncommitted claim would describe data no reader can
+    see; the helper must refuse."""
+    import pytest as _pytest
+
+    from etl_template_spark.io import analyze_versioned, write_versioned
+
+    root = str(tmp_path)
+    with _pytest.raises(FileNotFoundError):
+        analyze_versioned(spark, root, "nope")
+    write_versioned(spark.range(3).selectExpr("id"), root, "s")
+    os.mkdir(os.path.join(root, "s", "v=2"))  # crashed claim, no _SUCCESS
+    with _pytest.raises(FileNotFoundError):
+        analyze_versioned(spark, root, "s", version=2)
 
 
 def test_aqe_splits_skewed_join_partition(spark):
