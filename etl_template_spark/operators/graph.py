@@ -161,6 +161,95 @@ def pagerank(
     return ranks.select("id", F.round(F.col("rank"), _SCALE).alias("rank"))
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank (round 9 — the operator ``pagerank``'s
+    docstring names as distinct): contribution proportional to edge
+    WEIGHT, out-flow normalized by the source's weighted out-degree —
+    ten links from A to B carry ten times one link's rank, the
+    multigraph semantics the simple-graph operator deliberately
+    collapses.
+
+    ``weight=None`` uses parallel-edge MULTIPLICITY (``count(*)`` per
+    (src, dst) pair); a named column is summed per pair.  Weights are
+    cast to long — integral multiplicities keep the weighted out-degree
+    an exact integer sum, so ``rank * w / wdeg`` is a deterministic
+    double expression and the decimal-sum discipline then makes every
+    round bit-identical across partitionings and engines, exactly as in
+    ``pagerank`` (pre-scale fractional weights to integers; a float
+    weight sum would be order-dependent).  Dangling redistribution,
+    scale-9 per-round rounding, lineage-truncation cadence, and the
+    empty-graph guard all mirror ``pagerank``; per-iteration cost is
+    identical (the weight rides the same equi-join).
+    """
+    cols = [F.col(src).alias("s"), F.col(dst).alias("t")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("long").alias("_w"))
+    w_expr = (
+        F.count(F.lit(1)).alias("w")
+        if weight is None
+        else F.sum(F.col("_w")).alias("w")
+    )
+    e = edges.select(*cols).groupBy("s", "t").agg(w_expr)
+    nodes = (
+        e.select(F.col("s").alias("id"))
+        .union(e.select(F.col("t").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_weighted: empty edge frame — no nodes to rank")
+    outdeg = e.groupBy(F.col("s").alias("id")).agg(F.sum("w").alias("wdeg"))
+    e_deg = (
+        e.join(outdeg, e["s"] == outdeg["id"])
+        .select("s", "t", "w", "wdeg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    teleport = (1.0 - damping) / n_nodes
+    for i in range(iters):
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("id", "s"), "s")
+            .select(
+                F.col("t").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("wdeg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum(dec(F.col("contrib"), _SCALE)).cast("double").alias("inflow"))
+        )
+        dangling = ranks.join(outdeg, "id", "left_anti").agg(
+            F.sum(dec(F.col("rank"), _SCALE)).cast("double").alias("mass")
+        )
+        d_mass = F.broadcast(dangling)
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(d_mass)
+            .select(
+                "id",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.coalesce(F.col("mass"), F.lit(0.0))
+                        / F.lit(float(n_nodes))
+                    ),
+                    _SCALE,
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", F.round(F.col("rank"), _SCALE).alias("rank"))
+
+
 def pagerank_incremental(
     spark,
     root: str,

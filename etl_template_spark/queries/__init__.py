@@ -60,6 +60,8 @@ from . import (  # noqa: F401,E402
     containment,
     prefixjoin,
     ddsketch,
+    graph_weighted,
+    stream_outer,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

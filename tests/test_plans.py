@@ -408,6 +408,7 @@ _BNLJ_ALLOWED = {
     "q_constraint_check": "1-row FK-violation scalar joined onto the 1-row lineitem stats",
     "q_quantile_sketch": "3-row quantile-target dim crossed onto the bounded bin table",
     "q_dedup_containment": "1-row corpus count feeding the DF cap (q_dedup_ngram's contract)",
+    "q_quantile_rollup": "3-row quantile-target dim crossed onto the bounded monthly bin table",
 }
 
 

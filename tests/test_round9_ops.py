@@ -145,3 +145,126 @@ def test_pagerank_incremental_requires_initial_delta(spark, tmp_path):
 
     with pytest.raises(ValueError, match="first call"):
         pagerank_incremental(spark, str(tmp_path), "pr", None, iters=2)
+
+
+# ------------------------------------------------- weighted pagerank ----
+
+
+def test_pagerank_weighted_reduces_to_simple_on_unit_weights(spark):
+    """With every (src, dst) pair appearing once, multiplicity weights
+    are all 1 and weighted PageRank must equal the simple-graph
+    operator bit-for-bit (same folds, w/wdeg == 1/deg)."""
+    from etl_template_spark.operators.graph import pagerank, pagerank_weighted
+
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    a = {r["id"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank_weighted(edges, iters=8).collect()}
+    assert a == b
+
+
+def test_pagerank_weighted_multiplicity_shifts_rank(spark):
+    """Parallel edges must matter: tripling 1→2 shifts rank toward 2
+    in the weighted operator while the simple-graph one is unchanged;
+    total rank stays ~1 (mass conserved)."""
+    from etl_template_spark.operators.graph import pagerank, pagerank_weighted
+
+    simple = [(1, 2), (1, 3), (2, 3), (3, 1)]
+    multi = simple + [(1, 2), (1, 2)]  # 1→2 now has weight 3
+    df_s = spark.createDataFrame(simple, "src long, dst long")
+    df_m = spark.createDataFrame(multi, "src long, dst long")
+
+    ps = {r["id"]: r["rank"] for r in pagerank(df_m, iters=10).collect()}
+    ps_ref = {r["id"]: r["rank"] for r in pagerank(df_s, iters=10).collect()}
+    assert ps == ps_ref  # simple-graph semantics: dupes collapse
+
+    pw = {r["id"]: r["rank"] for r in pagerank_weighted(df_m, iters=10).collect()}
+    pw_ref = {r["id"]: r["rank"] for r in pagerank_weighted(df_s, iters=10).collect()}
+    assert pw[2] > pw_ref[2]  # 2 gains from the heavier in-edge
+    assert pw[3] < pw_ref[3]  # 3 loses 1's redirected share
+    assert abs(sum(pw.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_weighted_explicit_weight_column(spark):
+    """An explicit weight column must equal the same graph expressed by
+    row multiplicity (weight 3 == three parallel rows)."""
+    from etl_template_spark.operators.graph import pagerank_weighted
+
+    multi = [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3), (3, 1)]
+    df_m = spark.createDataFrame(multi, "src long, dst long")
+    df_w = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    a = {r["id"]: r["rank"] for r in pagerank_weighted(df_m, iters=10).collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in pagerank_weighted(df_w, weight="w", iters=10).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------- q_stream_join_outer ----
+
+
+def test_stream_join_outer_batch_twin_matches_stream(spark, tmp_path, monkeypatch):
+    """The registered left-outer batch twin must agree with the real
+    watermarked stream-stream left-outer join over the same rows, for
+    every click the stream has FINALIZED (watermark past its eviction
+    point) — converted clicks carry their purchases, unconverted ones
+    carry exactly one null row."""
+    import json
+    import os
+
+    import etl_template_spark.queries.stream_outer as so
+    from etl_template_spark.streaming import join_streams
+    from etl_template_spark.streaming.jobs import read_events_stream, run_available_now
+
+    batches = [
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "purchase", 9.0),  # joins #1
+            (3, "2024-01-01 10:05:00", 2, "click", 1.0),     # never converts
+            (8, "2024-01-01 09:30:00", 2, "purchase", 2.0),  # BEFORE #3: no
+            (9, "2024-01-01 11:00:00", 1, "purchase", 4.0),  # also joins #1
+        ],
+        [(4, "2024-01-02 23:00:00", 3, "click", 1.0)],       # click wm push
+        [(5, "2024-01-03 23:00:00", 3, "purchase", 0.0)],    # purchase wm push
+        [(6, "2024-01-03 23:30:00", 3, "click", 1.0)],       # flush batch
+    ]
+    path = str(tmp_path / "ev_jsonl")
+    os.makedirs(path)
+    for i, rows in enumerate(batches):
+        fp = os.path.join(path, f"part-{i}.json")
+        with open(fp, "w") as f:
+            for e in rows:
+                f.write(json.dumps({
+                    "event_id": e[0], "ts": e[1], "user_id": e[2],
+                    "event_type": e[3], "value": e[4], "props": "{}",
+                }) + "\n")
+        os.utime(fp, (1000 + i, 1000 + i))
+
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    joined = join_streams(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+        within="2 hours",
+        how="left_outer",
+    )
+    run_available_now(joined, "sjo_stream", str(tmp_path / "ckpt"))
+    finalized = {1, 3}  # day-1 clicks: watermark long past; user-3 ones aren't
+    got_stream = sorted(
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.table("sjo_stream").collect()
+        if r["click_id"] in finalized
+    )
+
+    ev = spark.createDataFrame(
+        [(e[0], e[1], e[2], e[3], e[4]) for b in batches for e in b],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(so, "load_table", lambda *_: ev)
+    got_batch = sorted(
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in so.q_stream_join_outer(spark, SF).collect()
+        if r["click_id"] in finalized
+    )
+    assert got_stream == got_batch == [(1, 2, 9.0), (1, 9, 4.0), (3, None, None)]
