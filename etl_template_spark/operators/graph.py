@@ -11,12 +11,15 @@ Design constraints, in the engine's house style:
   depends on float drift) cannot.  Ten iterations is the classic
   operating point (Brin & Page ran ~50 on the whole web; curation
   graphs are shallower).
-- **Decimal-exact contribution sums.**  The per-node incoming sum is a
-  float accumulation — order-dependent on a cluster.  Each contribution
-  is rounded to scale 9 and summed in decimal (compat.dec, widened
-  scale since ranks are ~1e-? small), making every iteration — and
-  therefore the final ranks — bit-identical at any parallelism and
-  reproducible in DuckDB.
+- **Integer-exact contribution sums.**  The per-node incoming sum must
+  not be a float accumulation (order-dependent on a cluster) NOR a
+  double→decimal rounding (round 9: the weighted operator's sf0.1 soak
+  caught decimal-cast ties resolving differently across engines).
+  With ``R = round(rank·1e9)`` exact per round, each contribution is
+  the nearest-nano integer ``(2R + deg) div (2·deg)`` — round-half-up
+  of the exact rational R/deg — and inflow/dangling mass are plain
+  integer sums, making every iteration — and therefore the final
+  ranks — bit-identical at any parallelism and reproducible in DuckDB.
 - **Dangling mass redistributed uniformly** (the standard correction):
   nodes with no out-edges leak their rank to all nodes equally;
   without this, total rank drains and scores depend on graph plumbing.
@@ -41,8 +44,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ..compat import dec
 
 _SCALE = 9  # rank values are small; scale-6 would quantize too coarsely
 
@@ -119,20 +120,29 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     teleport = (1.0 - damping) / n_nodes
+    nano = F.expr("cast(round(rank * 1e9) as bigint)")  # exact: rank is scale-9
     for i in range(iters):
         contribs = (
             e_deg.join(ranks.withColumnRenamed("id", "s"), "s")
             .select(
                 F.col("t").alias("id"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
+                # nearest-nano of the exact rational R/deg, ties up —
+                # pure integer ops (round-9 fix: the float rank/deg +
+                # decimal-cast sum carried a double→decimal tie that
+                # can resolve differently per engine; the weighted
+                # operator's sf0.1 soak caught that class flipping
+                # ranks by one nano)
+                F.expr(
+                    "(2 * cast(round(rank * 1e9) as bigint) + deg)"
+                    " div (2 * deg)"
+                ).alias("contrib_nano"),
             )
             .groupBy("id")
-            .agg(F.sum(dec(F.col("contrib"), _SCALE)).cast("double").alias("inflow"))
+            .agg(F.sum("contrib_nano").alias("inflow_nano"))
         )
         # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(outdeg, "id", "left_anti")
-            .agg(F.sum(dec(F.col("rank"), _SCALE)).cast("double").alias("mass"))
+        dangling = ranks.join(outdeg, "id", "left_anti").agg(
+            F.sum(nano).alias("mass_nano")
         )
         d_mass = F.broadcast(dangling)
         ranks = (
@@ -146,8 +156,10 @@ def pagerank(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.coalesce(F.col("mass"), F.lit(0.0))
+                        F.coalesce(F.col("inflow_nano"), F.lit(0)).cast("double")
+                        / F.lit(1.0e9)
+                        + F.coalesce(F.col("mass_nano"), F.lit(0)).cast("double")
+                        / F.lit(1.0e9)
                         / F.lit(float(n_nodes))
                     ),
                     _SCALE,
@@ -179,11 +191,21 @@ def pagerank_weighted(
     ``weight=None`` uses parallel-edge MULTIPLICITY (``count(*)`` per
     (src, dst) pair); a named column is summed per pair.  Weights are
     cast to long — integral multiplicities keep the weighted out-degree
-    an exact integer sum, so ``rank * w / wdeg`` is a deterministic
-    double expression and the decimal-sum discipline then makes every
-    round bit-identical across partitionings and engines, exactly as in
-    ``pagerank`` (pre-scale fractional weights to integers; a float
-    weight sum would be order-dependent).  Dangling redistribution,
+    an exact integer sum.
+
+    Contribution arithmetic is PURE INTEGER (round 9 — the sf0.1 soak
+    caught the float formulation flipping 324/21000 ranks by one nano
+    between engines): with ``R = round(rank·1e9)`` (exact — rank is a
+    scale-9 decimal), the per-edge contribution is the nearest-nano
+    integer ``(2·R·w + wdeg) div (2·wdeg)`` (round-half-up of the exact
+    rational ``R·w/wdeg`` — no double division, no double→decimal cast
+    whose tie can resolve differently per engine), and the dangling
+    mass is the integer sum of the dangling ``R``.  Only the final
+    per-round update touches doubles (``teleport + d·(inflow_nano/1e9 +
+    mass_nano/1e9/n)``, then round-9) — bit-identical given identical
+    integer inputs, the same shape ``pagerank``'s soaks have proven.
+    Overflow bound: ``2·R·w + wdeg`` must fit int64, i.e. per-pair
+    weight < ~4.6e9 — any real multiplicity.  Dangling redistribution,
     scale-9 per-round rounding, lineage-truncation cadence, and the
     empty-graph guard all mirror ``pagerank``; per-iteration cost is
     identical (the weight rides the same equi-join).
@@ -214,18 +236,24 @@ def pagerank_weighted(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
     teleport = (1.0 - damping) / n_nodes
+    nano = F.expr("cast(round(rank * 1e9) as bigint)")  # exact: rank is scale-9
     for i in range(iters):
         contribs = (
             e_deg.join(ranks.withColumnRenamed("id", "s"), "s")
             .select(
                 F.col("t").alias("id"),
-                (F.col("rank") * F.col("w") / F.col("wdeg")).alias("contrib"),
+                # nearest-nano of the exact rational R*w/wdeg, ties up —
+                # integer ops only, bit-identical in any engine
+                F.expr(
+                    "(2 * cast(round(rank * 1e9) as bigint) * w + wdeg)"
+                    " div (2 * wdeg)"
+                ).alias("contrib_nano"),
             )
             .groupBy("id")
-            .agg(F.sum(dec(F.col("contrib"), _SCALE)).cast("double").alias("inflow"))
+            .agg(F.sum("contrib_nano").alias("inflow_nano"))
         )
         dangling = ranks.join(outdeg, "id", "left_anti").agg(
-            F.sum(dec(F.col("rank"), _SCALE)).cast("double").alias("mass")
+            F.sum(nano).alias("mass_nano")
         )
         d_mass = F.broadcast(dangling)
         ranks = (
@@ -237,8 +265,10 @@ def pagerank_weighted(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.coalesce(F.col("mass"), F.lit(0.0))
+                        F.coalesce(F.col("inflow_nano"), F.lit(0)).cast("double")
+                        / F.lit(1.0e9)
+                        + F.coalesce(F.col("mass_nano"), F.lit(0)).cast("double")
+                        / F.lit(1.0e9)
                         / F.lit(float(n_nodes))
                     ),
                     _SCALE,

@@ -19,12 +19,16 @@ chain (r0 → r1 → … → r6).  Unrolling instead of a recursive CTE is
 deliberate: the per-round dangling-mass aggregate over the previous
 round's ranks is exactly the aggregation-over-the-recursive-term that
 SQL recursion forbids, while a generated chain states each round in
-plain ANSI SQL.  Every float decision mirrors the operator: per-edge
-contribution ``rank/deg`` is a double division, per-node inflow and the
-dangling mass are decimal(30,9)-exact sums cast back to double, the
-teleport term is the double expression ``(1.0 - 0.85)/n``, and literals
-carry ``::DOUBLE`` casts because bare DuckDB numeric literals are
-DECIMAL (the k1-cast lesson from retrieval.py's BM25 oracle).
+plain ANSI SQL.  Since round 9 the per-edge contribution is PURE
+INTEGER (nearest-nano ``(2R + deg) // (2·deg)`` with
+``R = round(rank·1e9)``; inflow and dangling mass are integer sums) —
+the earlier float ``rank/deg`` + decimal-cast-sum formulation carried
+a double→decimal tie that the weighted operator's sf0.1 soak caught
+resolving differently across engines.  Only the per-round update
+touches doubles (teleport ``(1.0 - 0.85)/n``, damping multiply,
+round-9); literals carry ``::DOUBLE`` casts because bare DuckDB
+numeric literals are DECIMAL (the k1-cast lesson from retrieval.py's
+BM25 oracle).
 
 Reference parity: the reference engine has no graph operators
 (tools.go's only data ops are scan/map/count/checkpoint) — this is
@@ -36,7 +40,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import dsum_sql
 from ..io import load_table
 from ..operators.graph import pagerank
 from ..registry import register
@@ -62,12 +65,18 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     for i in range(1, iters + 1):
         p = i - 1
         ctes.append(
-            f"c{i} AS (SELECT e.t AS id, {dsum_sql('r.rank / d.deg', 9)} AS inflow"
+            # nearest-nano of the exact rational R/deg, ties up — pure
+            # integer ops (the r9 integer-contribution fix; see
+            # operators/graph.py)
+            f"c{i} AS (SELECT e.t AS id,"
+            f" CAST(SUM((2 * CAST(round(r.rank * 1e9) AS BIGINT) + d.deg)"
+            f" // (2 * d.deg)) AS BIGINT) AS inflow_nano"
             f" FROM e JOIN r{p} r ON e.s = r.id JOIN outdeg d ON e.s = d.id"
             f" GROUP BY e.t)"
         )
         ctes.append(
-            f"m{i} AS (SELECT {dsum_sql('r.rank', 9)} AS mass"
+            f"m{i} AS (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
+            f" AS BIGINT) AS mass_nano"
             f" FROM r{p} r LEFT JOIN outdeg d ON r.id = d.id"
             f" WHERE d.id IS NULL)"
         )
@@ -75,9 +84,9 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
             # per-round round-9 mirrors the operator's resumable-as-data
             # state (each round's rank vector is exactly representable)
             f"r{i} AS (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
-            f" (COALESCE(c{i}.inflow, 0.0::DOUBLE)"
-            f" + COALESCE((SELECT mass FROM m{i}), 0.0::DOUBLE)"
-            f" / CAST({n} AS DOUBLE)), 9) AS rank"
+            f" (CAST(COALESCE(c{i}.inflow_nano, 0) AS DOUBLE) / 1e9"
+            f" + CAST(COALESCE((SELECT mass_nano FROM m{i}), 0) AS DOUBLE)"
+            f" / 1e9 / CAST({n} AS DOUBLE)), 9) AS rank"
             f" FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)"
         )
     return (
@@ -92,10 +101,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     interaction graphs) where in-degree alone over-counts parallel
     paths.
 
-    All determinism lives in the operator (operators/graph.py): decimal-
-    exact contribution sums make every iteration bit-identical across
-    partitionings, which is what lets a 6-round iterative algorithm be
-    hash-compared against a SQL oracle at all."""
+    All determinism lives in the operator (operators/graph.py):
+    integer-exact nearest-nano contributions make every iteration
+    bit-identical across partitionings and engines, which is what lets
+    a 6-round iterative algorithm be hash-compared against a SQL
+    oracle at all."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
         (F.col("l_partkey") * 2).alias("src"),

@@ -13,12 +13,15 @@ ignores weights reproduces q_pagerank's ranks and hash-fails here).
 
 Oracle: the q_pagerank unrolled-CTE chain with weighted edges — ``e``
 carries ``COUNT(*) AS w``, out-degree is ``SUM(w)`` (BIGINT-exact),
-and the per-edge contribution is the double expression
-``r.rank * e.w / d.wdeg`` mirrored operator-side as
-``rank * w / wdeg`` (same association order; integer w/wdeg keep the
-division the only float op, deterministic in both engines).  All the
-decimal-sum/round-9/literal-cast discipline of q_pagerank's oracle
-applies unchanged.
+and the per-edge contribution is PURE-INTEGER nearest-nano arithmetic,
+``(2·R·w + wdeg) // (2·wdeg)`` with ``R = round(rank·1e9)``, summed as
+integers; the dangling mass is the integer sum of dangling ``R``.
+The first float formulation (``rank·w/wdeg`` + decimal-cast sum)
+passed at sf0.01 but the sf0.1 soak caught it flipping 324/21000
+ranks by one nano — the double→decimal tie resolving differently per
+engine.  Only the final per-round update touches doubles (the shape
+q_pagerank's soaks have proven); literals carry ``::DOUBLE`` casts as
+ever.
 
 Reference parity: the reference engine has no graph operators
 (tools.go); declared engine surface per SURVEY §2B.
@@ -29,7 +32,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import dsum_sql
 from ..io import load_table
 from ..operators.graph import pagerank_weighted
 from ..registry import register
@@ -57,20 +59,22 @@ def _weighted_oracle(iters: int = _ITERS) -> str:
         p = i - 1
         ctes.append(
             f"c{i} AS (SELECT e.t AS id,"
-            f" {dsum_sql('r.rank * e.w / d.wdeg', 9)} AS inflow"
+            f" CAST(SUM((2 * CAST(round(r.rank * 1e9) AS BIGINT) * e.w"
+            f" + d.wdeg) // (2 * d.wdeg)) AS BIGINT) AS inflow_nano"
             f" FROM e JOIN r{p} r ON e.s = r.id JOIN outdeg d ON e.s = d.id"
             f" GROUP BY e.t)"
         )
         ctes.append(
-            f"m{i} AS (SELECT {dsum_sql('r.rank', 9)} AS mass"
+            f"m{i} AS (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
+            f" AS BIGINT) AS mass_nano"
             f" FROM r{p} r LEFT JOIN outdeg d ON r.id = d.id"
             f" WHERE d.id IS NULL)"
         )
         ctes.append(
             f"r{i} AS (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
-            f" (COALESCE(c{i}.inflow, 0.0::DOUBLE)"
-            f" + COALESCE((SELECT mass FROM m{i}), 0.0::DOUBLE)"
-            f" / CAST({n} AS DOUBLE)), 9) AS rank"
+            f" (CAST(COALESCE(c{i}.inflow_nano, 0) AS DOUBLE) / 1e9"
+            f" + CAST(COALESCE((SELECT mass_nano FROM m{i}), 0) AS DOUBLE)"
+            f" / 1e9 / CAST({n} AS DOUBLE)), 9) AS rank"
             f" FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id)"
         )
     return (

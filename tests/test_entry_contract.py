@@ -406,26 +406,29 @@ ROUND8_WINDOW = [
 # The intended round-9 correctness window, pinned at the end of the
 # round-9 build: the three new queries lead (registry order — the
 # quantile-sketch UNION rollup, weighted PageRank, and the left-outer
-# stream-join batch twin), then q_quantile_sketch (invalidated by the
-# r9 ADVICE domain-guard edit to ddsketch.py), then the ENTIRE
-# remaining r5-stale block (28 queries: scans/sinks, projection,
-# agg/rollup family, curation, cross-encoder — headed by q_scan_pyds,
-# displaced from the r8 window), then the stalest 18 of the r6 block
-# (join family + tpch head) — 3+1+28+18 = 50 exactly.
+# stream-join batch twin), then the two INVALIDATED entries
+# (q_pagerank — its oracle moved to the r9 integer-contribution
+# formulation after the sf0.1 soak caught the float one flipping
+# weighted ranks by a nano; q_quantile_sketch — the r9 ADVICE
+# domain-guard edit to ddsketch.py), then the ENTIRE remaining
+# r5-stale block (28 queries: scans/sinks, projection, agg/rollup
+# family, curation, cross-encoder — headed by q_scan_pyds, displaced
+# from the r8 window), then the stalest 17 of the r6 block (join
+# family + tpch head) — 3+2+28+17 = 50 exactly.
 ROUND9_WINDOW = [
     'q_quantile_rollup', 'q_pagerank_weighted', 'q_stream_join_outer',
-    'q_quantile_sketch', 'q_scan_pyds', 'q_scan_text', 'q_compact_versioned',
-    'q_sink_zorder', 'q_delete_versioned', 'q_scan_versioned_merged',
-    'q_project', 'q_filter', 'q_join_inner', 'q_agg_group',
-    'q_agg_global', 'q_agg_distinct', 'q_agg_having', 'q_agg_approx',
-    'q_agg_approx_percentile', 'q_rollup', 'q_cube', 'q_grouping_sets',
-    'q_agg_pivot', 'q_unpivot', 'q_agg_sketch_rollup', 'q_pii_scrub',
-    'q_ngram_freq', 'q_token_type_ratio', 'q_chunk_documents', 'q_pack_sequences',
-    'q_sink_hilbert', 'q_cross_encoder_score', 'q_join_left', 'q_join_right',
-    'q_join_full', 'q_join_semi', 'q_join_anti', 'q_join_broadcast',
-    'q_join_multi', 'q_join_theta', 'q_join_asof', 'q_join_promo_share',
-    'q_join_range', 'q_tpch_q3', 'q_tpch_q18', 'q_tpch_q4',
-    'q_tpch_q7', 'q_tpch_q10', 'q_tpch_q12', 'q_tpch_q16',
+    'q_pagerank', 'q_quantile_sketch', 'q_scan_pyds', 'q_scan_text',
+    'q_compact_versioned', 'q_sink_zorder', 'q_delete_versioned',
+    'q_scan_versioned_merged', 'q_project', 'q_filter', 'q_join_inner',
+    'q_agg_group', 'q_agg_global', 'q_agg_distinct', 'q_agg_having',
+    'q_agg_approx', 'q_agg_approx_percentile', 'q_rollup', 'q_cube',
+    'q_grouping_sets', 'q_agg_pivot', 'q_unpivot', 'q_agg_sketch_rollup',
+    'q_pii_scrub', 'q_ngram_freq', 'q_token_type_ratio', 'q_chunk_documents',
+    'q_pack_sequences', 'q_sink_hilbert', 'q_cross_encoder_score', 'q_join_left',
+    'q_join_right', 'q_join_full', 'q_join_semi', 'q_join_anti',
+    'q_join_broadcast', 'q_join_multi', 'q_join_theta', 'q_join_asof',
+    'q_join_promo_share', 'q_join_range', 'q_tpch_q3', 'q_tpch_q18',
+    'q_tpch_q4', 'q_tpch_q7', 'q_tpch_q10', 'q_tpch_q12',
 ]
 
 
