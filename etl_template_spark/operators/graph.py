@@ -180,6 +180,7 @@ def pagerank_weighted(
     weight: str | None = None,
     iters: int = 10,
     damping: float = 0.85,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank (round 9 — the operator ``pagerank``'s
     docstring names as distinct): contribution proportional to edge
@@ -209,6 +210,12 @@ def pagerank_weighted(
     scale-9 per-round rounding, lineage-truncation cadence, and the
     empty-graph guard all mirror ``pagerank``; per-iteration cost is
     identical (the weight rides the same equi-join).
+
+    RESUMABLE AS DATA, like ``pagerank`` (late round 9): the per-round
+    rank vector is a scale-9 decimal, exactly representable, so
+    ``pagerank_weighted(e, iters=a+b)`` equals the ``init_ranks``
+    continuation bit-for-bit (tests assert it) — what the weighted
+    flavor of ``pagerank_incremental`` warm-starts from.
     """
     cols = [F.col(src).alias("s"), F.col(dst).alias("t")]
     if weight is not None:
@@ -234,7 +241,21 @@ def pagerank_weighted(
         .select("s", "t", "w", "wdeg")
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    if init_ranks is None:
+        ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n_nodes)))
+    else:
+        # warm start, mirroring ``pagerank``: carried ranks for known
+        # nodes, uniform for new ones, departed nodes drop via the join
+        ranks = (
+            nodes.join(init_ranks.select("id", "rank"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.col("rank"), F.lit(1.0) / F.lit(float(n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
     teleport = (1.0 - damping) / n_nodes
     nano = F.expr("cast(round(rank * 1e9) as bigint)")  # exact: rank is scale-9
     for i in range(iters):
@@ -289,6 +310,8 @@ def pagerank_incremental(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    weighted: bool = False,
+    weight: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Delta-round PageRank driver (round 9, VERDICT r8 #2): persist the
     rank vector as a versioned dataset and advance it over edge DELTAS,
@@ -321,6 +344,24 @@ def pagerank_incremental(
       grown graph's unique fixed point.  Differential-tested against
       from-scratch ``pagerank`` on the grown graph.
 
+    **Weighted flavor** (late round 9 — the r9 SURVEY's declared
+    library continuation): ``weighted=True`` switches the log to
+    ADDITIVE (src, dst, w) deltas and drives ``pagerank_weighted`` with
+    the same warm start.  Each delta is pre-aggregated per pair
+    (``weight=None`` counts multiplicity, a named column sums); the
+    per-pair weight in force is the SUM across all log versions, and a
+    NEGATIVE delta subtracts — a pair whose running total falls to
+    ``<= 0`` leaves the graph (tombstone semantics, the edge-removal
+    the simple log cannot express; an over-removed pair stays negative
+    in the log, so later additions resume from the true total).
+    Additivity replaces the simple log's anti-join dedup: redelivering
+    the same weighted delta DOUBLE-COUNTS by design — feed it
+    exactly-once (e.g. from the versioned store's committed batches).
+    A log is one mode for life; mixing modes raises ``ValueError``
+    (schema-checked).  Both contracts above carry over verbatim — the
+    empty-delta refresh is bit-exact by the weighted resume identity,
+    deltas converge to the grown weighted fixed point.
+
     Returns ``(ranks_read_back_from_the_committed_version, version)`` —
     the caller observes exactly what the store now holds.
     """
@@ -333,15 +374,40 @@ def pagerank_incremental(
 
     edges_step, ranks_step = f"{step}_edges", f"{step}_ranks"
     have_log = latest_version(root, edges_step) is not None
-    if delta_edges is not None:
-        d = delta_edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst")
-        ).distinct()
-        if have_log:
-            seen = read_versioned_merged(spark, root, edges_step).select(
-                "src", "dst"
+    if have_log:
+        log_weighted = "w" in read_versioned(spark, root, edges_step).columns
+        if log_weighted != weighted:
+            raise ValueError(
+                f"pagerank_incremental: the {edges_step!r} log is "
+                f"{'weighted' if log_weighted else 'simple'} but the call "
+                f"asked for {'weighted' if weighted else 'simple'} mode — "
+                "a log is one mode for life"
             )
-            d = d.join(seen, ["src", "dst"], "left_anti")
+    if delta_edges is not None:
+        if weighted:
+            w_expr = (
+                F.count(F.lit(1)).cast("long").alias("w")
+                if weight is None
+                else F.sum(F.col(weight).cast("long")).alias("w")
+            )
+            d = (
+                delta_edges.select(
+                    F.col(src).alias("src"), F.col(dst).alias("dst"),
+                    *([] if weight is None else [F.col(weight)]),
+                )
+                .groupBy("src", "dst")
+                .agg(w_expr)
+                .where(F.col("w") != 0)
+            )
+        else:
+            d = delta_edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst")
+            ).distinct()
+            if have_log:
+                seen = read_versioned_merged(spark, root, edges_step).select(
+                    "src", "dst"
+                )
+                d = d.join(seen, ["src", "dst"], "left_anti")
         if not d.isEmpty():
             write_versioned(d, root, edges_step)
             have_log = True
@@ -350,9 +416,86 @@ def pagerank_incremental(
             "pagerank_incremental: no edge log exists yet — the first call "
             "must supply a non-empty delta_edges frame"
         )
-    edges = read_versioned_merged(spark, root, edges_step).select("src", "dst")
     prior = latest_version(root, ranks_step)
     init = read_versioned(spark, root, ranks_step) if prior is not None else None
-    ranks = pagerank(edges, iters=iters, damping=damping, init_ranks=init)
+    if weighted:
+        edges = (
+            read_versioned_merged(spark, root, edges_step)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .where(F.col("w") > 0)
+        )
+        ranks = pagerank_weighted(
+            edges, weight="w", iters=iters, damping=damping, init_ranks=init
+        )
+    else:
+        edges = read_versioned_merged(spark, root, edges_step).select(
+            "src", "dst"
+        )
+        ranks = pagerank(edges, iters=iters, damping=damping, init_ranks=init)
     version, _ = write_versioned(ranks, root, ranks_step)
     return read_versioned(spark, root, ranks_step, version=version), version
+
+
+def compact_edge_log(
+    spark,
+    root: str,
+    step: str,
+    min_claim_age: float = 3600.0,
+) -> int:
+    """Fold ``pagerank_incremental``'s ``{step}_edges`` delta log into
+    ONE version and prune the history (late round 9 — the r9 SURVEY's
+    declared retention-GC continuation).  Returns the number of log
+    versions pruned.
+
+    ``prune_versions`` alone is the WRONG retention tool for a delta
+    log: it keeps the newest-k versions, but a delta log's versions are
+    not self-contained snapshots — dropping an old delta silently
+    removes its edges from the merged view.  Compaction first rewrites
+    the log's FULL merged state as a single new version (``distinct``
+    pairs for a simple log; per-pair summed ``w`` for a weighted one,
+    zero totals dropped, NEGATIVE totals kept — an over-removed pair
+    must keep absorbing later additions from its true running total,
+    so only exact zeroes are dead rows), then prunes everything older.
+    The merged view is provably identical before and after (tested
+    bit-for-bit via an empty-delta refresh), and the next refresh scans
+    one version instead of one per historical delta — the same
+    small-file/many-version economics ``io.compact_versioned`` states,
+    applied to log semantics it cannot know.
+
+    Concurrency: on a SIMPLE log the commit-then-prune window is
+    reader-transparent (the merged view distinct-unions the compacted
+    version with the remnants it summarizes — idempotent).  On a
+    WEIGHTED log a concurrent merged read inside that window would
+    double-count; run weighted compaction in the same serial
+    maintenance window as the refreshes.  ``min_claim_age`` passes
+    through to ``prune_versions``'s concurrent-claim grace.
+    """
+    from ..io import (
+        latest_version,
+        prune_versions,
+        read_versioned,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    edges_step = f"{step}_edges"
+    if latest_version(root, edges_step) is None:
+        raise FileNotFoundError(
+            f"compact_edge_log: no {edges_step!r} log under {root!r}"
+        )
+    merged = read_versioned_merged(spark, root, edges_step)
+    if "w" in merged.columns:
+        folded = (
+            merged.groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .where(F.col("w") != 0)
+        )
+    else:
+        folded = merged.select("src", "dst").distinct()
+    write_versioned(folded, root, edges_step)
+    return len(
+        prune_versions(
+            root, edges_step, keep_last=1, min_claim_age=min_claim_age
+        )
+    )

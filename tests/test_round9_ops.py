@@ -268,3 +268,197 @@ def test_stream_join_outer_batch_twin_matches_stream(spark, tmp_path, monkeypatc
         if r["click_id"] in finalized
     )
     assert got_stream == got_batch == [(1, 2, 9.0), (1, 9, 4.0), (3, None, None)]
+
+
+# ------------------- weighted delta driver + log compaction (late r9) ----
+
+
+_WEDGES = [  # (src, dst, w) — explicit weights, multigraph-free
+    (1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 3, 1), (4, 1, 3), (3, 4, 2),
+]
+
+
+def test_pagerank_weighted_resume_identity(spark):
+    """pagerank_weighted(iters=a+b) == the init_ranks continuation,
+    BIT-FOR-BIT — the weighted resume-as-data identity the incremental
+    driver's warm start relies on (same argument as the simple
+    operator: scale-9 per-round rounding makes the state exact)."""
+    from etl_template_spark.operators.graph import pagerank_weighted
+
+    edges = spark.createDataFrame(_WEDGES, "src long, dst long, w long")
+    whole = _ranks(pagerank_weighted(edges, weight="w", iters=6))
+    half = pagerank_weighted(edges, weight="w", iters=3)
+    resumed = _ranks(
+        pagerank_weighted(edges, weight="w", iters=3, init_ranks=half)
+    )
+    assert resumed == whole
+
+
+def test_pagerank_incremental_weighted_empty_delta_is_bit_exact(
+    spark, tmp_path
+):
+    """The weighted flavor inherits the empty-delta composition: two
+    3-round refreshes equal one 6-round from-scratch weighted run
+    bit-for-bit, through the versioned store's parquet round-trip.
+    Multiplicity mode (weight=None): parallel delta rows count."""
+    from etl_template_spark.operators.graph import (
+        pagerank_incremental,
+        pagerank_weighted,
+    )
+
+    root = str(tmp_path)
+    # _EDGES has parallel pairs? No — use explicit duplication so
+    # multiplicity weighting is non-trivial: (1,2) appears twice.
+    rows = _EDGES + [(1, 2), (5, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    r1, v1 = pagerank_incremental(
+        spark, root, "wpr", edges, iters=3, weighted=True
+    )
+    r2, v2 = pagerank_incremental(
+        spark, root, "wpr", None, iters=3, weighted=True
+    )
+    assert (v1, v2) == (1, 2)
+    assert _ranks(r2) == _ranks(pagerank_weighted(edges, iters=6))
+    assert _ranks(r1) == _ranks(pagerank_weighted(edges, iters=3))
+
+
+def test_pagerank_incremental_weighted_delta_converges(spark, tmp_path):
+    """Weighted deltas converge to the grown weighted fixed point, same
+    geometric-decay contract as the simple driver."""
+    from etl_template_spark.operators.graph import (
+        pagerank_incremental,
+        pagerank_weighted,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(_WEDGES, "src long, dst long, w long")
+    pagerank_incremental(
+        spark, root, "wpr", base, iters=6, weighted=True, weight="w"
+    )
+    delta = spark.createDataFrame(
+        [(1, 2, 3), (5, 1, 2), (2, 5, 1)], "src long, dst long, w long"
+    )
+    grown = (
+        base.unionByName(delta)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    ref = _ranks(pagerank_weighted(grown, weight="w", iters=60))
+    r_after_1, _ = pagerank_incremental(
+        spark, root, "wpr", delta, iters=6, weighted=True, weight="w"
+    )
+    d1 = max(abs(v - ref[k]) for k, v in _ranks(r_after_1).items())
+    for _ in range(4):
+        r_last, _ = pagerank_incremental(
+            spark, root, "wpr", None, iters=6, weighted=True
+        )
+    d5 = max(abs(v - ref[k]) for k, v in _ranks(r_last).items())
+    assert set(_ranks(r_last)) == set(ref)
+    assert d5 < 1e-3 and d5 < d1 / 5
+
+
+def test_pagerank_incremental_weighted_tombstones_and_compaction(
+    spark, tmp_path
+):
+    """Negative weighted deltas remove edges (zero totals leave the
+    graph), over-removal keeps the negative running total through
+    compaction, and compact_edge_log folds the log to ONE version whose
+    per-pair rows are the exact running sums."""
+    from etl_template_spark.io import list_versions, read_versioned
+    from etl_template_spark.operators.graph import (
+        compact_edge_log,
+        pagerank_incremental,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 3, 1)],
+        "src long, dst long, w long",
+    )
+    pagerank_incremental(
+        spark, root, "wpr", base, iters=2, weighted=True, weight="w"
+    )
+    # +1 to an existing pair, exact-zero another, over-remove a third
+    d1 = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, -1), (3, 4, -2)], "src long, dst long, w long"
+    )
+    pagerank_incremental(
+        spark, root, "wpr", d1, iters=2, weighted=True, weight="w"
+    )
+    pruned = compact_edge_log(spark, root, "wpr")
+    assert pruned == 2 and list_versions(root, "wpr_edges") == [3]
+    log = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_versioned(spark, root, "wpr_edges").collect()
+    }
+    # (2,3) hit exact zero -> dead row dropped; (3,4) stays negative
+    assert log == {(1, 2): 3, (3, 1): 1, (1, 3): 1, (3, 4): -2}
+    # later addition resumes from the TRUE running total: -2 + 3 = 1
+    d2 = spark.createDataFrame([(3, 4, 3)], "src long, dst long, w long")
+    pagerank_incremental(
+        spark, root, "wpr", d2, iters=2, weighted=True, weight="w"
+    )
+    compact_edge_log(spark, root, "wpr")
+    log2 = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_versioned(spark, root, "wpr_edges").collect()
+    }
+    assert log2 == {(1, 2): 3, (3, 1): 1, (1, 3): 1, (3, 4): 1}
+
+
+def test_pagerank_incremental_mode_mismatch_raises(spark, tmp_path):
+    from etl_template_spark.operators.graph import pagerank_incremental
+
+    root = str(tmp_path)
+    edges = spark.createDataFrame(_EDGES, "src long, dst long")
+    pagerank_incremental(spark, root, "pr", edges, iters=2)
+    with pytest.raises(ValueError, match="one mode for life"):
+        pagerank_incremental(
+            spark, root, "pr", None, iters=2, weighted=True
+        )
+
+
+def test_compact_edge_log_simple_is_refresh_transparent(spark, tmp_path):
+    """Compacting a simple delta log changes NOTHING observable: an
+    empty-delta refresh before and after compaction yields the
+    bit-identical rank vector, and the log drops to one version."""
+    from etl_template_spark.io import list_versions
+    from etl_template_spark.operators.graph import (
+        compact_edge_log,
+        pagerank_incremental,
+    )
+
+    root = str(tmp_path)
+    base = spark.createDataFrame(_EDGES, "src long, dst long")
+    pagerank_incremental(spark, root, "pr", base, iters=2)
+    for d in ([(8, 1), (1, 8)], [(9, 8), (8, 9)]):
+        pagerank_incremental(
+            spark,
+            root,
+            "pr",
+            spark.createDataFrame(d, "src long, dst long"),
+            iters=2,
+        )
+    before, _ = pagerank_incremental(spark, root, "pr", None, iters=3)
+    before = _ranks(before)
+    assert compact_edge_log(spark, root, "pr") == 3
+    assert list_versions(root, "pr_edges") == [4]
+    after, _ = pagerank_incremental(spark, root, "pr", None, iters=3)
+    # not equal to `before` (three more rounds ran) — so re-derive:
+    # the identity to pin is that the SAME refresh from the SAME warm
+    # start produces the same vector pre/post compaction.  Rebuild an
+    # identical second store without compaction and compare.
+    root2 = str(tmp_path / "uncompacted")
+    pagerank_incremental(spark, root2, "pr", base, iters=2)
+    for d in ([(8, 1), (1, 8)], [(9, 8), (8, 9)]):
+        pagerank_incremental(
+            spark,
+            root2,
+            "pr",
+            spark.createDataFrame(d, "src long, dst long"),
+            iters=2,
+        )
+    pagerank_incremental(spark, root2, "pr", None, iters=3)
+    twin, _ = pagerank_incremental(spark, root2, "pr", None, iters=3)
+    assert _ranks(after) == _ranks(twin)
+    assert _ranks(after) != before  # sanity: the refresh DID advance
