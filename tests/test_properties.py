@@ -745,3 +745,90 @@ def test_mg_fold_shard_union_bounds_vs_unsharded(stream, k, n_shards, n_splits):
         [cand] = list(fn(iter([pd.DataFrame({"tok": items})])))
         batch_cands = set(cand["tok"])
         assert {it for it in guaranteed if it % n_shards == s} <= batch_cands
+
+
+# --------------------- weighted pagerank delta-log algebra (late r9) ----
+
+_wdeltas = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # src
+            st.integers(min_value=1, max_value=3),  # dst
+            st.integers(min_value=-3, max_value=3),  # weight delta
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(deltas=_wdeltas, compact_mask=st.lists(st.booleans(), min_size=3, max_size=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_weighted_edge_log_algebra_matches_brute_force(
+    spark, tmp_path_factory, deltas, compact_mask
+):
+    """The weighted delta log's observable state — per-pair running sums
+    with exact zeroes dead and the >0 subset as the graph in force — is
+    a pure fold over the delta sequence, INVARIANT under compaction at
+    any point (hypothesis: random delta sequences, negative weights,
+    interleaved compact_edge_log calls; brute force = a Python dict)."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from etl_template_spark.io import read_versioned_merged
+    from etl_template_spark.operators.graph import (
+        compact_edge_log,
+        pagerank_incremental,
+    )
+
+    truth: Counter = Counter()
+    staged = []
+    for d in deltas:
+        agg = Counter()
+        for s, t, w in d:
+            agg[(s, t)] += w
+        agg = {k: v for k, v in agg.items() if v != 0}
+        nxt = truth.copy()
+        nxt.update(agg)
+        # the driver refreshes after every commit: the graph in force
+        # must stay non-empty, and the very first delta must commit
+        assume(any(v > 0 for v in nxt.values()))
+        if not staged:
+            assume(agg)
+        staged.append((agg, d))
+        truth = nxt
+    root = str(tmp_path_factory.mktemp("wlog"))
+    applied: Counter = Counter()
+    for i, (agg, d) in enumerate(staged):
+        if not agg:
+            continue  # an all-zero delta commits nothing — skip the call
+        df = spark.createDataFrame(d, "src long, dst long, w long")
+        pagerank_incremental(
+            spark, root, "g", df, iters=1, weighted=True, weight="w"
+        )
+        applied.update(agg)
+        if compact_mask[i % len(compact_mask)]:
+            compact_edge_log(spark, root, "g")
+            got = {
+                (r["src"], r["dst"]): r["w"]
+                for r in read_versioned_merged(spark, root, "g_edges")
+                .groupBy("src", "dst")
+                .agg(F.sum("w").alias("w"))
+                .collect()
+            }
+            assert got == {k: v for k, v in applied.items() if v != 0}
+    merged = {
+        (r["src"], r["dst"]): r["w"]
+        for r in read_versioned_merged(spark, root, "g_edges")
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+        if r["w"] != 0
+    }
+    assert merged == {k: v for k, v in applied.items() if v != 0}
+    assert merged == {k: v for k, v in truth.items() if v != 0}
