@@ -12,6 +12,9 @@ shims — the round-6 verdict's cleanup).
                           expectations gate (fail-fast) → MAD anomaly
 - ``dataset_release``   — the release composition: constraint gate →
                           mixture → split → composition audit
+- ``link_graph_refresh`` — nightly incremental PageRank: delta-sized
+                          edge-log ingest → warm-started weighted
+                          refresh → log compaction → authority audit
 
 Each module keeps a ``run(...)`` entry point and stays runnable directly
 (``python -m etl_template_spark.examples.<name>``); the CLI subcommand
@@ -24,4 +27,5 @@ EXAMPLE_NAMES = (
     "curation_pipeline",
     "quality_gate",
     "dataset_release",
+    "link_graph_refresh",
 )

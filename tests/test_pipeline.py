@@ -511,3 +511,42 @@ def test_dataset_release_gate_catches_duplicate_ids(
     manifest = PipelineRun.load_status("dataset_release", p.status_path)
     assert manifest.steps["Check"].status == "Failed"
     assert "doc_id_unique" in (manifest.steps["Check"].message or "")
+
+
+def test_link_graph_refresh_example_runs(spark, sf_dir, tmp_path, monkeypatch):
+    """examples.link_graph_refresh — the round-9 incremental-graph
+    composition as living documentation: three nightly weighted deltas
+    land as delta-sized edge-log versions, each refresh commits the
+    next rank vector, compaction folds the log to ONE version, and the
+    post-compaction empty-delta refresh still advances the vector."""
+    from etl_template_spark.examples import link_graph_refresh as ex
+    from etl_template_spark.io import list_versions, read_versioned
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    root = str(tmp_path / "data")
+    ex.run(root, sf_dir)
+    # 3 nightly deltas + the compacted fold, pruned to the fold alone
+    assert list_versions(root, "authority_ranks") == [1, 2, 3, 4]
+    assert list_versions(root, "authority_edges") == [4]
+    final = {
+        r["id"]: r["rank"]
+        for r in read_versioned(spark, root, "authority_ranks").collect()
+    }
+    prev = {
+        r["id"]: r["rank"]
+        for r in read_versioned(spark, root, "authority_ranks", version=3).collect()
+    }
+    # bipartite: customer (even) and part (odd) nodes both present
+    assert any(k % 2 == 0 for k in final) and any(k % 2 == 1 for k in final)
+    # nights 2-3 grew the graph, and warm-start excess mass decays
+    # GEOMETRICALLY (total_{t+1} = (1-d) + d*total_t), it doesn't
+    # vanish: assert the decay law, not exact conservation — the
+    # post-compaction refresh's 4 extra rounds shrink |sum - 1| by
+    # ~0.85^4 vs the night-3 vector (nano rounding guard on top)
+    excess_prev = abs(sum(prev.values()) - 1.0)
+    excess_final = abs(sum(final.values()) - 1.0)
+    assert excess_final < 0.01
+    assert excess_final <= excess_prev * 0.85**4 + 1e-7
+    # the post-compaction refresh ADVANCED from the night-3 vector
+    # (same node set — the graph didn't change — but four more rounds)
+    assert set(final) == set(prev) and final != prev
