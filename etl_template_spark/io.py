@@ -567,7 +567,13 @@ def analyze_versioned(
     safe_step = re.sub(r"[^A-Za-z0-9_]", "_", step)
     table = f"{safe_db}.{safe_step}_v{v}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {safe_db}")
-    spark.sql(f"CREATE TABLE IF NOT EXISTS {table} USING PARQUET LOCATION '{path}'")
+    # drop-and-recreate rather than IF NOT EXISTS: two roots can share a
+    # (step, version) pair (tests, reprocessing runs), and IF NOT EXISTS
+    # would silently keep the FIRST root's location — stats computed
+    # against the wrong data.  The table is external (explicit
+    # LOCATION), so the drop touches metadata only.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} USING PARQUET LOCATION '{path}'")
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
     if columns:
         col_list = ", ".join(f"`{c}`" for c in columns)

@@ -598,3 +598,31 @@ def test_scd2_lookup_is_keyed_never_loop(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_analyze_versioned_repoints_on_same_step_name(spark, tmp_path):
+    """Two roots can share a (step, version) pair; a second
+    analyze_versioned call must re-point the catalog table at the NEW
+    root (IF NOT EXISTS would silently keep the first location and
+    record stats against the wrong data)."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import analyze_versioned, write_versioned
+
+    try:
+        roots = [str(tmp_path / "a"), str(tmp_path / "b")]
+        for root, n in zip(roots, (100, 7)):
+            write_versioned(
+                spark.range(n).select(F.col("id").alias("k")), root, "dim"
+            )
+            table = analyze_versioned(spark, root, "dim")
+            stats = (
+                spark.sql(f"DESC EXTENDED {table}")
+                .where("col_name = 'Statistics'")
+                .collect()
+            )
+            assert f"{n} rows" in stats[0]["data_type"]
+            assert spark.table(table).count() == n
+    finally:
+        spark.sql("DROP TABLE IF EXISTS etl_stats.dim_v1")
+        spark.sql("DROP DATABASE IF EXISTS etl_stats")
