@@ -52,15 +52,22 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     """Unrolled decimal-exact PageRank rounds over the lineitem
     bipartite fixture; one CTE triple (contribs, mass, ranks) per
     round."""
+    # Every CTE is MATERIALIZED: DuckDB's default inlines single-use
+    # CTEs, and each round's r{i} references r{i-1} TWICE (contribs +
+    # dangling mass), so inlining re-evaluates the whole chain
+    # exponentially in rounds (~2^6 — measured 7.9 s vs 0.09 s at
+    # sf0.01, ~12 min vs seconds at sf0.1; identical sorted output).
     n = "(SELECT n FROM nn)"
     teleport = f"(1.0::DOUBLE - {_DAMPING}::DOUBLE) / {n}"
     ctes = [
-        "e AS (SELECT DISTINCT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t"
-        " FROM lineitem)",
-        "nodes AS (SELECT s AS id FROM e UNION SELECT t FROM e)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "outdeg AS (SELECT s AS id, COUNT(*) AS deg FROM e GROUP BY s)",
-        f"r0 AS (SELECT id, 1.0::DOUBLE / {n} AS rank FROM nodes)",
+        "e AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS s,"
+        " l_suppkey * 2 + 1 AS t FROM lineitem)",
+        "nodes AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT t FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT s AS id, COUNT(*) AS deg"
+        " FROM e GROUP BY s)",
+        f"r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / {n} AS rank"
+        " FROM nodes)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
@@ -68,14 +75,15 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
             # nearest-nano of the exact rational R/deg, ties up — pure
             # integer ops (the r9 integer-contribution fix; see
             # operators/graph.py)
-            f"c{i} AS (SELECT e.t AS id,"
+            f"c{i} AS MATERIALIZED (SELECT e.t AS id,"
             f" CAST(SUM((2 * CAST(round(r.rank * 1e9) AS BIGINT) + d.deg)"
             f" // (2 * d.deg)) AS BIGINT) AS inflow_nano"
             f" FROM e JOIN r{p} r ON e.s = r.id JOIN outdeg d ON e.s = d.id"
             f" GROUP BY e.t)"
         )
         ctes.append(
-            f"m{i} AS (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
+            f"m{i} AS MATERIALIZED"
+            f" (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
             f" AS BIGINT) AS mass_nano"
             f" FROM r{p} r LEFT JOIN outdeg d ON r.id = d.id"
             f" WHERE d.id IS NULL)"
@@ -83,7 +91,8 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
         ctes.append(
             # per-round round-9 mirrors the operator's resumable-as-data
             # state (each round's rank vector is exactly representable)
-            f"r{i} AS (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
+            f"r{i} AS MATERIALIZED"
+            f" (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
             f" (CAST(COALESCE(c{i}.inflow_nano, 0) AS DOUBLE) / 1e9"
             f" + CAST(COALESCE((SELECT mass_nano FROM m{i}), 0) AS DOUBLE)"
             f" / 1e9 / CAST({n} AS DOUBLE)), 9) AS rank"

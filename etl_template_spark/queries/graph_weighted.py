@@ -44,34 +44,42 @@ def _weighted_oracle(iters: int = _ITERS) -> str:
     """Unrolled decimal-exact weighted PageRank rounds; one CTE triple
     (contribs, mass, ranks) per round — q_pagerank's oracle with
     multiplicity weights."""
+    # Every CTE is MATERIALIZED — same reason as q_pagerank's oracle
+    # (graph_q.py): DuckDB's default inlining re-evaluates the round
+    # chain exponentially because each r{i} references r{i-1} twice;
+    # identical sorted output, seconds instead of ~12 min at sf0.1.
     n = "(SELECT n FROM nn)"
     teleport = f"(1.0::DOUBLE - {_DAMPING}::DOUBLE) / {n}"
     ctes = [
-        "e AS (SELECT l_partkey * 2 AS s, l_suppkey * 2 + 1 AS t,"
-        " COUNT(*) AS w FROM lineitem GROUP BY 1, 2)",
-        "nodes AS (SELECT s AS id FROM e UNION SELECT t FROM e)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "outdeg AS (SELECT s AS id, CAST(SUM(w) AS BIGINT) AS wdeg"
-        " FROM e GROUP BY s)",
-        f"r0 AS (SELECT id, 1.0::DOUBLE / {n} AS rank FROM nodes)",
+        "e AS MATERIALIZED (SELECT l_partkey * 2 AS s,"
+        " l_suppkey * 2 + 1 AS t, COUNT(*) AS w FROM lineitem"
+        " GROUP BY 1, 2)",
+        "nodes AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT t FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes)",
+        "outdeg AS MATERIALIZED (SELECT s AS id, CAST(SUM(w) AS BIGINT)"
+        " AS wdeg FROM e GROUP BY s)",
+        f"r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / {n} AS rank"
+        " FROM nodes)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         ctes.append(
-            f"c{i} AS (SELECT e.t AS id,"
+            f"c{i} AS MATERIALIZED (SELECT e.t AS id,"
             f" CAST(SUM((2 * CAST(round(r.rank * 1e9) AS BIGINT) * e.w"
             f" + d.wdeg) // (2 * d.wdeg)) AS BIGINT) AS inflow_nano"
             f" FROM e JOIN r{p} r ON e.s = r.id JOIN outdeg d ON e.s = d.id"
             f" GROUP BY e.t)"
         )
         ctes.append(
-            f"m{i} AS (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
+            f"m{i} AS MATERIALIZED"
+            f" (SELECT CAST(SUM(CAST(round(r.rank * 1e9) AS BIGINT))"
             f" AS BIGINT) AS mass_nano"
             f" FROM r{p} r LEFT JOIN outdeg d ON r.id = d.id"
             f" WHERE d.id IS NULL)"
         )
         ctes.append(
-            f"r{i} AS (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
+            f"r{i} AS MATERIALIZED"
+            f" (SELECT nodes.id, round({teleport} + {_DAMPING}::DOUBLE *"
             f" (CAST(COALESCE(c{i}.inflow_nano, 0) AS DOUBLE) / 1e9"
             f" + CAST(COALESCE((SELECT mass_nano FROM m{i}), 0) AS DOUBLE)"
             f" / 1e9 / CAST({n} AS DOUBLE)), 9) AS rank"
