@@ -462,3 +462,24 @@ def test_compact_edge_log_simple_is_refresh_transparent(spark, tmp_path):
     twin, _ = pagerank_incremental(spark, root2, "pr", None, iters=3)
     assert _ranks(after) == _ranks(twin)
     assert _ranks(after) != before  # sanity: the refresh DID advance
+
+
+# ------------------------------------------- oracle evaluation cost ----
+
+
+def test_pagerank_oracles_materialize_every_cte():
+    """DuckDB inlines CTEs by default, and each unrolled PageRank round
+    r{i} references r{i-1} twice (contributions + dangling mass) — an
+    inlined chain re-evaluates exponentially in rounds (~12 min per
+    oracle at sf0.1 vs seconds materialized, identical sorted output).
+    Pin the MATERIALIZED hint so an oracle regeneration can't silently
+    reintroduce the blow-up into the soak and the driver's gate."""
+    import re
+
+    from etl_template_spark.queries.graph_q import _pagerank_oracle
+    from etl_template_spark.queries.graph_weighted import _weighted_oracle
+
+    for sql in (_pagerank_oracle(), _weighted_oracle()):
+        # every CTE definition (`name AS (`) must carry the hint
+        assert not re.search(r"\bAS\s*\(", sql), sql[:200]
+        assert len(re.findall(r"\bAS MATERIALIZED\s*\(", sql)) >= 5 + 3 * 6
