@@ -15,8 +15,8 @@ shaped, diameter ≤ ~4), so this converges in a handful of rounds even
 at corpus scale; for adversarially long path graphs the alternating
 large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14) halves path lengths per round
-(O(log n) rounds) — same join/agg building blocks, swap in if diameters
-grow.
+(O(log n) rounds) — same join/agg building blocks, implemented below as
+``connected_components_star`` for when diameters grow.
 
 Scale notes:
 - per-round lineage is truncated with ``localCheckpoint(eager=True)``;
@@ -85,6 +85,120 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(pathological diameter — switch to large-star/small-star)"
+            "(pathological diameter — switch to connected_components_star)"
         )
     return labels.select("id", F.col("lbl").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) with ``component`` = min vertex id of the
+    component — same contract as :func:`connected_components`, but via
+    alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converge in O(log n) rounds INDEPENDENT of graph diameter.
+
+    Min-label propagation needs O(diameter) rounds: fine for the
+    star-shaped near-dup clusters it serves (diameter ≤ ~4), hopeless
+    for a path- or mesh-shaped graph (a 10⁶-hop link chain = 10⁶
+    shuffles).  The star alternation instead rewrites the EDGE SET so
+    path lengths at least halve per round:
+
+    - large-star(u): with m = min(Γ(u) ∪ {u}), re-point every STRICTLY
+      LARGER neighbor v > u at m — emit edge (v, m).
+    - small-star(u): on the (hi → lo) canonical orientation, with
+      m = min(Γ(u)), re-point every other smaller neighbor AND u
+      itself at m.
+
+    Fixed point = disjoint stars centered at each component's minimum
+    (the paper's Theorem 1), detected here as edge-set stability.
+
+    Scale notes:
+    - per-round cost is two hash aggregates + two equi-joins over the
+      CURRENT edge set (which the alternation never grows — both star
+      moves map |E| input edges to ≤ |E| output edges, minus
+      collapsed duplicates), all on integer keys; no diameter term.
+    - each round ends in an eager ``localCheckpoint`` so lineage stays
+      one round deep (same discipline as min-label and PageRank).
+    - the hot key is the component minimum once a component is nearly
+      collapsed — unavoidable for any min-labeled output (the final
+      star IS that fan-in); rounds before collapse spread load across
+      per-neighborhood minima, which is the algorithm's skew story.
+    - convergence check is a symmetric ``exceptAll``-empty test on the
+      materialized edge set, never a ``collect()``.
+
+    Prefer :func:`connected_components` for shallow dedup clusters
+    (fewer, cheaper rounds there); use this when diameters are unknown
+    or adversarial.  Vertices are taken from the edge set, self-loops
+    allowed; isolated vertices don't appear (same as min-label)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    vertices = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    if not pairs.isEmpty():
+        for _ in range(max_iter):
+            # ---- large-star: every v > u re-points at min(Γ(u) ∪ {u})
+            und = pairs.select(
+                F.col("hi").alias("u"), F.col("lo").alias("v")
+            ).union(pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+            mins = (
+                und.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m"))
+            )
+            large = (
+                und.join(mins, "u")
+                .where(F.col("v") > F.col("u"))  # m ≤ u < v: canonical hi/lo
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                .distinct()
+            )
+            # ---- small-star: on (hi → lo), re-point N(hi) ∪ {hi} at min
+            j = large.join(
+                large.groupBy("hi").agg(F.min("lo").alias("m")), "hi"
+            )
+            nxt = (
+                j.where(F.col("lo") != F.col("m"))
+                .select(
+                    F.greatest("lo", "m").alias("hi"),
+                    F.least("lo", "m").alias("lo"),
+                )
+                .union(j.select("hi", F.col("m").alias("lo")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            done = (
+                nxt.exceptAll(pairs).isEmpty()
+                and pairs.exceptAll(nxt).isEmpty()
+            )
+            pairs = nxt
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not stabilize in {max_iter} "
+                "rounds (expected O(log n) — is the edge set unbounded?)"
+            )
+
+    # fixed point is disjoint stars: hi → component min; roots (the
+    # minima) and self-loop-only vertices label themselves.
+    labels = pairs.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    return (
+        vertices.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )

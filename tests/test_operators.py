@@ -380,6 +380,51 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_star_long_path(spark):
+    """The large-star/small-star variant must label a 64-hop path in
+    O(log n) rounds — min-label propagation would need ~64 (its
+    documented pathological shape).  Node ids are permuted so the
+    component minimum sits mid-path, not at an endpoint."""
+    from etl_template_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    # deterministic permutation of 0..64: multiply by 37 mod 65 (coprime)
+    ids = [(i * 37) % 65 for i in range(65)]
+    path = list(zip(ids, ids[1:]))  # 64 edges, diameter 64
+    edges = spark.createDataFrame(path, "src long, dst long")
+    # 10 rounds ≥ log2(65) + slack; raises RuntimeError if not stable
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edges, max_iter=10).collect()
+    }
+    assert got == {v: 0 for v in range(65)}
+
+
+def test_connected_components_star_islands_and_self_loops(spark):
+    """Star variant honors the min-label contract verbatim: transitive
+    chaining, separate islands, self-loop-only vertices labeled as
+    their own singleton component."""
+    from etl_template_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 8), (42, 42)],
+        "src long, dst long",
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (7, 7), (8, 7),
+        (42, 42),
+    }
+
+
 def test_ngram_prefix_filter_identical_to_full_join(spark):
     """Prefix filtering (AllPairs bound) must return bit-identical
     pairs to the unpruned inverted-index join — it prunes candidates,
