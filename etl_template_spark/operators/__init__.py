@@ -6,7 +6,8 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
     sessionize.py gap-based sessionization (lag + cumulative sum)
     topk.py       per-group top-k (rank window) and global top-k
     cluster.py    connected components over pair graphs (duplicate-
-                  cluster resolution: pairs → groups → one survivor)
+                  cluster resolution: pairs → groups → one survivor);
+                  min-label O(diameter) + star-rewrite O(log n) variants
     dedup.py      exact / MinHash / SimHash deduplication
     rangejoin.py  binned range join (interval containment without an
                   equi key, as a bin-id equi-join — no BNLJ/cartesian)
@@ -16,7 +17,10 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
 """
 
 from .asof import asof_join  # noqa: F401
-from .cluster import connected_components  # noqa: F401
+from .cluster import (  # noqa: F401
+    connected_components,
+    connected_components_star,
+)
 from .dedup import (  # noqa: F401
     dedup_exact,
     lsh_candidate_pairs,
