@@ -483,3 +483,30 @@ def test_pagerank_oracles_materialize_every_cte():
         # every CTE definition (`name AS (`) must carry the hint
         assert not re.search(r"\bAS\s*\(", sql), sql[:200]
         assert len(re.findall(r"\bAS MATERIALIZED\s*\(", sql)) >= 5 + 3 * 6
+
+
+# ----------------------------------------- CC algorithm equivalence ----
+
+
+def test_star_cc_matches_min_label_on_real_pair_graph(spark, sf_dir):
+    """The two connected-components algorithms must be interchangeable
+    on the ACTUAL near-dup pair graph (q_dedup_fuzzy's LSH-verified
+    pairs over the documents corpus), not just on synthetic graphs —
+    the swap the star variant exists for is exactly this input."""
+    from etl_template_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+    from etl_template_spark.queries.llm_text import q_dedup_fuzzy
+
+    pairs = q_dedup_fuzzy(spark, sf_dir).localCheckpoint(eager=True)
+    a = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, src="d1", dst="d2").collect()
+    }
+    b = {
+        (r["id"], r["component"])
+        for r in connected_components_star(pairs, src="d1", dst="d2").collect()
+    }
+    assert a == b
+    assert a  # non-vacuous: the corpus does contain near-dup clusters
