@@ -19,6 +19,7 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
 from .asof import asof_join  # noqa: F401
 from .cluster import (  # noqa: F401
     connected_components,
+    connected_components_incremental,
     connected_components_star,
 )
 from .dedup import (  # noqa: F401

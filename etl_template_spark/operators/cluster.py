@@ -202,3 +202,76 @@ def connected_components_star(
             "id", F.coalesce("component", F.col("id")).alias("component")
         )
     )
+
+
+def connected_components_incremental(
+    spark,
+    root: str,
+    step: str,
+    delta_edges: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> tuple[DataFrame, int]:
+    """Exact incremental connected components over an append-only edge
+    stream, persisted as a versioned dataset (the graph-tier sibling of
+    ``pagerank_incremental``, same store discipline — io.py).
+
+    The refresh needs NO edge log: a component labeling is a SUFFICIENT
+    STATISTIC for connectivity under edge ADDITIONS —
+    ``CC(E ∪ Δ) == CC(labels(E)-as-edges ∪ Δ)`` exactly, because the
+    (id → component) star graph induces the identical partition as
+    ``E`` and adding ``Δ`` to equal partitions merges them identically;
+    component minima survive since every vertex id is preserved.  So
+    each refresh re-clusters ``|V| + |Δ|`` edges (one star edge per
+    vertex plus the delta) instead of the FULL pair log — at corpus
+    scale the near-dup pair set dwarfs the vertex set, and this is the
+    difference between touching the night's pairs and rescanning
+    months of them.  Unlike ``pagerank_incremental`` the warm start is
+    EXACT (bit-for-bit vs from-scratch, integer labels), not a
+    convergence argument.
+
+    State under ``root``: ``{step}_cc`` — the labeling, one full copy
+    per refresh (one row per vertex ever seen; the small artifact).
+    The incremental-dedup shape this serves: nightly near-dup PAIRS for
+    new documents (vs corpus and each other, q_dedup_incremental's
+    output) fold into the standing cluster assignment without
+    re-scoring the corpus.
+
+    Contracts:
+    - refresh(Δ₁)…refresh(Δₙ) ≡ one from-scratch CC over Δ₁∪…∪Δₙ,
+      bit-for-bit (differential-tested, including cluster-bridging and
+      brand-new-vertex deltas).
+    - empty/None ``delta_edges`` is a read-only no-op: returns the
+      current labeling and version, commits nothing (the first call
+      must therefore bring a non-empty delta).
+    - edge DELETIONS are out of contract: removing an edge can split a
+      component, which no labeling summary can answer — callers who
+      retire documents re-run from scratch over their pair source.
+
+    Returns ``(labels_read_back_from_the_committed_version, version)``.
+    """
+    from ..io import latest_version, read_versioned, write_versioned
+
+    cc_step = f"{step}_cc"
+    prior = latest_version(root, cc_step)
+    d = None
+    if delta_edges is not None:
+        d = delta_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if d.isEmpty():
+            d = None
+    if d is None:
+        if prior is None:
+            raise ValueError(
+                "connected_components_incremental: no labeling exists yet — "
+                "the first call must supply a non-empty delta_edges frame"
+            )
+        return read_versioned(spark, root, cc_step), prior
+    if prior is not None:
+        base = read_versioned(spark, root, cc_step).select(
+            F.col("id").alias("src"), F.col("component").alias("dst")
+        )
+        d = d.union(base)
+    labels = connected_components_star(d, max_iter=max_iter)
+    version, _ = write_versioned(labels, root, cc_step)
+    return read_versioned(spark, root, cc_step, version=version), version

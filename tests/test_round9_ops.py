@@ -510,3 +510,63 @@ def test_star_cc_matches_min_label_on_real_pair_graph(spark, sf_dir):
     }
     assert a == b
     assert a  # non-vacuous: the corpus does contain near-dup clusters
+
+
+def test_cc_incremental_matches_from_scratch(spark, tmp_path):
+    """The labeling-as-sufficient-statistic claim, end to end: three
+    delta refreshes (new pairs, a cluster-bridging edge, brand-new
+    vertices chained in) must each land bit-for-bit on from-scratch CC
+    over the union of every delta so far."""
+    from etl_template_spark.operators.cluster import (
+        connected_components_incremental,
+        connected_components_star,
+    )
+
+    root = str(tmp_path)
+    deltas = [
+        [(1, 2), (3, 4), (10, 10)],  # two pairs + a self-loop singleton
+        [(5, 6), (2, 3)],            # bridge {1,2} with {3,4}
+        [(7, 8), (8, 9), (6, 1)],    # new chain {7,8,9}; 6-1 bridges
+                                     # {5,6} into {1,2,3,4}
+    ]
+    seen: list[tuple[int, int]] = []
+    for dl in deltas:
+        seen += dl
+        got, _v = connected_components_incremental(
+            spark, root, "dd",
+            spark.createDataFrame(dl, "src long, dst long"),
+        )
+        want = connected_components_star(
+            spark.createDataFrame(seen, "src long, dst long")
+        )
+        assert {(r["id"], r["component"]) for r in got.collect()} == {
+            (r["id"], r["component"]) for r in want.collect()
+        }
+    final = {r["id"]: r["component"] for r in got.collect()}
+    assert final[5] == 1 and final[9] == 7 and final[10] == 10
+
+
+def test_cc_incremental_empty_delta_is_readonly_noop(spark, tmp_path):
+    """Empty/None deltas return the standing labeling WITHOUT a new
+    version; the very first call must bring edges."""
+    from etl_template_spark.operators.cluster import (
+        connected_components_incremental,
+    )
+
+    root = str(tmp_path)
+    with pytest.raises(ValueError, match="first call"):
+        connected_components_incremental(spark, root, "dd", None)
+    got1, v1 = connected_components_incremental(
+        spark, root, "dd",
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+    )
+    got2, v2 = connected_components_incremental(spark, root, "dd", None)
+    got3, v3 = connected_components_incremental(
+        spark, root, "dd",
+        spark.createDataFrame([], "src long, dst long"),
+    )
+    assert v1 == v2 == v3
+    rows = {(r["id"], r["component"]) for r in got1.collect()}
+    assert rows == {(r["id"], r["component"]) for r in got2.collect()}
+    assert rows == {(r["id"], r["component"]) for r in got3.collect()}
+    assert rows == {(1, 1), (2, 1)}
