@@ -96,6 +96,13 @@ def main(argv: list[str] | None = None) -> int:
                 a[1] if len(a) > 1 else None,
                 a[0] if a else SF_DIR,
             )
+        elif args.name == "incremental_dedup":  # [sf_dir] [data_root]
+            from .examples.incremental_dedup import SF_DIR, run
+
+            run(
+                a[1] if len(a) > 1 else None,
+                a[0] if a else SF_DIR,
+            )
         else:  # quality_gate [sf_dir] [data_root]
             from .examples.quality_gate import SF_DIR, run
 

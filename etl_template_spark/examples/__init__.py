@@ -15,6 +15,10 @@ shims — the round-6 verdict's cleanup).
 - ``link_graph_refresh`` — nightly incremental PageRank: delta-sized
                           edge-log ingest → warm-started weighted
                           refresh → log compaction → authority audit
+- ``incremental_dedup``  — nightly incremental dedup clustering:
+                          delta-indexed shingles/signatures → LSH
+                          probe vs the standing index → exact verify →
+                          incremental connected components
 
 Each module keeps a ``run(...)`` entry point and stays runnable directly
 (``python -m etl_template_spark.examples.<name>``); the CLI subcommand
@@ -28,4 +32,5 @@ EXAMPLE_NAMES = (
     "quality_gate",
     "dataset_release",
     "link_graph_refresh",
+    "incremental_dedup",
 )

@@ -87,10 +87,8 @@ def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(d1, d2) candidate pairs from banded LSH: explode band keys,
-    self equi-join on the key — only genuinely-colliding pairs appear."""
-    bands = signatures.select(
+def _band_keys(signatures: DataFrame, id_col: str) -> DataFrame:
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -103,14 +101,48 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             )
         ).alias("band_key"),
     )
-    left = bands.select(F.col(id_col).alias("d1"), "band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """(d1, d2) candidate pairs from banded LSH: explode band keys,
+    equi-join on the key — only genuinely-colliding pairs appear.
+
+    ``probe=None`` (the default) self-joins ``signatures``: every pair
+    within the corpus.  Passing a ``probe`` signature frame switches to
+    the INCREMENTAL shape: only pairs with at least one probe-side
+    member are generated (probe bands ⋈ corpus bands), so a nightly
+    ingest joins the night's documents against the standing signature
+    index instead of re-colliding the whole corpus with itself — the
+    join cost tracks the DELTA's band buckets.  Pairs are canonical
+    (``d1 < d2``) and distinct in both modes; with ``probe`` a subset
+    of ``signatures``, the output is exactly the self-join pairs that
+    touch the probe set."""
+    bands = _band_keys(signatures, id_col)
     right = bands.select(F.col(id_col).alias("d2"), "band_key")
-    return (
-        left.join(right, "band_key")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    if probe is None:
+        left = bands.select(F.col(id_col).alias("d1"), "band_key")
+        pairs = (
+            left.join(right, "band_key")
+            .where(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+        )
+    else:
+        left = _band_keys(probe, id_col).select(
+            F.col(id_col).alias("d1"), "band_key"
+        )
+        pairs = (
+            left.join(right, "band_key")
+            .where(F.col("d1") != F.col("d2"))
+            .select(
+                F.least("d1", "d2").alias("d1"),
+                F.greatest("d1", "d2").alias("d2"),
+            )
+        )
+    return pairs.distinct()
 
 
 def verified_jaccard(

@@ -157,6 +157,39 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.6
 
 
+def test_lsh_probe_mode_equals_self_join_restricted_to_probe(spark):
+    """Incremental LSH: with ``probe`` a subset of the signatures, the
+    candidate set must be exactly the self-join pairs touching the
+    probe set — no re-collision of old-vs-old, no lost pair."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tonight",
+        "completely different words about spark shuffles and parquet files here",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+        "completely different words about spark shuffles and parquet files now",
+    ]
+    docs = _df(
+        spark,
+        list(enumerate(texts)),
+        "doc_id int, text string",
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
+    ).distinct()
+    sig = minhash_signature(sh)
+    full = {
+        (r["d1"], r["d2"]) for r in lsh_candidate_pairs(sig).collect()
+    }
+    new_ids = {3, 4}  # the "night's" docs
+    probe = sig.where(F.col("doc_id").isin(*new_ids))
+    got = {
+        (r["d1"], r["d2"])
+        for r in lsh_candidate_pairs(sig, probe=probe).collect()
+    }
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == want and got  # non-vacuous: the night collides
+
+
 def test_ngram_jaccard_df_cap_prunes_stopword_shingles(spark):
     # a shingle shared by every doc is pruned by df_cap → no pairs from it
     docs = _df(

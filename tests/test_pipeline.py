@@ -550,3 +550,35 @@ def test_link_graph_refresh_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     # the post-compaction refresh ADVANCED from the night-3 vector
     # (same node set — the graph didn't change — but four more rounds)
     assert set(final) == set(prev) and final != prev
+
+
+def test_incremental_dedup_example_runs(spark, sf_dir, tmp_path, monkeypatch):
+    """examples.incremental_dedup — the round-9 incremental-dedup
+    composition as living documentation, pinned to its LOSSLESS
+    contract: after three nightly ingests (delta-indexed signatures,
+    LSH probe vs the standing index, exact verification, incremental
+    CC) the standing labeling must equal from-scratch full-corpus
+    near-dup clustering BIT-FOR-BIT."""
+    from etl_template_spark.examples import incremental_dedup as ex
+    from etl_template_spark.io import list_versions, read_versioned
+    from etl_template_spark.operators.cluster import connected_components_star
+    from etl_template_spark.queries.llm_text import q_dedup_fuzzy
+
+    monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
+    root = str(tmp_path / "data")
+    ex.run(root, sf_dir)
+    # one delta-sized index version per night, one labeling per refresh
+    assert list_versions(root, "dupes_sh") == [1, 2, 3]
+    assert list_versions(root, "dupes_sig") == [1, 2, 3]
+    assert list_versions(root, "dupes_cc") == [1, 2, 3]
+    got = {
+        (r["id"], r["component"])
+        for r in read_versioned(spark, root, "dupes_cc").collect()
+    }
+    want = {
+        (r["id"], r["component"])
+        for r in connected_components_star(
+            q_dedup_fuzzy(spark, sf_dir), src="d1", dst="d2"
+        ).collect()
+    }
+    assert got == want and got
