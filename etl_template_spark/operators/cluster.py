@@ -233,6 +233,9 @@ def connected_components_incremental(
 
     State under ``root``: ``{step}_cc`` — the labeling, one full copy
     per refresh (one row per vertex ever seen; the small artifact).
+    Because every version is a full copy, old versions are freely
+    prunable with ``io.prune_versions`` — unlike pagerank_incremental's
+    delta log, where newest-k retention would drop old deltas' edges.
     The incremental-dedup shape this serves: nightly near-dup PAIRS for
     new documents (vs corpus and each other, q_dedup_incremental's
     output) fold into the standing cluster assignment without
