@@ -1,6 +1,9 @@
 """Reusable composite operators the DataFrame API lacks as primitives.
 
 Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
+    ann.py        incremental IVF ANN index on the versioned store
+                  (frozen coarse quantizer, append-only cell log,
+                  probe-exact search)
     asof.py       as-of join (union + carry-forward window: O(n log n),
                   never materializes the m×n candidate space)
     sessionize.py gap-based sessionization (lag + cumulative sum)
@@ -16,6 +19,11 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
                   broadcast-restricted verify pass
 """
 
+from .ann import (  # noqa: F401
+    ivf_index_incremental,
+    ivf_search,
+    train_centroids,
+)
 from .asof import asof_join  # noqa: F401
 from .cluster import (  # noqa: F401
     connected_components,

@@ -570,3 +570,111 @@ def test_cc_incremental_empty_delta_is_readonly_noop(spark, tmp_path):
     assert rows == {(r["id"], r["component"]) for r in got2.collect()}
     assert rows == {(r["id"], r["component"]) for r in got3.collect()}
     assert rows == {(1, 1), (2, 1)}
+
+
+# --------------------------------------------- incremental IVF ANN ----
+
+
+def _embeddings_halves(spark, sf_dir):
+    from etl_template_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    return (
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+    )
+
+
+def test_ivf_incremental_matches_from_scratch_assignment(spark, sf_dir, tmp_path):
+    """Appending a delta must equal assigning the FULL corpus under the
+    frozen (first-ingest-trained) centroids, bit-for-bit — cell
+    assignment is a pure per-vector function of the centroids."""
+    from etl_template_spark.io import load_table, read_versioned
+    from etl_template_spark.operators.ann import ivf_index_incremental
+    from etl_template_spark.queries.similarity import _assign_cells
+
+    root = str(tmp_path)
+    a, b = _embeddings_halves(spark, sf_dir)
+    ivf_index_incremental(spark, root, "ann", a, k=8)
+    merged, v = ivf_index_incremental(spark, root, "ann", b, k=8)
+    assert v == 2  # one delta-sized version per ingest
+    centroids = read_versioned(spark, root, "ann_centroids")
+    want = _assign_cells(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", "embedding"
+        ),
+        centroids,
+    )
+    got = {(r["vec_id"], r["cell"]) for r in merged.collect()}
+    assert got == {(r["vec_id"], r["cell"]) for r in want.collect()}
+    assert len({c for _, c in got}) > 1  # non-vacuous: multiple cells
+
+
+def test_ivf_search_equals_brute_force_over_probed_cells(spark, sf_dir, tmp_path):
+    """The probe contract: top-k from ivf_search equals exact cosine
+    top-k over the union of the query's nprobe cells."""
+    from etl_template_spark.io import read_versioned
+    from etl_template_spark.operators.ann import (
+        ivf_index_incremental,
+        ivf_search,
+    )
+    from etl_template_spark.queries.similarity import _assign_cells, cosine_col
+
+    root = str(tmp_path)
+    a, b = _embeddings_halves(spark, sf_dir)
+    ivf_index_incremental(spark, root, "ann", a, k=8)
+    merged, _ = ivf_index_incremental(spark, root, "ann", b, k=8)
+
+    q = a.where(F.col("vec_id") == 0).select(
+        F.lit(7).alias("qid"), "embedding"
+    )
+    got = [
+        (r["qid"], r["vec_id"], r["cos_sim"], r["rank"])
+        for r in ivf_search(spark, root, "ann", q, k=10, nprobe=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == 10 and [g[3] for g in got] == list(range(1, 11))
+
+    centroids = read_versioned(spark, root, "ann_centroids")
+    probed = {
+        r["cell"]
+        for r in _assign_cells(
+            q.select(F.col("qid").alias("vec_id"), "embedding"), centroids, n=3
+        ).collect()
+    }
+    qv = q.collect()[0]["embedding"]
+    brute = (
+        merged.where(F.col("cell").isin(*probed))
+        .select(
+            "vec_id",
+            cosine_col(
+                F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+        .collect()
+    )
+    assert [(g[1], g[2]) for g in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in brute
+    ]
+
+
+def test_ivf_incremental_redelivery_and_noop(spark, sf_dir, tmp_path):
+    """Re-ingesting the same ids appends nothing (idempotent), empty
+    deltas are read-only no-ops, and the first call must train."""
+    from etl_template_spark.operators.ann import ivf_index_incremental
+
+    root = str(tmp_path)
+    a, _b = _embeddings_halves(spark, sf_dir)
+    with pytest.raises(ValueError, match="first"):
+        ivf_index_incremental(spark, root, "ann", None, k=8)
+    m1, v1 = ivf_index_incremental(spark, root, "ann", a, k=8)
+    n1 = m1.count()
+    m2, v2 = ivf_index_incremental(spark, root, "ann", a, k=8)  # redelivery
+    m3, v3 = ivf_index_incremental(spark, root, "ann", None, k=8)
+    assert v1 == v2 == v3 == 1
+    assert m2.count() == n1 and m3.count() == n1
