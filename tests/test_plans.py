@@ -626,3 +626,37 @@ def test_analyze_versioned_repoints_on_same_step_name(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS etl_stats.dim_v1")
         spark.sql("DROP DATABASE IF EXISTS etl_stats")
+
+
+def test_incremental_tier_library_plans_no_cartesian(spark, sf_dir, tmp_path):
+    """The r9 library operators get the same plan contract the
+    registered queries get: no CartesianProduct anywhere; the IVF
+    centroid pass is a broadcast against the k-row frame; star-CC and
+    search joins are key equi-joins."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import load_table
+    from etl_template_spark.operators.ann import ivf_index_incremental, ivf_search
+    from etl_template_spark.operators.cluster import connected_components_star
+
+    def plan(df):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(mode)
+
+    root = str(tmp_path)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    merged, _ = ivf_index_incremental(spark, root, "ann", e, k=8)
+    q = e.where(F.col("vec_id") == 0).select(F.lit(1).alias("qid"), "embedding")
+    p = plan(ivf_search(spark, root, "ann", q, k=5, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # the k-row centroid frame
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "src long, dst long"
+    )
+    p = plan(connected_components_star(pairs))
+    assert "CartesianProduct" not in p
