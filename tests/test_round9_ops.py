@@ -678,3 +678,26 @@ def test_ivf_incremental_redelivery_and_noop(spark, sf_dir, tmp_path):
     m3, v3 = ivf_index_incremental(spark, root, "ann", None, k=8)
     assert v1 == v2 == v3 == 1
     assert m2.count() == n1 and m3.count() == n1
+
+
+def test_train_centroids_partition_invariant(spark, sf_dir):
+    """The decimal-Lloyd claim, pinned: centroids must be bit-identical
+    under 5 vs 32 shuffle partitions — a raw float AVG leaking into the
+    mean would differ between widths (the laptop-vs-cluster drift
+    shape the repo-wide invariance sweep guards queries against)."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.operators.ann import train_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = {}
+    try:
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            out[n] = {
+                r["cell"]: tuple(r["centroid"])
+                for r in train_centroids(e, k=8).collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert out["5"] == out["32"] and len(out["5"]) == 8
