@@ -132,6 +132,19 @@ def ivf_index_incremental(
                 "call must supply a non-empty delta_vectors frame"
             )
     else:
+        # enforce the append-only log's id contract IN CODE (not a
+        # docstring caveat): a delta with internal duplicate ids would
+        # double-enter the log — the cross-version anti-join can't see
+        # within-delta dupes, and dropDuplicates would pick a payload
+        # row nondeterministically.
+        dup = d.groupBy().agg(
+            (F.count(F.lit(1)) - F.count_distinct("vec_id")).alias("n")
+        ).collect()[0]["n"]
+        if dup:
+            raise ValueError(
+                f"ivf_index_incremental: delta contains {dup} duplicate "
+                "vec_id row(s) — ids must be unique within a delta"
+            )
         if not have:
             write_versioned(train_centroids(d, k), root, cent_step)
         else:

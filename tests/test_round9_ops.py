@@ -701,3 +701,15 @@ def test_train_centroids_partition_invariant(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert out["5"] == out["32"] and len(out["5"]) == 8
+
+
+def test_ivf_incremental_rejects_internal_duplicate_ids(spark, sf_dir, tmp_path):
+    """A delta with duplicate vec_ids must fail loudly: the
+    cross-version anti-join can't see within-delta dupes, and silently
+    double-entering the cell log breaks the from-scratch identity."""
+    from etl_template_spark.operators.ann import ivf_index_incremental
+
+    a, _ = _embeddings_halves(spark, sf_dir)
+    dup = a.union(a.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        ivf_index_incremental(spark, str(tmp_path), "ann", dup, k=8)
