@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import get_spark
-from ..io import load_table, read_versioned_merged, write_versioned
+from ..io import latest_version, load_table, read_versioned_merged, write_versioned
 from ..operators.cluster import connected_components_incremental
 from ..operators.dedup import (
     lsh_candidate_pairs,
@@ -99,6 +99,11 @@ def run(data_root: str | None = None, sf_dir: str = SF_DIR):
     for night in range(NIGHTS):
         docs = night_docs(spark, sf_dir, night)
         pairs = night_pairs(spark, data_root, docs)
+        # an early slice may carry no near-dup pairs at all — the index
+        # still appended above; the labeling starts with the first pair
+        if latest_version(data_root, f"{STEP}_cc") is None and pairs.isEmpty():
+            print(f"night {night}: indexed, no near-dup pairs yet")
+            continue
         labels, v = connected_components_incremental(
             spark, data_root, STEP, pairs, src="d1", dst="d2"
         )
