@@ -20,6 +20,7 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
 """
 
 from .ann import (  # noqa: F401
+    ivf_compact,
     ivf_index_incremental,
     ivf_search,
     train_centroids,

@@ -159,6 +159,50 @@ def ivf_index_incremental(
     return merged, version
 
 
+def ivf_compact(
+    spark,
+    root: str,
+    step: str,
+    min_claim_age: float = 3600.0,
+) -> int:
+    """Fold the ``{step}_cells`` delta log into ONE version and prune
+    the history; returns the number of versions pruned.  The ANN twin
+    of ``graph.compact_edge_log``, for the same reason: the cell log's
+    versions are not self-contained snapshots, so ``prune_versions``'s
+    newest-k retention would silently drop old ingests' vectors —
+    compaction first rewrites the FULL merged state as one version,
+    then prunes.  The merged view is identical before and after (the
+    ingest guards keep vec_ids unique, so the fold is the merged rows
+    verbatim) and the next search scans one version instead of one per
+    historical ingest.
+
+    Concurrency: a merged read inside the commit-then-prune window
+    would see each vector TWICE (compacted copy + the delta it
+    summarizes) and duplicate search candidates — run compaction in
+    the same serial maintenance window as the ingests, as with the
+    weighted edge log.  ``min_claim_age`` passes through to
+    ``prune_versions``'s concurrent-claim grace."""
+    from ..io import (
+        latest_version,
+        prune_versions,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    cells_step = f"{step}_cells"
+    if latest_version(root, cells_step) is None:
+        raise FileNotFoundError(
+            f"ivf_compact: no {cells_step!r} log under {root!r}"
+        )
+    merged = read_versioned_merged(spark, root, cells_step).drop("_version")
+    write_versioned(merged, root, cells_step)
+    return len(
+        prune_versions(
+            root, cells_step, keep_last=1, min_claim_age=min_claim_age
+        )
+    )
+
+
 def ivf_search(
     spark,
     root: str,

@@ -713,3 +713,44 @@ def test_ivf_incremental_rejects_internal_duplicate_ids(spark, sf_dir, tmp_path)
     dup = a.union(a.limit(1))
     with pytest.raises(ValueError, match="duplicate"):
         ivf_index_incremental(spark, str(tmp_path), "ann", dup, k=8)
+
+
+def test_ivf_compact_is_search_transparent(spark, sf_dir, tmp_path):
+    """Compaction folds the cell log to ONE version with search results
+    identical bit-for-bit; redelivery of pre-compaction ids stays
+    idempotent (the anti-join sees the compacted copy) and genuinely
+    new vectors still append and surface."""
+    from etl_template_spark.io import list_versions
+    from etl_template_spark.operators.ann import (
+        ivf_compact,
+        ivf_index_incremental,
+        ivf_search,
+    )
+
+    root = str(tmp_path)
+    a, b = _embeddings_halves(spark, sf_dir)
+    ivf_index_incremental(spark, root, "ann", a, k=8)
+    ivf_index_incremental(spark, root, "ann", b, k=8)
+    q = a.where(F.col("vec_id") == 0).select(F.lit(1).alias("qid"), "embedding")
+
+    def results():
+        return [
+            (r["qid"], r["vec_id"], r["cos_sim"], r["rank"])
+            for r in ivf_search(spark, root, "ann", q, k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    before = results()
+    assert ivf_compact(spark, root, "ann", min_claim_age=0) == 2
+    assert list_versions(root, "ann_cells") == [3]
+    assert results() == before
+
+    m0, v = ivf_index_incremental(spark, root, "ann", a, k=8)  # redelivery
+    assert v == 3  # nothing appended
+    n0 = m0.count()
+    fresh = b.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    merged, v = ivf_index_incremental(spark, root, "ann", fresh, k=8)
+    assert v == 4 and merged.count() == n0 + fresh.count()
