@@ -32,6 +32,15 @@ the fixed MinHash constants.  So after the last night the standing
 labeling equals from-scratch (full-corpus LSH pairs → CC) BIT-FOR-BIT;
 the CI test pins that identity.
 
+After the last night the job closes with RETENTION: the shingle and
+signature logs fold to one version each (``io.compact_merged_log`` —
+newest-k pruning alone would drop old nights' rows from the merged
+index), and the labeling's history prunes to the newest (safe there:
+every labeling version is a full copy).  Redelivering a night is
+idempotent end-to-end: already-indexed doc_ids anti-join away, a
+fully-redelivered night indexes nothing and emits no pairs, and the
+empty refresh is a read-only no-op.
+
 Run:  python -m etl_template_spark example incremental_dedup [sf_dir] [data_root]
 Also executed in CI (tests/test_pipeline.py::test_incremental_dedup_example_runs)
 so this document cannot rot.
@@ -46,7 +55,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import get_spark
-from ..io import latest_version, load_table, read_versioned_merged, write_versioned
+from ..io import (
+    compact_merged_log,
+    latest_version,
+    load_table,
+    prune_versions,
+    read_versioned_merged,
+    write_versioned,
+)
 from ..operators.cluster import connected_components_incremental
 from ..operators.dedup import (
     lsh_candidate_pairs,
@@ -72,11 +88,25 @@ def night_pairs(
     spark: SparkSession, data_root: str, new_docs: DataFrame
 ) -> DataFrame:
     """Index the night's documents, then LSH-probe them against the
-    full standing index and verify candidates exactly."""
+    full standing index and verify candidates exactly.  Already-indexed
+    doc_ids are anti-joined away first, so redelivering a night is
+    idempotent (double-indexed shingles would inflate the verification
+    counts — the same reason the IVF ingest guards its ids)."""
+    if latest_version(data_root, f"{STEP}_sig") is not None:
+        seen = read_versioned_merged(spark, data_root, f"{STEP}_sig").select(
+            "doc_id"
+        )
+        new_docs = new_docs.join(seen, "doc_id", "left_anti")
     sh_new = new_docs.select(
         "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
     ).distinct()
     sig_new = minhash_signature(sh_new)
+    if sig_new.isEmpty():  # fully-redelivered night: nothing to index
+        return sig_new.select(
+            F.col("doc_id").alias("d1"),
+            F.col("doc_id").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        ).limit(0)
     write_versioned(sh_new, data_root, f"{STEP}_sh")
     write_versioned(sig_new, data_root, f"{STEP}_sig")
     all_sig = read_versioned_merged(spark, data_root, f"{STEP}_sig").drop(
@@ -120,6 +150,15 @@ def run(data_root: str | None = None, sf_dir: str = SF_DIR):
             f"{stats['clustered_docs']} docs in {stats['clusters']} "
             f"cluster(s), {stats['drops']} would drop"
         )
+    # retention: the index logs fold to ONE version (prune_versions
+    # alone would drop old nights' shingles/signatures from the merged
+    # view); the labeling's versions are full copies, so plain
+    # newest-1 retention is safe there
+    for log in (f"{STEP}_sh", f"{STEP}_sig"):
+        pruned = compact_merged_log(spark, data_root, log, min_claim_age=0)
+        print(f"compacted {log}: pruned {pruned} version(s)")
+    old = prune_versions(data_root, f"{STEP}_cc", keep_last=1, min_claim_age=0)
+    print(f"pruned labeling history: {old}")
     print(f"root={data_root}")
     return data_root
 

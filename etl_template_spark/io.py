@@ -679,6 +679,43 @@ def prune_versions(
     return sorted(set(doomed))
 
 
+def compact_merged_log(
+    spark: SparkSession,
+    root: str,
+    step: str,
+    min_claim_age: float = 3600.0,
+) -> int:
+    """Fold an append-only DELTA LOG's full merged state (the plain
+    union of its versions, rows verbatim) into ONE new version and
+    prune the history; returns the number of versions pruned.
+
+    ``prune_versions`` alone is the WRONG retention tool for a delta
+    log: it keeps the newest-k versions, but a log's versions are not
+    self-contained snapshots — dropping an old delta silently removes
+    its rows from the merged view.  This helper is the generic
+    retention hook for verbatim-union logs (e.g. an ANN cell log or the
+    incremental-dedup shingle/signature index); logs with FOLD
+    semantics on merge (the weighted PageRank edge log's per-pair
+    summed deltas) need their dedicated compactor
+    (``operators.graph.compact_edge_log``) so the fold happens before
+    the write.
+
+    Concurrency: a merged read inside the commit-then-prune window sees
+    each row twice (the compacted copy plus the delta it summarizes) —
+    run compaction in the same serial maintenance window as the log's
+    writers.  ``min_claim_age`` passes through to ``prune_versions``'s
+    concurrent-claim grace."""
+    if latest_version(root, step) is None:
+        raise FileNotFoundError(
+            f"compact_merged_log: no {step!r} log under {root!r}"
+        )
+    merged = read_versioned_merged(spark, root, step).drop("_version")
+    write_versioned(merged, root, step)
+    return len(
+        prune_versions(root, step, keep_last=1, min_claim_age=min_claim_age)
+    )
+
+
 def process_scratch_root(prefix: str, sf_dir: str) -> str:
     """Per-(``sf_dir``, PROCESS) scratch directory for demo queries that
     materialize real versioned datasets (q_recluster_zorder,

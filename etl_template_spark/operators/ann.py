@@ -181,25 +181,13 @@ def ivf_compact(
     summarizes) and duplicate search candidates — run compaction in
     the same serial maintenance window as the ingests, as with the
     weighted edge log.  ``min_claim_age`` passes through to
-    ``prune_versions``'s concurrent-claim grace."""
-    from ..io import (
-        latest_version,
-        prune_versions,
-        read_versioned_merged,
-        write_versioned,
-    )
+    ``prune_versions``'s concurrent-claim grace.  The cell log's
+    merge is a verbatim union (ingest guards keep vec_ids unique), so
+    this delegates to the generic ``io.compact_merged_log``."""
+    from ..io import compact_merged_log
 
-    cells_step = f"{step}_cells"
-    if latest_version(root, cells_step) is None:
-        raise FileNotFoundError(
-            f"ivf_compact: no {cells_step!r} log under {root!r}"
-        )
-    merged = read_versioned_merged(spark, root, cells_step).drop("_version")
-    write_versioned(merged, root, cells_step)
-    return len(
-        prune_versions(
-            root, cells_step, keep_last=1, min_claim_age=min_claim_age
-        )
+    return compact_merged_log(
+        spark, root, f"{step}_cells", min_claim_age=min_claim_age
     )
 
 

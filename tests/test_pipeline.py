@@ -567,10 +567,11 @@ def test_incremental_dedup_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(ex, "get_spark", lambda **kw: spark)
     root = str(tmp_path / "data")
     ex.run(root, sf_dir)
-    # one delta-sized index version per night, one labeling per refresh
-    assert list_versions(root, "dupes_sh") == [1, 2, 3]
-    assert list_versions(root, "dupes_sig") == [1, 2, 3]
-    assert list_versions(root, "dupes_cc") == [1, 2, 3]
+    # three delta-sized index versions folded to ONE by the closing
+    # compaction; the labeling's history pruned to the newest refresh
+    assert list_versions(root, "dupes_sh") == [4]
+    assert list_versions(root, "dupes_sig") == [4]
+    assert list_versions(root, "dupes_cc") == [3]
     got = {
         (r["id"], r["component"])
         for r in read_versioned(spark, root, "dupes_cc").collect()
@@ -582,3 +583,11 @@ def test_incremental_dedup_example_runs(spark, sf_dir, tmp_path, monkeypatch):
         ).collect()
     }
     assert got == want and got
+    # redelivering a night end-to-end is idempotent: nothing indexed,
+    # no pairs emitted, no new versions, labeling bit-identical
+    redelivered = ex.night_pairs(
+        spark, root, ex.night_docs(spark, sf_dir, 2)
+    )
+    assert redelivered.isEmpty()
+    assert list_versions(root, "dupes_sh") == [4]
+    assert list_versions(root, "dupes_sig") == [4]
