@@ -132,19 +132,40 @@ def ivf_index_incremental(
                 "call must supply a non-empty delta_vectors frame"
             )
     else:
-        # enforce the append-only log's id contract IN CODE (not a
-        # docstring caveat): a delta with internal duplicate ids would
-        # double-enter the log — the cross-version anti-join can't see
-        # within-delta dupes, and dropDuplicates would pick a payload
-        # row nondeterministically.
-        dup = d.groupBy().agg(
-            (F.count(F.lit(1)) - F.count_distinct("vec_id")).alias("n")
-        ).collect()[0]["n"]
-        if dup:
+        # enforce the log's contracts IN CODE (not docstring caveats),
+        # one aggregate pass: (a) duplicate ids would double-enter the
+        # log — the cross-version anti-join can't see within-delta
+        # dupes, and dropDuplicates would pick a payload row
+        # nondeterministically; (b) a ragged or wrong embedding
+        # dimension would silently mis-score cosines (zip_with pads
+        # the shorter vector with nulls).
+        g = d.groupBy().agg(
+            (F.count(F.lit(1)) - F.count_distinct("vec_id")).alias("dup"),
+            F.min(F.size("embedding")).alias("dmin"),
+            F.max(F.size("embedding")).alias("dmax"),
+        ).collect()[0]
+        if g["dup"]:
             raise ValueError(
-                f"ivf_index_incremental: delta contains {dup} duplicate "
+                f"ivf_index_incremental: delta contains {g['dup']} duplicate "
                 "vec_id row(s) — ids must be unique within a delta"
             )
+        if g["dmin"] != g["dmax"]:
+            raise ValueError(
+                "ivf_index_incremental: ragged embedding dimensions "
+                f"({g['dmin']}..{g['dmax']}) in the delta"
+            )
+        if have:
+            dim = (
+                read_versioned(spark, root, cent_step)
+                .select(F.size("centroid").alias("n"))
+                .limit(1)
+                .collect()[0]["n"]
+            )
+            if g["dmin"] != dim:
+                raise ValueError(
+                    f"ivf_index_incremental: delta dimension {g['dmin']} != "
+                    f"index dimension {dim}"
+                )
         if not have:
             write_versioned(train_centroids(d, k), root, cent_step)
         else:

@@ -754,3 +754,24 @@ def test_ivf_compact_is_search_transparent(spark, sf_dir, tmp_path):
     )
     merged, v = ivf_index_incremental(spark, root, "ann", fresh, k=8)
     assert v == 4 and merged.count() == n0 + fresh.count()
+
+
+def test_ivf_incremental_rejects_dimension_drift(spark, sf_dir, tmp_path):
+    """Ragged or index-mismatched embedding dimensions must fail loudly
+    — zip_with pads the shorter vector with nulls, so a wrong-dim delta
+    would silently mis-score every cosine."""
+    from etl_template_spark.operators.ann import ivf_index_incremental
+
+    root = str(tmp_path)
+    a, b = _embeddings_halves(spark, sf_dir)
+    ivf_index_incremental(spark, root, "ann", a, k=8)
+    truncated = b.select(
+        "vec_id", "label", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        ivf_index_incremental(spark, root, "ann", truncated, k=8)
+    ragged = b.union(truncated.limit(1).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "label", "embedding"
+    ))
+    with pytest.raises(ValueError, match="ragged"):
+        ivf_index_incremental(spark, root, "ann", ragged, k=8)
