@@ -26,6 +26,7 @@ __version__ = "0.2.0"
 
 from .io import (  # noqa: F401,E402
     analyze_versioned,
+    compact_merged_log,
     compact_versioned,
     delete_versioned,
     diff_versions,
@@ -43,6 +44,7 @@ from .session import get_spark  # noqa: F401,E402
 __all__ = [
     "Pipeline",
     "analyze_versioned",
+    "compact_merged_log",
     "compact_versioned",
     "delete_versioned",
     "diff_versions",
