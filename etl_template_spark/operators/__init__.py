@@ -17,6 +17,8 @@ Each is a pure DataFrame→DataFrame composition (no RDDs, no collect):
     skew.py       key-salting helpers for pathological skew
     heavy.py      exact heavy hitters via Misra-Gries candidates +
                   broadcast-restricted verify pass
+    invindex.py   incremental BM25 search index on the versioned store
+                  (additive postings/stats — exact, serve-from-postings)
 """
 
 from .ann import (  # noqa: F401
@@ -40,6 +42,7 @@ from .dedup import (  # noqa: F401
     verified_jaccard,
 )
 from .heavy import heavy_hitters, mg_candidates  # noqa: F401
+from .invindex import bm25_search, search_index_incremental  # noqa: F401
 from .rangejoin import range_join_binned  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import replicate_join, salted_agg, with_salt  # noqa: F401

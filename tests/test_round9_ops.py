@@ -775,3 +775,67 @@ def test_ivf_incremental_rejects_dimension_drift(spark, sf_dir, tmp_path):
     ))
     with pytest.raises(ValueError, match="ragged"):
         ivf_index_incremental(spark, root, "ann", ragged, k=8)
+
+
+# ------------------------------------------ incremental BM25 index ----
+
+
+def test_bm25_index_incremental_matches_from_scratch(spark, sf_dir, tmp_path):
+    """The additive-stats claim, end to end: after two delta ingests,
+    serving a query from the standing postings must equal the
+    from-scratch bm25_rank over the full corpus BIT-FOR-BIT — every
+    input to the score (tf, df, N, Σdl) is an integer count that sums
+    across deltas."""
+    from etl_template_spark.io import load_table
+    from etl_template_spark.operators.invindex import (
+        bm25_search,
+        search_index_incremental,
+    )
+    from etl_template_spark.queries.retrieval import _BM25_TERMS, bm25_rank
+
+    root = str(tmp_path)
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    n1, v1 = search_index_incremental(spark, root, "idx", a)
+    n2, v2 = search_index_incremental(spark, root, "idx", b)
+    assert n1 > 0 and n2 > 0 and (v1, v2) == (1, 2)
+
+    got = [
+        (r["doc_id"], r["bm25"], r["n_hit"])
+        for r in bm25_search(spark, root, "idx", _BM25_TERMS).collect()
+    ]
+    want = [
+        (r["doc_id"], r["bm25"], r["n_hit"])
+        for r in bm25_rank(docs, _BM25_TERMS).collect()
+    ]
+    assert got == want and len(got) == 20
+
+
+def test_bm25_index_redelivery_and_compaction(spark, sf_dir, tmp_path):
+    """Redelivered documents index nothing; compacting both logs with
+    the generic retention hook leaves search results bit-identical."""
+    from etl_template_spark.io import compact_merged_log, list_versions, load_table
+    from etl_template_spark.operators.invindex import (
+        bm25_search,
+        search_index_incremental,
+    )
+    from etl_template_spark.queries.retrieval import _BM25_TERMS
+
+    root = str(tmp_path)
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="first call"):
+        search_index_incremental(spark, root, "idx", None)
+    search_index_incremental(spark, root, "idx", docs.where(F.col("doc_id") % 2 == 0))
+    search_index_incremental(spark, root, "idx", docs.where(F.col("doc_id") % 2 == 1))
+    n3, v3 = search_index_incremental(
+        spark, root, "idx", docs.where(F.col("doc_id") % 2 == 0)
+    )
+    assert (n3, v3) == (0, 2)  # redelivery: nothing indexed, no version
+
+    before = [tuple(r) for r in bm25_search(spark, root, "idx", _BM25_TERMS).collect()]
+    for log in ("idx_post", "idx_dl"):
+        compact_merged_log(spark, root, log, min_claim_age=0)
+        assert list_versions(root, log) == [3]
+    after = [tuple(r) for r in bm25_search(spark, root, "idx", _BM25_TERMS).collect()]
+    assert after == before
