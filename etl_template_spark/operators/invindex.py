@@ -14,29 +14,35 @@ not a convergence or staleness story:
 - per-(term, doc) tf: a document lives in exactly one delta, so its
   postings appear once; the merged log needs no re-aggregation;
 - df(term) = COUNT over merged postings; N, Σdl = COUNT/SUM over the
-  merged per-doc length log.  All integer counts — a search over the
+  per-document length rows.  All integer counts — a search over the
   incremental store equals ``retrieval.bm25_rank`` over the full corpus
   BIT-FOR-BIT (differential-tested; the scoring expression below is a
   deliberate duplicate of bm25_rank's — that module is content-hash
   frozen, so the TEST, not an import, is what pins the two together).
 
-Store under ``root`` (both append-only verbatim-union logs —
-``io.compact_merged_log`` is their retention hook):
+Store under ``root``: ONE append-only log, ``{step}_post``, holding
+per delta both row kinds:
 
-- ``{step}_post`` — (term, doc_id, tf) postings, one delta per ingest;
-- ``{step}_dl``   — (doc_id, dl) per-document token counts, INCLUDING
-  zero-token documents (N must count them; they can never match a term
-  but they shift every idf and avgdl).
+- postings: (doc_id, term, tf) per distinct term of the document;
+- one LENGTH row per document: (doc_id, term=NULL, tf=dl) — NULL is
+  unreachable as a token (whitespace split never yields NULL), and dl
+  includes zero-token documents (N must count them; they can never
+  match a term but they shift every idf and avgdl).
 
-Redelivery: already-indexed doc_ids anti-join away (idempotent).
-Document DELETIONS are out of contract, as everywhere in the tier —
-retire-and-rebuild, or filter at read time.
+One log ⇒ one versioned write per ingest ⇒ the ingest is ATOMIC under
+the store's commit protocol: there is no window where a document's
+postings exist without its length row (or vice versa), which a
+two-dataset layout would open and a crash-then-redeliver would turn
+into double-counted tf or a forever-wrong N.  Redelivery: already-
+indexed doc_ids anti-join away (idempotent).  Document DELETIONS are
+out of contract, as everywhere in the tier — retire-and-rebuild, or
+filter at read time.  ``io.compact_merged_log`` is the retention hook.
 
 At 100 TB: ingest cost is one tokenize + two hash aggregates over the
 DELTA only; query cost is a broadcast |Q|-term semi-join into the
 postings (term-pruned scan — never the full vocabulary), one bounded
 df/tf aggregate, and a TakeOrdered top-k.  The postings log is the
-large artifact and shuffles only at ingest, partitioned by term hash.
+large artifact and shuffles only at ingest.
 """
 
 from __future__ import annotations
@@ -70,8 +76,8 @@ def search_index_incremental(
     read-only no-op; the first call must bring documents."""
     from ..io import latest_version, read_versioned_merged, write_versioned
 
-    post_step, dl_step = f"{step}_post", f"{step}_dl"
-    have = latest_version(root, dl_step) is not None
+    post_step = f"{step}_post"
+    have = latest_version(root, post_step) is not None
     d = None
     if delta_docs is not None:
         d = delta_docs.select(
@@ -85,22 +91,27 @@ def search_index_incremental(
                 "search_index_incremental: no index exists yet — the first "
                 "call must supply a non-empty delta_docs frame"
             )
-        return 0, latest_version(root, dl_step)
+        return 0, latest_version(root, post_step)
     if have:
-        seen = read_versioned_merged(spark, root, dl_step).select("doc_id")
+        seen = read_versioned_merged(spark, root, post_step).select(
+            "doc_id"
+        ).distinct()
         d = d.join(seen, "doc_id", "left_anti")
         if d.isEmpty():
-            return 0, latest_version(root, dl_step)
+            return 0, latest_version(root, post_step)
     tok = d.select("doc_id", F.explode(_tokens("text")).alias("term"))
-    post = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    # dl INCLUDING zero-token docs: left join the per-doc counts back
-    dl = (
+    post = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the per-doc LENGTH row (term=NULL, tf=dl), dl=0 docs included
+    length = (
         d.select("doc_id")
         .join(tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")), "doc_id", "left")
-        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("term"),
+            F.coalesce("dl", F.lit(0)).alias("tf"),
+        )
     )
-    write_versioned(post, root, post_step)
-    version, _ = write_versioned(dl, root, dl_step)
+    version, _ = write_versioned(post.unionByName(length), root, post_step)
     return d.count(), version
 
 
@@ -121,14 +132,16 @@ def bm25_search(
     assumed."""
     from ..io import read_versioned_merged
 
-    post = read_versioned_merged(spark, root, f"{step}_post").drop("_version")
-    dl = read_versioned_merged(spark, root, f"{step}_dl").drop("_version")
+    log = read_versioned_merged(spark, root, f"{step}_post").drop("_version")
+    dl = log.where(F.col("term").isNull()).select(
+        "doc_id", F.col("tf").alias("dl")
+    )
     n = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("n_tokens")
         )
     )
-    qpost = post.where(F.col("term").isin(*terms))
+    qpost = log.where(F.col("term").isin(*terms))
     df = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     avgdl = F.col("n_tokens") * 1.0 / F.col("n_docs")

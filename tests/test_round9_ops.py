@@ -834,8 +834,7 @@ def test_bm25_index_redelivery_and_compaction(spark, sf_dir, tmp_path):
     assert (n3, v3) == (0, 2)  # redelivery: nothing indexed, no version
 
     before = [tuple(r) for r in bm25_search(spark, root, "idx", _BM25_TERMS).collect()]
-    for log in ("idx_post", "idx_dl"):
-        compact_merged_log(spark, root, log, min_claim_age=0)
-        assert list_versions(root, log) == [3]
+    compact_merged_log(spark, root, "idx_post", min_claim_age=0)
+    assert list_versions(root, "idx_post") == [3]
     after = [tuple(r) for r in bm25_search(spark, root, "idx", _BM25_TERMS).collect()]
     assert after == before
