@@ -9,9 +9,9 @@ The corpus is the documents table, ingested in slices (here:
 night:
 
     index       shingle (distinct 3-shingles) + MinHash-sign the NEW
-                documents only; append ONE delta-sized version each to
-                the shingle and signature stores (the standing index —
-                never recomputed, only appended)
+                documents only; ONE atomic delta-sized version appends
+                both row kinds to the standing index log (never
+                recomputed, only appended — see ``night_pairs``)
     pair        LSH probe: the night's signatures against the FULL
                 merged index (``lsh_candidate_pairs(all, probe=new)``)
                 — every candidate pair touches at least one new
@@ -32,8 +32,8 @@ the fixed MinHash constants.  So after the last night the standing
 labeling equals from-scratch (full-corpus LSH pairs → CC) BIT-FOR-BIT;
 the CI test pins that identity.
 
-After the last night the job closes with RETENTION: the shingle and
-signature logs fold to one version each (``io.compact_merged_log`` —
+After the last night the job closes with RETENTION: the index log
+folds to one version (``io.compact_merged_log`` —
 newest-k pruning alone would drop old nights' rows from the merged
 index), and the labeling's history prunes to the newest (safe there:
 every labeling version is a full copy).  Redelivering a night is
@@ -91,11 +91,19 @@ def night_pairs(
     full standing index and verify candidates exactly.  Already-indexed
     doc_ids are anti-joined away first, so redelivering a night is
     idempotent (double-indexed shingles would inflate the verification
-    counts — the same reason the IVF ingest guards its ids)."""
-    if latest_version(data_root, f"{STEP}_sig") is not None:
-        seen = read_versioned_merged(spark, data_root, f"{STEP}_sig").select(
-            "doc_id"
-        )
+    counts — the same reason the IVF ingest guards its ids).
+
+    The shingles AND the signature land in ONE log (``{step}_index``)
+    as one versioned write per night — shingle rows carry ``s`` with
+    null mh columns, one signature row per doc carries ``s IS NULL``
+    (a shingle is never null) — so the ingest is atomic under the
+    store's commit protocol: no crash can leave shingles without their
+    signature (or vice versa) for a redelivery to double-index.  Same
+    design as the incremental BM25 index's length-sentinel rows."""
+    if latest_version(data_root, f"{STEP}_index") is not None:
+        seen = read_versioned_merged(
+            spark, data_root, f"{STEP}_index"
+        ).select("doc_id").distinct()
         new_docs = new_docs.join(seen, "doc_id", "left_anti")
     sh_new = new_docs.select(
         "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
@@ -107,14 +115,16 @@ def night_pairs(
             F.col("doc_id").alias("d2"),
             F.lit(1.0).alias("jaccard"),
         ).limit(0)
-    write_versioned(sh_new, data_root, f"{STEP}_sh")
-    write_versioned(sig_new, data_root, f"{STEP}_sig")
-    all_sig = read_versioned_merged(spark, data_root, f"{STEP}_sig").drop(
+    write_versioned(
+        sh_new.unionByName(sig_new, allowMissingColumns=True),
+        data_root,
+        f"{STEP}_index",
+    )
+    merged = read_versioned_merged(spark, data_root, f"{STEP}_index").drop(
         "_version"
     )
-    all_sh = read_versioned_merged(spark, data_root, f"{STEP}_sh").drop(
-        "_version"
-    )
+    all_sh = merged.where(F.col("s").isNotNull()).select("doc_id", "s")
+    all_sig = merged.where(F.col("s").isNull()).drop("s")
     candidates = lsh_candidate_pairs(
         all_sig, probe=all_sig.join(new_docs.select("doc_id"), "doc_id")
     )
@@ -150,13 +160,14 @@ def run(data_root: str | None = None, sf_dir: str = SF_DIR):
             f"{stats['clustered_docs']} docs in {stats['clusters']} "
             f"cluster(s), {stats['drops']} would drop"
         )
-    # retention: the index logs fold to ONE version (prune_versions
+    # retention: the index log folds to ONE version (prune_versions
     # alone would drop old nights' shingles/signatures from the merged
     # view); the labeling's versions are full copies, so plain
     # newest-1 retention is safe there
-    for log in (f"{STEP}_sh", f"{STEP}_sig"):
-        pruned = compact_merged_log(spark, data_root, log, min_claim_age=0)
-        print(f"compacted {log}: pruned {pruned} version(s)")
+    pruned = compact_merged_log(
+        spark, data_root, f"{STEP}_index", min_claim_age=0
+    )
+    print(f"compacted {STEP}_index: pruned {pruned} version(s)")
     old = prune_versions(data_root, f"{STEP}_cc", keep_last=1, min_claim_age=0)
     print(f"pruned labeling history: {old}")
     print(f"root={data_root}")

@@ -569,8 +569,7 @@ def test_incremental_dedup_example_runs(spark, sf_dir, tmp_path, monkeypatch):
     ex.run(root, sf_dir)
     # three delta-sized index versions folded to ONE by the closing
     # compaction; the labeling's history pruned to the newest refresh
-    assert list_versions(root, "dupes_sh") == [4]
-    assert list_versions(root, "dupes_sig") == [4]
+    assert list_versions(root, "dupes_index") == [4]
     assert list_versions(root, "dupes_cc") == [3]
     got = {
         (r["id"], r["component"])
@@ -589,5 +588,4 @@ def test_incremental_dedup_example_runs(spark, sf_dir, tmp_path, monkeypatch):
         spark, root, ex.night_docs(spark, sf_dir, 2)
     )
     assert redelivered.isEmpty()
-    assert list_versions(root, "dupes_sh") == [4]
-    assert list_versions(root, "dupes_sig") == [4]
+    assert list_versions(root, "dupes_index") == [4]
