@@ -660,3 +660,14 @@ def test_incremental_tier_library_plans_no_cartesian(spark, sf_dir, tmp_path):
     )
     p = plan(connected_components_star(pairs))
     assert "CartesianProduct" not in p
+
+    from etl_template_spark.operators.invindex import (
+        bm25_search,
+        search_index_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    search_index_incremental(spark, root, "idx", docs)
+    p = plan(bm25_search(spark, root, "idx", ("data", "model")))
+    assert "CartesianProduct" not in p  # the 1-row N join is BNLJ
+    assert "BroadcastExchange" in p  # df + corpus stats broadcast

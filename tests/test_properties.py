@@ -872,3 +872,56 @@ def test_weighted_edge_log_algebra_matches_brute_force(
     }
     assert merged == {k: v for k, v in applied.items() if v != 0}
     assert merged == {k: v for k, v in truth.items() if v != 0}
+
+
+# ---------------- generic merged-log compaction algebra (late r9) ----
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    compact_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_compact_merged_log_preserves_multiset(
+    spark, tmp_path_factory, batches, compact_mask
+):
+    """The generic retention hook's contract, as an algebra: the merged
+    view is the MULTISET union of every batch ever written (duplicates
+    preserved — verbatim-union logs own their dedup upstream), and it
+    is invariant under compaction interleaved at any point (hypothesis:
+    random batch sequences + compaction masks; brute force = a
+    Counter).  This is the primitive the IVF cell log, the BM25
+    postings log, and the dedup example's index log all lean on."""
+    from collections import Counter
+
+    from etl_template_spark.io import (
+        compact_merged_log,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    root = str(tmp_path_factory.mktemp("mlog"))
+    truth: Counter = Counter()
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "a long, b long")
+        write_versioned(df, root, "log")
+        truth.update(b)
+        if compact_mask[i % len(compact_mask)]:
+            compact_merged_log(spark, root, "log", min_claim_age=0)
+        got = Counter(
+            (r["a"], r["b"])
+            for r in read_versioned_merged(spark, root, "log")
+            .select("a", "b")
+            .collect()
+        )
+        assert got == truth
