@@ -62,6 +62,7 @@ from . import (  # noqa: F401,E402
     ddsketch,
     graph_weighted,
     stream_outer,
+    tpch_q5,
 )
 
 __all__ = ["REGISTRY", "Query", "queries_by_tag"]

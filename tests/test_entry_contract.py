@@ -415,6 +415,51 @@ ROUND8_WINDOW = [
 # family, curation, cross-encoder — headed by q_scan_pyds, displaced
 # from the r8 window), then the stalest 17 of the r6 block (join
 # family + tpch head) — 3+2+28+17 = 50 exactly.
+# The intended round-10 correctness window, pinned at the start of the
+# round-10 build per the r9 VERDICT rotation directive: the ONE new
+# query leads (q_tpch_q5 — the cyclic 6-way join, the round's only
+# growth item; zero invalidated entries this round), then the ENTIRE
+# remaining r6-stale block (31 queries: tpch mid/tail, windows,
+# similarity/ANN, multimodal, lateral, recluster, version_diff,
+# dedup_bloom), then the stalest 18 of the r7 block (tpch q21/q22,
+# setops, scalar functions, UDF surface head) — 1+31+18 = 50 exactly.
+ROUND10_WINDOW = [
+    'q_tpch_q5', 'q_tpch_q16', 'q_tpch_q6', 'q_tpch_q2', 'q_tpch_q8',
+    'q_tpch_q9', 'q_tpch_q11', 'q_tpch_q13', 'q_tpch_q15', 'q_tpch_q17',
+    'q_tpch_q19', 'q_tpch_q20', 'q_win_rank', 'q_win_analytic', 'q_win_frame',
+    'q_topk_per_group', 'q_win_distribution', 'q_sim_search', 'q_sim_search_lsh',
+    'q_dedup_embedding', 'q_knn_join_blocked', 'q_sim_search_ivf', 'q_sim_search_pq',
+    'q_multimodal_meta', 'q_multimodal_features', 'q_multimodal_frames',
+    'q_lateral_topk', 'q_lateral_outer', 'q_recluster_zorder', 'q_recluster_hilbert',
+    'q_version_diff', 'q_dedup_bloom', 'q_tpch_q21', 'q_tpch_q22',
+    'q_sort_limit', 'q_union', 'q_union_distinct', 'q_intersect',
+    'q_except', 'q_distinct', 'q_fn_string', 'q_fn_date',
+    'q_fn_math', 'q_fn_cond', 'q_fn_array', 'q_fn_map_json',
+    'q_udf_pandas', 'q_udaf_pandas', 'q_udf_apply_in_pandas', 'q_udtf_explode',
+]
+
+
+def test_round10_window_matches_prediction():
+    """Window-drift tripwire, round-10 edition (same pattern as r5-r9).
+    BEFORE the round-10 recording lands, the live exposure order must
+    start with exactly the pinned prediction; AFTER CORRECTNESS_r10.json
+    exists, the names the driver actually recorded must match a prefix
+    of the prediction."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r10 = os.path.join(repo, "CORRECTNESS_r10.json")
+    if not os.path.exists(r10):
+        assert list(entry_mod.queries())[:50] == ROUND10_WINDOW
+        return
+    with open(r10) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND10_WINDOW[: len(recorded)]), (
+        "r10 recorded a different window than the round-10 build predicted"
+    )
+
+
 ROUND9_WINDOW = [
     'q_quantile_rollup', 'q_pagerank_weighted', 'q_stream_join_outer',
     'q_pagerank', 'q_quantile_sketch', 'q_scan_pyds', 'q_scan_text',
