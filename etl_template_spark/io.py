@@ -22,6 +22,7 @@ size.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -237,6 +238,13 @@ def read_csv(
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 
 
+# Marker written by compactors inside a compacted version's directory,
+# listing the version numbers it folded (r9 ADVICE crash-atomicity —
+# see write_versioned's ``summarizes`` and read_versioned_merged).
+# The underscore prefix keeps it out of Spark/Hadoop data listings.
+_SUMMARIZES_BASENAME = "_SUMMARIZES"
+
+
 def _step_dir(root: str, step: str) -> str:
     return os.path.join(root, step)
 
@@ -313,6 +321,7 @@ def write_versioned(
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
     sort_partitions: int | None = None,
+    summarizes: list[int] | None = None,
 ) -> tuple[int, str]:
     """Write ``df`` as the next version of ``step``: R7 on Spark.
 
@@ -328,8 +337,30 @@ def write_versioned(
     the cheap cousin of partitioning for high-cardinality keys (pay one
     range shuffle at write; every subsequent selective scan reads only
     the groups that can match).
-    """
+
+    ``summarizes`` (r9 ADVICE — compactor crash-atomicity): declares
+    that this version FOLDS the listed earlier version numbers, by
+    writing their ids to a ``_SUMMARIZES`` marker inside the claimed
+    directory BEFORE the Spark job runs.  The marker travels with the
+    version's own atomic commit: before ``_SUCCESS`` lands the claim is
+    invisible (marker and all); the instant it lands, merged readers
+    (``read_versioned_merged``) see the marker and EXCLUDE the
+    summarized versions — so there is no state, crashed or concurrent,
+    in which both a compacted version and the deltas it folded are
+    counted.  The underscore prefix keeps the marker out of Spark/
+    Hadoop data listings, and the write switches to ``append`` mode so
+    the pre-staged marker survives (the claim directory is freshly
+    created and empty, so append ≡ overwrite for the data)."""
     version, path = claim_next_version(root, step)
+    if summarizes is not None:
+        bad = [v for v in summarizes if v >= version]
+        if bad:
+            raise ValueError(
+                f"write_versioned: summarizes={bad} not older than the "
+                f"claimed version {version}"
+            )
+        with open(os.path.join(path, _SUMMARIZES_BASENAME), "w") as fh:
+            json.dump(sorted(int(v) for v in summarizes), fh)
     if sort_by:
         cols = [F.col(c) for c in sort_by]
         df = (
@@ -337,7 +368,7 @@ def write_versioned(
             if sort_partitions
             else df.repartitionByRange(*cols)
         ).sortWithinPartitions(*cols)
-    writer = df.write.mode("overwrite")
+    writer = df.write.mode("append" if summarizes is not None else "overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if fmt == "parquet":
@@ -492,6 +523,33 @@ def delete_versioned(
     return write_versioned(keep, root, step)
 
 
+def summarized_versions(root: str, step: str) -> frozenset[int]:
+    """Version numbers of ``step`` folded into some COMMITTED compacted
+    version (the union of all committed ``_SUMMARIZES`` markers — see
+    ``write_versioned(summarizes=...)``).  Markers of uncommitted
+    claims don't count: until ``_SUCCESS`` lands the compacted data is
+    invisible, so its exclusions must be too.  Ids of already-pruned
+    versions are returned verbatim (excluding a missing version is a
+    no-op for readers)."""
+    step_dir = _step_dir(root, step)
+    out: set[int] = set()
+    for n in list_versions(root, step):
+        marker = os.path.join(step_dir, f"v={n}", _SUMMARIZES_BASENAME)
+        if not os.path.isfile(marker):
+            continue
+        try:
+            with open(marker) as fh:
+                out.update(int(v) for v in json.load(fh))
+        except (ValueError, OSError):
+            # an unreadable marker means the fold's extent is UNKNOWN —
+            # excluding nothing risks double counting, so fail loudly
+            raise OSError(
+                f"summarized_versions: unreadable {_SUMMARIZES_BASENAME} "
+                f"marker in committed v={n} of step {step!r} under {root!r}"
+            )
+    return frozenset(out)
+
+
 def read_versioned_merged(
     spark: SparkSession,
     root: str,
@@ -503,12 +561,25 @@ def read_versioned_merged(
     from older versions — the additive-evolution contract (the engine's
     R3/R4 reader pins one version; this is the audit/backfill view).
     Version pruning works like partition pruning: a ``_version``
-    predicate prunes whole version directories at planning time."""
+    predicate prunes whole version directories at planning time.
+
+    Compacted logs (r9 ADVICE): a committed version carrying a
+    ``_SUMMARIZES`` marker (written atomically with its commit by
+    ``write_versioned(summarizes=...)``) FOLDS the listed versions, so
+    those are excluded from the merged view here even while they still
+    exist on disk.  That makes the compactors' commit-then-prune window
+    invisible to readers — no crash or concurrent read can ever count
+    both a compacted version and a delta it summarizes — and makes
+    re-running a compactor after a crash-mid-prune safe (it reads the
+    already-excluded view).  The prune step is pure disk reclamation."""
     ensure_engine_conf(spark)
     step_dir = _step_dir(root, step)
     versions = list_versions(root, step)
     if not versions:
         raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
+    excluded = summarized_versions(root, step)
+    if excluded:
+        versions = [n for n in versions if n not in excluded]
     # explicit committed paths, not a "v=*" glob: an uncommitted claim
     # (crash remnant / concurrent writer mid-publish) is an EMPTY
     # directory the glob would feed to the parquet reader, failing every
@@ -573,7 +644,11 @@ def analyze_versioned(
     # against the wrong data.  The table is external (explicit
     # LOCATION), so the drop touches metadata only.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"CREATE TABLE {table} USING PARQUET LOCATION '{path}'")
+    # catalog API, not interpolated LOCATION DDL: the path travels as a
+    # parameter, so a root/step containing a quote cannot break (or
+    # escape) the statement (r9 ADVICE; register_versioned_table
+    # already did it this way)
+    spark.catalog.createTable(table, path=path, source="parquet")
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
     if columns:
         col_list = ", ".join(f"`{c}`" for c in columns)
@@ -615,12 +690,19 @@ def prune_versions(
     slow writer's claim can fall below a faster writer's committed
     version while its job is still streaming files into the claimed
     directory — commit order need not equal claim order.  An
-    uncommitted claim is therefore swept only when the claim
-    directory's mtime is at least ``min_claim_age`` seconds old
-    (default one hour): a directory actively receiving task output has
-    a fresh mtime, so only genuinely stale crash remnants qualify.
-    Jobs that legitimately write one version for longer than the grace
-    period should pass a larger ``min_claim_age``; ``0`` restores the
+    uncommitted claim is therefore swept only when the NEWEST mtime
+    across the whole claim tree is at least ``min_claim_age`` seconds
+    old (default one hour).  The tree-wide max matters (r9 ADVICE):
+    Spark streams task output into nested ``_temporary/`` subtrees, and
+    a POSIX directory's own mtime only changes when its DIRECT entries
+    change — keying off the claim directory alone, a single long write
+    job goes "stale" the moment its last top-level entry was created,
+    while the leaf files it is actively writing keep their parents
+    fresh.  Even the tree max only BOUNDS the live-writer race rather
+    than eliminating it: a task that stalls longer than the grace
+    period between file writes still looks dead.  Jobs that
+    legitimately write one version for longer than the grace period
+    should pass a larger ``min_claim_age``; ``0`` restores the
     unconditional sweep (safe only with strictly serial writers)."""
     keep_last = max(1, keep_last)
     step_dir = _step_dir(root, step)
@@ -641,10 +723,26 @@ def prune_versions(
             continue
         claim_dir = os.path.join(step_dir, f"v={n}")
         try:
-            age = now - os.path.getmtime(claim_dir)
+            newest_mtime = os.path.getmtime(claim_dir)
+            # tree-wide max, not the claim dir's own mtime: task output
+            # streams into nested _temporary/ subtrees whose writes
+            # never touch the top-level directory entry (r9 ADVICE)
+            for sub_dir, _dirs, files in os.walk(claim_dir):
+                for entry in files:
+                    try:
+                        newest_mtime = max(
+                            newest_mtime,
+                            os.path.getmtime(os.path.join(sub_dir, entry)),
+                        )
+                    except OSError:
+                        pass  # a live writer renamed it away mid-walk
+                try:
+                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
+                except OSError:
+                    pass
         except OSError:
             continue  # raced away — nothing to sweep
-        if age >= min_claim_age:
+        if now - newest_mtime >= min_claim_age:
             doomed.append(n)
     for n in sorted(set(doomed)):
         shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
@@ -700,17 +798,28 @@ def compact_merged_log(
     (``operators.graph.compact_edge_log``) so the fold happens before
     the write.
 
-    Concurrency: a merged read inside the commit-then-prune window sees
-    each row twice (the compacted copy plus the delta it summarizes) —
-    run compaction in the same serial maintenance window as the log's
-    writers.  ``min_claim_age`` passes through to ``prune_versions``'s
-    concurrent-claim grace."""
+    Crash-atomicity and concurrent readers (r9 ADVICE): the compacted
+    version commits WITH a ``_SUMMARIZES`` marker listing the folded
+    version ids, and ``read_versioned_merged`` excludes marked versions
+    — so a merged read inside the commit-then-prune window sees each
+    row exactly once, a crash between commit and prune leaves a view
+    identical to the pruned one (the leftover deltas are excluded, just
+    not yet deleted), and RE-RUNNING this compactor after such a crash
+    is safe (it folds the already-excluded view).  Recovery is
+    therefore: just run compaction (or ``prune_versions``) again;
+    nothing double-counts in the interim.  Log WRITERS must still not
+    race compaction — an ingest that read its dedup/anti-join state
+    before the fold committed could append a delta the fold already
+    contains — so run it in the same serial maintenance window as the
+    log's writers.  ``min_claim_age`` passes through to
+    ``prune_versions``'s concurrent-claim grace."""
     if latest_version(root, step) is None:
         raise FileNotFoundError(
             f"compact_merged_log: no {step!r} log under {root!r}"
         )
+    folded_ids = list_versions(root, step)
     merged = read_versioned_merged(spark, root, step).drop("_version")
-    write_versioned(merged, root, step)
+    write_versioned(merged, root, step, summarizes=folded_ids)
     return len(
         prune_versions(root, step, keep_last=1, min_claim_age=min_claim_age)
     )

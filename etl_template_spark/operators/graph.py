@@ -463,16 +463,24 @@ def compact_edge_log(
     small-file/many-version economics ``io.compact_versioned`` states,
     applied to log semantics it cannot know.
 
-    Concurrency: on a SIMPLE log the commit-then-prune window is
-    reader-transparent (the merged view distinct-unions the compacted
-    version with the remnants it summarizes — idempotent).  On a
-    WEIGHTED log a concurrent merged read inside that window would
-    double-count; run weighted compaction in the same serial
-    maintenance window as the refreshes.  ``min_claim_age`` passes
-    through to ``prune_versions``'s concurrent-claim grace.
+    Crash-atomicity and concurrent readers (r9 ADVICE — this closes
+    what the r9 review flagged as the weighted log's double-count
+    window): the folded version commits WITH a ``_SUMMARIZES`` marker
+    listing the delta version ids it folds, and
+    ``io.read_versioned_merged`` excludes marked versions, so at every
+    point — before the fold commits, between commit and prune, after a
+    crash mid-prune — the merged weighted view sums each delta exactly
+    once.  Recovery after a crash is therefore: run ``compact_edge_log``
+    (or ``prune_versions``) again; RE-compacting folds the
+    already-excluded view and can never double a pair weight.  Log
+    WRITERS (``pagerank_incremental`` ingests) must still not race the
+    fold — run compaction in the same serial maintenance window as the
+    refreshes.  ``min_claim_age`` passes through to
+    ``prune_versions``'s concurrent-claim grace.
     """
     from ..io import (
         latest_version,
+        list_versions,
         prune_versions,
         read_versioned,
         read_versioned_merged,
@@ -484,6 +492,7 @@ def compact_edge_log(
         raise FileNotFoundError(
             f"compact_edge_log: no {edges_step!r} log under {root!r}"
         )
+    folded_ids = list_versions(root, edges_step)
     merged = read_versioned_merged(spark, root, edges_step)
     if "w" in merged.columns:
         folded = (
@@ -493,7 +502,7 @@ def compact_edge_log(
         )
     else:
         folded = merged.select("src", "dst").distinct()
-    write_versioned(folded, root, edges_step)
+    write_versioned(folded, root, edges_step, summarizes=folded_ids)
     return len(
         prune_versions(
             root, edges_step, keep_last=1, min_claim_age=min_claim_age

@@ -41,8 +41,10 @@ filter at read time.  ``io.compact_merged_log`` is the retention hook.
 At 100 TB: ingest cost is one tokenize + two hash aggregates over the
 DELTA only; query cost is a broadcast |Q|-term semi-join into the
 postings (term-pruned scan — never the full vocabulary), one bounded
-df/tf aggregate, and a TakeOrdered top-k.  The postings log is the
-large artifact and shuffles only at ingest.
+df/tf aggregate, a broadcast semi-join prune of the per-doc length
+rows to the matched doc_ids (so the length side is hit-sized too —
+see ``bm25_search``), and a TakeOrdered top-k.  The postings log is
+the large artifact and shuffles only at ingest.
 """
 
 from __future__ import annotations
@@ -123,13 +125,26 @@ def bm25_search(
     k1: float = _K1,
     b: float = _B,
     topk: int = 20,
+    prune_lengths: bool = True,
 ) -> DataFrame:
     """(doc_id, bm25, n_hit) top-k over the standing index — the
     served-from-postings twin of ``retrieval.bm25_rank`` (identical
     Okapi scoring: Lucene's never-negative idf, k1 saturation, b length
     normalization, round-6 per-term scores, decimal-exact per-doc sum);
     equality with the from-scratch ranker is pinned by test, not
-    assumed."""
+    assumed.
+
+    The per-doc length frame is semi-join-PRUNED to the matched doc_ids
+    before the scoring join (r9 review): without the prune, scoring a
+    3-term query equi-joins the hits against ALL N length rows, so at
+    10⁹ docs every length row shuffles per query.  The pruning build
+    side is the broadcast DISTINCT matched-id set (≤ Σ df over the |Q|
+    query terms — hit-sized, not corpus-sized), so the length log is
+    streamed, never shuffled, and query cost tracks hit count.  For a
+    pathological query whose terms match most of the corpus (stop-word
+    scale df) that broadcast is itself corpus-sized — pass
+    ``prune_lengths=False`` there to fall back to the plain shuffle
+    join, which is the right plan when hits ≈ N anyway."""
     from ..io import read_versioned_merged
 
     log = read_versioned_merged(spark, root, f"{step}_post").drop("_version")
@@ -143,6 +158,9 @@ def bm25_search(
     )
     qpost = log.where(F.col("term").isin(*terms))
     df = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if prune_lengths:
+        hit_ids = qpost.select("doc_id").distinct()
+        dl = dl.join(F.broadcast(hit_ids), "doc_id", "semi")
 
     avgdl = F.col("n_tokens") * 1.0 / F.col("n_docs")
     idf = F.log(

@@ -724,3 +724,177 @@ def test_diff_versions_check_unique_guard(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 (r9 ADVICE): compactor crash-atomicity via the _SUMMARIZES marker
+# ---------------------------------------------------------------------------
+
+
+def test_summarizes_marker_excludes_folded_versions(spark, tmp_path):
+    """A version committed with ``summarizes=[...]`` hides the listed
+    versions from the merged view even while they still exist on disk —
+    the invariant that makes the compactors' commit-then-prune window
+    reader-transparent."""
+    from etl_template_spark.io import (
+        list_versions,
+        read_versioned_merged,
+        summarized_versions,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    write_versioned(spark.createDataFrame([("2", "b")], SCHEMA), root, "s")
+    write_versioned(
+        spark.createDataFrame([("1", "a"), ("2", "b")], SCHEMA),
+        root,
+        "s",
+        summarizes=[1, 2],
+    )
+    assert list_versions(root, "s") == [1, 2, 3]  # nothing pruned yet
+    assert summarized_versions(root, "s") == frozenset({1, 2})
+    got = sorted(
+        (r.id, r.name, r._version)
+        for r in read_versioned_merged(spark, root, "s").collect()
+    )
+    assert got == [("1", "a", 3), ("2", "b", 3)]  # each row exactly once
+
+    # a summarizes id >= the claimed version is a caller bug, not data
+    with pytest.raises(ValueError, match="not older"):
+        write_versioned(
+            spark.createDataFrame([("x", "y")], SCHEMA), root, "s",
+            summarizes=[99],
+        )
+
+
+def test_compact_merged_log_crash_between_commit_and_prune(spark, tmp_path):
+    """r9 ADVICE (medium): simulate the compactor crashing AFTER the
+    folded version commits but BEFORE prune_versions runs.  The merged
+    view must stay duplicate-free throughout, and the documented
+    recovery — just run compact_merged_log again — must be safe."""
+    from etl_template_spark.io import (
+        compact_merged_log,
+        list_versions,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    rows = [("1", "a"), ("2", "b"), ("3", "c")]
+    for r in rows:
+        write_versioned(spark.createDataFrame([r], SCHEMA), root, "log")
+
+    # the crash: everything compact_merged_log does except the prune
+    folded_ids = list_versions(root, "log")
+    merged = read_versioned_merged(spark, root, "log").drop("_version")
+    write_versioned(merged, root, "log", summarizes=folded_ids)
+
+    # commit-then-(missing-)prune state: deltas still on disk, view clean
+    assert list_versions(root, "log") == [1, 2, 3, 4]
+    got = sorted(
+        (r.id, r.name)
+        for r in read_versioned_merged(spark, root, "log").collect()
+    )
+    assert got == sorted(rows)
+
+    # recovery = re-running the compactor (the exact sequence the r9
+    # review showed would permanently double rows without the marker)
+    compact_merged_log(spark, root, "log", min_claim_age=0)
+    assert len(list_versions(root, "log")) == 1
+    got = sorted(
+        (r.id, r.name)
+        for r in read_versioned_merged(spark, root, "log").collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_compact_edge_log_weighted_crash_window_no_double_count(
+    spark, tmp_path
+):
+    """The weighted edge log was the dangerous case (r9 ADVICE): inside
+    the commit-then-prune window the merged view used to sum each delta
+    TWICE, and a recovery re-compact froze the doubling in.  With the
+    marker, every point of the sequence — mid-window read, recovery
+    re-compact, final prune — yields the true per-pair totals."""
+    from etl_template_spark.io import (
+        list_versions,
+        read_versioned_merged,
+        write_versioned,
+    )
+    from etl_template_spark.operators.graph import compact_edge_log
+
+    root = str(tmp_path)
+    w_schema = "src long, dst long, w double"
+    write_versioned(
+        spark.createDataFrame([(1, 2, 1.0), (2, 3, 2.0)], w_schema),
+        root,
+        "g_edges",
+    )
+    write_versioned(
+        spark.createDataFrame([(1, 2, 0.5)], w_schema), root, "g_edges"
+    )
+    truth = {(1, 2): 1.5, (2, 3): 2.0}
+
+    def merged_weights():
+        df = (
+            read_versioned_merged(spark, root, "g_edges")
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        return {(r.src, r.dst): r.w for r in df.collect()}
+
+    # the crash: fold + marker committed, prune never ran
+    folded_ids = list_versions(root, "g_edges")
+    folded = (
+        read_versioned_merged(spark, root, "g_edges")
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .where(F.col("w") != 0)
+    )
+    write_versioned(folded, root, "g_edges", summarizes=folded_ids)
+    assert merged_weights() == truth  # mid-window read: no double count
+
+    # recovery re-compact: previously the permanent-doubling step
+    compact_edge_log(spark, root, "g", min_claim_age=0)
+    assert merged_weights() == truth
+    assert len(list_versions(root, "g_edges")) == 1
+
+
+def test_prune_grace_uses_tree_mtime(spark, tmp_path):
+    """r9 ADVICE: Spark streams task output into nested _temporary/
+    subtrees, and a POSIX directory's own mtime only reflects DIRECT
+    entry changes — so the liveness test must take the max mtime across
+    the claim TREE, or a single write job longer than the grace period
+    gets its live claim swept mid-write."""
+    from etl_template_spark.io import (
+        claim_next_version,
+        list_versions,
+        prune_versions,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    # slow writer: claimed long ago, still streaming task output deep
+    # in _temporary/ (fresh leaf file, stale top-level dir mtimes)
+    n, slow_dir = claim_next_version(root, "s")
+    task_dir = os.path.join(slow_dir, "_temporary", "0", "task_0")
+    os.makedirs(task_dir)
+    leaf = os.path.join(task_dir, "part-00000")
+    with open(leaf, "w") as fh:
+        fh.write("x")
+    stale = time.time() - 7200
+    for p in (slow_dir, os.path.dirname(os.path.dirname(task_dir)),
+              os.path.dirname(task_dir)):
+        os.utime(p, (stale, stale))
+    # a faster writer commits above it, so the claim is sweep-eligible
+    write_versioned(spark.createDataFrame([("2", "b")], SCHEMA), root, "s")
+
+    # the leaf file is fresh => the job is alive => spared
+    assert n not in prune_versions(root, "s", keep_last=5)
+    assert os.path.isdir(slow_dir)
+    # once the WHOLE tree is stale, the same sweep reclaims it
+    os.utime(task_dir, (stale, stale))
+    os.utime(leaf, (stale, stale))
+    assert n in prune_versions(root, "s", keep_last=5)
+    assert not os.path.isdir(slow_dir)

@@ -298,6 +298,27 @@ def test_analyze_versioned_requires_committed_version(spark, tmp_path):
         analyze_versioned(spark, root, "s", version=2)
 
 
+def test_analyze_versioned_quote_safe_path(spark, tmp_path):
+    """r9 ADVICE: the version path must travel to the catalog as a
+    parameter (spark.catalog.createTable), not interpolated into
+    single-quoted LOCATION DDL — a root containing a quote used to
+    break the statement."""
+    from etl_template_spark.io import analyze_versioned, write_versioned
+
+    root = str(tmp_path / "it's a root")
+    write_versioned(spark.range(5).selectExpr("id"), root, "s")
+    table = analyze_versioned(spark, root, "s")
+    try:
+        stats = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        assert any(
+            "5 rows" in str(r) or "rowCount\t5" in "\t".join(map(str, r))
+            or (r[0] == "Statistics" and "5 rows" in r[1])
+            for r in stats
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """AQE skew-join handling (session.py turns it on): a pathologically
     hot join key must be SPLIT at runtime — the final adaptive plan
@@ -671,3 +692,11 @@ def test_incremental_tier_library_plans_no_cartesian(spark, sf_dir, tmp_path):
     p = plan(bm25_search(spark, root, "idx", ("data", "model")))
     assert "CartesianProduct" not in p  # the 1-row N join is BNLJ
     assert "BroadcastExchange" in p  # df + corpus stats broadcast
+    # r10: the per-doc length frame must be semi-join-PRUNED to the
+    # matched doc_ids (broadcast build — length rows stream, never
+    # shuffle), so query cost tracks hit count, not corpus size
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    p_unpruned = plan(
+        bm25_search(spark, root, "idx", ("data", "model"), prune_lengths=False)
+    )
+    assert "LeftSemi" not in p_unpruned  # escape hatch: plain join back
