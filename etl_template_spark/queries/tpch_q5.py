@@ -28,6 +28,14 @@ Plan shape (the thing being tested):
 - nation ⋈ region (ASIA) prunes to 5 nations and broadcasts; pushing
   that 5-row frame INTO the supplier scan (semi-join prune before the
   fact join) keeps the broadcast build side region-sized.
+- the SAME 5-row frame semi-join-prunes customer: the cycle edge
+  forces ``c_nationkey = s_nationkey`` and supplier is already
+  region-local, so a non-ASIA customer can never survive the cycle —
+  but Catalyst cannot infer that constraint across the join, so the
+  prune must be explicit.  It cuts the orders ⋈ customer shuffle
+  output ~5x (5 of 25 nations) BEFORE the wide fact join — the
+  classic Q5 rewrite, and the one that matters at 100 TB where
+  customer is SF-proportional.
 
 Decimal discipline: revenue accumulates through ``compat.dsum`` (exact
 decimal, order-independent) and ranks on the rounded value with n_name
@@ -76,7 +84,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer")  # pruned to ASIA below
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     # ASIA nations: 5 rows, broadcast; semi-join prunes supplier BEFORE
@@ -87,6 +95,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").join(
         F.broadcast(asia_nations.select("n_nationkey")),
         F.col("s_nationkey") == F.col("n_nationkey"),
+        "semi",
+    )
+    # The cycle edge implies c_nationkey = s_nationkey ∈ ASIA, but the
+    # implication crosses a join, so Catalyst can't derive it: prune
+    # customer explicitly before it feeds the fact join.
+    c = c.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
         "semi",
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
