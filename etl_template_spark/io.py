@@ -523,17 +523,31 @@ def delete_versioned(
     return write_versioned(keep, root, step)
 
 
-def summarized_versions(root: str, step: str) -> frozenset[int]:
+def summarized_versions(
+    root: str,
+    step: str,
+    versions: list[int] | None = None,
+) -> frozenset[int]:
     """Version numbers of ``step`` folded into some COMMITTED compacted
     version (the union of all committed ``_SUMMARIZES`` markers — see
     ``write_versioned(summarizes=...)``).  Markers of uncommitted
     claims don't count: until ``_SUCCESS`` lands the compacted data is
     invisible, so its exclusions must be too.  Ids of already-pruned
     versions are returned verbatim (excluding a missing version is a
-    no-op for readers)."""
+    no-op for readers).
+
+    ``versions`` scopes the marker scan to an explicit snapshot of
+    committed version ids instead of re-listing the directory.  The
+    point is TOCTOU consistency for ``read_versioned_merged``: deriving
+    the exclusions from the same listing that will be read means a
+    compaction committing BETWEEN the caller's listing and this scan is
+    simply not seen — the caller keeps its consistent pre-compaction
+    view — whereas a fresh re-list here could return a marker covering
+    the caller's ENTIRE snapshot, filtering it to zero paths and
+    failing the read."""
     step_dir = _step_dir(root, step)
     out: set[int] = set()
-    for n in list_versions(root, step):
+    for n in list_versions(root, step) if versions is None else versions:
         marker = os.path.join(step_dir, f"v={n}", _SUMMARIZES_BASENAME)
         if not os.path.isfile(marker):
             continue
@@ -554,6 +568,8 @@ def read_versioned_merged(
     spark: SparkSession,
     root: str,
     step: str,
+    *,
+    versions: list[int] | None = None,
 ) -> DataFrame:
     """Read ALL versions of ``step`` as one frame with a ``_version``
     column and a schema UNIONED across versions (``mergeSchema``):
@@ -571,13 +587,29 @@ def read_versioned_merged(
     invisible to readers — no crash or concurrent read can ever count
     both a compacted version and a delta it summarizes — and makes
     re-running a compactor after a crash-mid-prune safe (it reads the
-    already-excluded view).  The prune step is pure disk reclamation."""
+    already-excluded view).  The prune step is pure disk reclamation.
+
+    ``versions`` (keyword-only) pins the read to an explicit snapshot
+    of committed version ids instead of listing the directory now.
+    Compactors use it so the marker they commit lists EXACTLY the
+    versions their fold read — a delta committing between their listing
+    and the fold would otherwise be folded into the data but missing
+    from the marker, re-opening the double-count the marker exists to
+    prevent.
+
+    TOCTOU note: the ``_SUMMARIZES`` exclusions are derived from the
+    SAME snapshot that is read (never a second listing), so a
+    compaction committing mid-call is invisible — this reader keeps the
+    consistent pre-compaction view, and the snapshot can never filter
+    to empty (a marker excludes only OTHER versions, so any snapshot
+    containing a committed compacted version retains at least it)."""
     ensure_engine_conf(spark)
     step_dir = _step_dir(root, step)
-    versions = list_versions(root, step)
+    if versions is None:
+        versions = list_versions(root, step)
     if not versions:
         raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
-    excluded = summarized_versions(root, step)
+    excluded = summarized_versions(root, step, versions=versions)
     if excluded:
         versions = [n for n in versions if n not in excluded]
     # explicit committed paths, not a "v=*" glob: an uncommitted claim
@@ -726,8 +758,19 @@ def prune_versions(
             newest_mtime = os.path.getmtime(claim_dir)
             # tree-wide max, not the claim dir's own mtime: task output
             # streams into nested _temporary/ subtrees whose writes
-            # never touch the top-level directory entry (r9 ADVICE)
+            # never touch the top-level directory entry (r9 ADVICE).
+            # One fresh-enough mtime already proves the claim alive, so
+            # stop statting there — a live writer's claim tree can hold
+            # a part file per task, and the common (live) case should
+            # cost one stat, not a full-tree stat storm per GC pass.
+            alive = now - newest_mtime < min_claim_age
             for sub_dir, _dirs, files in os.walk(claim_dir):
+                if alive:
+                    break
+                try:
+                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
+                except OSError:
+                    pass
                 for entry in files:
                     try:
                         newest_mtime = max(
@@ -736,10 +779,9 @@ def prune_versions(
                         )
                     except OSError:
                         pass  # a live writer renamed it away mid-walk
-                try:
-                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
-                except OSError:
-                    pass
+                    if now - newest_mtime < min_claim_age:
+                        break
+                alive = now - newest_mtime < min_claim_age
         except OSError:
             continue  # raced away — nothing to sweep
         if now - newest_mtime >= min_claim_age:
@@ -818,7 +860,14 @@ def compact_merged_log(
             f"compact_merged_log: no {step!r} log under {root!r}"
         )
     folded_ids = list_versions(root, step)
-    merged = read_versioned_merged(spark, root, step).drop("_version")
+    # pin the fold to the SAME snapshot the marker will list: a delta
+    # committing between this listing and the fold's read must be
+    # neither folded nor marked (it stays a live delta), or a crash
+    # before prune would double-count it — folded into the data yet
+    # not excluded by the marker
+    merged = read_versioned_merged(
+        spark, root, step, versions=folded_ids
+    ).drop("_version")
     write_versioned(merged, root, step, summarizes=folded_ids)
     return len(
         prune_versions(root, step, keep_last=1, min_claim_age=min_claim_age)

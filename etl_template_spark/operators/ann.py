@@ -197,9 +197,14 @@ def ivf_compact(
     verbatim) and the next search scans one version instead of one per
     historical ingest.
 
-    Concurrency: a merged read inside the commit-then-prune window
-    would see each vector TWICE (compacted copy + the delta it
-    summarizes) and duplicate search candidates — run compaction in
+    Concurrency (r9 ADVICE, closed structurally): the compacted
+    version commits WITH a ``_SUMMARIZES`` marker and merged reads
+    exclude marked versions, so a search inside the commit-then-prune
+    window sees each vector exactly ONCE — no duplicate candidates,
+    and recovery after a crash mid-prune is just re-running compaction
+    (or ``prune_versions``).  Only log WRITERS must stay out of the
+    fold's way (an ingest that read its id-uniqueness state before the
+    fold committed could re-admit a folded vec_id): run compaction in
     the same serial maintenance window as the ingests, as with the
     weighted edge log.  ``min_claim_age`` passes through to
     ``prune_versions``'s concurrent-claim grace.  The cell log's

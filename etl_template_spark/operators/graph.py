@@ -493,7 +493,10 @@ def compact_edge_log(
             f"compact_edge_log: no {edges_step!r} log under {root!r}"
         )
     folded_ids = list_versions(root, edges_step)
-    merged = read_versioned_merged(spark, root, edges_step)
+    # same-snapshot pin as io.compact_merged_log: the marker must list
+    # EXACTLY what the fold read, so a delta committing between this
+    # listing and the fold stays a live (unfolded, unmarked) delta
+    merged = read_versioned_merged(spark, root, edges_step, versions=folded_ids)
     if "w" in merged.columns:
         folded = (
             merged.groupBy("src", "dst")

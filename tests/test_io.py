@@ -767,6 +767,83 @@ def test_summarizes_marker_excludes_folded_versions(spark, tmp_path):
         )
 
 
+def test_merged_read_snapshot_survives_concurrent_compaction(spark, tmp_path):
+    """r10 review: a reader that listed versions BEFORE a compaction
+    commits must keep its consistent pre-compaction view.  Deriving the
+    marker exclusions from a fresh re-list would let the new marker
+    cover the reader's ENTIRE snapshot, filtering it to zero paths and
+    failing the read mid-flight — the exact concurrent-read safety the
+    marker docstrings advertise."""
+    from etl_template_spark.io import (
+        list_versions,
+        read_versioned_merged,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    rows = [("1", "a"), ("2", "b"), ("3", "c")]
+    for r in rows:
+        write_versioned(spark.createDataFrame([r], SCHEMA), root, "log")
+    snapshot = list_versions(root, "log")  # the straddling reader's list
+
+    # compaction commits AFTER the listing, BEFORE the reader scans
+    # markers: v4 summarizes the reader's whole snapshot
+    merged = read_versioned_merged(spark, root, "log").drop("_version")
+    write_versioned(merged, root, "log", summarizes=snapshot)
+
+    # the straddling reader: same snapshot, post-commit marker state —
+    # must see the pre-compaction view, not crash on an empty path list
+    got = sorted(
+        (r.id, r.name)
+        for r in read_versioned_merged(
+            spark, root, "log", versions=snapshot
+        ).collect()
+    )
+    assert got == sorted(rows)
+
+
+def test_compactor_marker_matches_fold_snapshot(spark, tmp_path):
+    """r10 review: a delta committing between the compactor's listing
+    and its fold must be NEITHER folded NOR marked (it stays a live
+    delta).  If the fold re-listed, the late delta's rows would land in
+    the compacted data while missing from the marker — and a crash
+    before prune would then double-count them, the exact failure the
+    marker exists to prevent."""
+    from etl_template_spark.io import (
+        list_versions,
+        read_versioned_merged,
+        summarized_versions,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "log")
+    write_versioned(spark.createDataFrame([("2", "b")], SCHEMA), root, "log")
+    folded_ids = list_versions(root, "log")  # the compactor's snapshot
+
+    # a writer races in a delta between the listing and the fold
+    write_versioned(spark.createDataFrame([("3", "c")], SCHEMA), root, "log")
+
+    # the fold pinned to the snapshot (what compact_merged_log now does)
+    merged = read_versioned_merged(
+        spark, root, "log", versions=folded_ids
+    ).drop("_version")
+    assert sorted((r.id, r.name) for r in merged.collect()) == [
+        ("1", "a"),
+        ("2", "b"),
+    ]  # the late delta is NOT folded
+    write_versioned(merged, root, "log", summarizes=folded_ids)
+
+    # crash-before-prune state: the late delta stays live (unmarked),
+    # the folded rows count once via the compacted version — exactly-once
+    assert summarized_versions(root, "log") == frozenset(folded_ids)
+    got = sorted(
+        (r.id, r.name)
+        for r in read_versioned_merged(spark, root, "log").collect()
+    )
+    assert got == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
 def test_compact_merged_log_crash_between_commit_and_prune(spark, tmp_path):
     """r9 ADVICE (medium): simulate the compactor crashing AFTER the
     folded version commits but BEFORE prune_versions runs.  The merged
