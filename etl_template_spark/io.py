@@ -451,12 +451,34 @@ def register_versioned_table(
     return table
 
 
+def _partition_columns_of(src: str) -> list[str]:
+    """Ordered hive-partition columns of a version directory, read off
+    the directory chain (``col=value/...``) leading to its data files.
+    Empty for an unpartitioned version."""
+    cols: list[str] = []
+    cur = src
+    while True:
+        try:
+            sub = next(
+                e
+                for e in sorted(os.listdir(cur))
+                if "=" in e
+                and not e.startswith(("_", "."))
+                and os.path.isdir(os.path.join(cur, e))
+            )
+        except (StopIteration, OSError):
+            return cols
+        cols.append(sub.split("=", 1)[0])
+        cur = os.path.join(cur, sub)
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,
     step: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[int, str]:
     """Small-file compaction: rewrite the latest version of ``step`` as a
     new version with ~``target_file_bytes`` files (optionally re-sorted
@@ -478,6 +500,18 @@ def compact_versioned(
     as every other write; readers of the old version are never
     disturbed, and a crashed compaction leaves no committed output
     (Spark's commit protocol) — re-run it idempotently.
+
+    Partition layout is PRESERVED (r10 review): the source version's
+    hive-partition columns are read off its directory chain (or passed
+    explicitly via ``partition_by``; ``[]`` forces unpartitioned) and
+    the new version is written with the same ``partitionBy`` — without
+    this, compacting a ``partition_by=['event_date']`` dataset would
+    silently flatten it and every downstream date-pruned scan would
+    quietly become a full scan.  A partitioned compaction hash-shuffles
+    on the partition columns so each partition directory gets its files
+    from one task (small-file-free per directory); with ``sort_by`` the
+    rows are additionally sorted within each task so row-group pruning
+    keeps working inside every partition.
     """
     version = latest_version(root, step)
     if version is None:
@@ -491,6 +525,14 @@ def compact_versioned(
     )
     n_files = max(1, math.ceil(on_disk / target_file_bytes))
     df = read_versioned(spark, root, step, version=version)
+    pcols = (
+        _partition_columns_of(src) if partition_by is None else list(partition_by)
+    )
+    if pcols:
+        shaped = df.repartition(n_files, *pcols)
+        if sort_by:
+            shaped = shaped.sortWithinPartitions(*pcols, *sort_by)
+        return write_versioned(shaped, root, step, partition_by=pcols)
     if sort_by:
         return write_versioned(
             df, root, step, sort_by=sort_by, sort_partitions=n_files

@@ -172,7 +172,12 @@ def ivf_index_incremental(
             seen = read_versioned_merged(spark, root, cells_step).select("vec_id")
             d = d.join(seen, "vec_id", "left_anti")
         centroids = read_versioned(spark, root, cent_step)
-        assigned = _assign_cells(d, centroids)
+        # localCheckpoint before the emptiness probe (r10 review): the
+        # assignment plan embeds the anti-join against the FULL merged
+        # cell log plus the broadcast-centroid argmax, and isEmpty +
+        # write_versioned would otherwise execute it twice.  The
+        # materialized frame is delta-sized by contract.
+        assigned = _assign_cells(d, centroids).localCheckpoint()
         if not assigned.isEmpty():
             write_versioned(assigned, root, cells_step)
     version = latest_version(root, cells_step)

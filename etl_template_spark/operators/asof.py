@@ -45,6 +45,18 @@ def asof_join(
     carried-forward match older than ``left_time - tolerance`` is nulled.
     """
     value_cols = list(value_cols or [c for c in right.columns if c not in (right_on, right_time)])
+    # A carried value column may not collide with a LEFT column: the
+    # carry-forward loop below would silently overwrite the caller's
+    # left-side data (r10 review) — fail the way a plain join surfaces
+    # ambiguity, and let the caller alias one side.  (left_on is the
+    # join key and exempt by construction: the right key is aliased
+    # onto it, never carried.)
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: value_cols {clash} already exist on the left "
+            "frame and would be overwritten — alias them on one side"
+        )
 
     left_spine = left.withColumn(_TAG, F.lit(1)).withColumn(_TIME, F.col(left_time))
     for c in value_cols:

@@ -98,7 +98,13 @@ def search_index_incremental(
         seen = read_versioned_merged(spark, root, post_step).select(
             "doc_id"
         ).distinct()
-        d = d.join(seen, "doc_id", "left_anti")
+        # localCheckpoint the anti-joined delta (r10 review): the plan
+        # embeds a scan of the FULL merged postings log (corpus-sized),
+        # and without materialization it would execute three times —
+        # isEmpty here, the versioned write, and the returned count.
+        # The checkpoint is delta-sized by contract; the discipline
+        # matches cluster.py/graph.py's iterative folds.
+        d = d.join(seen, "doc_id", "left_anti").localCheckpoint()
         if d.isEmpty():
             return 0, latest_version(root, post_step)
     tok = d.select("doc_id", F.explode(_tokens("text")).alias("term"))

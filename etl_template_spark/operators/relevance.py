@@ -1,4 +1,4 @@
-"""Ranking-quality metrics: nDCG@k, MRR, recall@k over a ranked run.
+"""Ranking-quality metrics: nDCG@k, MRR@k, recall@k over a ranked run.
 
 The retrieval family produces rankings (bm25_rank, the similarity
 top-k searches); this operator scores them against relevance labels —
@@ -17,7 +17,13 @@ Formulas (standard, Jarvelin-Kekalainen / TREC):
 - DCG@k   = sum over hits at rank r <= k of (2^rel - 1) / log2(r + 1)
 - nDCG@k  = DCG@k / IDCG@k, where IDCG ranks the query's qrels by
             rel DESC (doc_id ASC tiebreak — deterministic)
-- MRR     = 1 / rank of the first hit with rel > 0 (0 when none)
+- MRR@k   = 1 / rank of the first hit with rel > 0 AT RANK <= k
+            (0 when none in the top k).  Note the cutoff (r10 review):
+            this is MS-MARCO-style MRR@k, not trec_eval's uncut
+            recip_rank — a first relevant document at rank k+1 scores
+            0, not 1/(k+1).  The cutoff is shared with nDCG/recall so
+            all three score the same served page, and the
+            q_rank_metrics oracle encodes the same definition.
 - recall@k = |relevant retrieved in top k| / |relevant|
 
 Scale shape: one equi-join of run against qrels on (query_id, doc_id),
@@ -46,9 +52,11 @@ def rank_metrics(
     qrels: DataFrame,
     k: int = 10,
 ) -> DataFrame:
-    """Per-query ranking metrics; one row per query_id present in
-    ``qrels`` (queries the ranker returned nothing for score 0, not
-    NULL — an absent query is a retrieval failure, not missing data).
+    """Per-query ranking metrics AT CUTOFF ``k`` (ndcg/mrr/recall are
+    all @k — see the module docstring for the MRR@k-vs-recip_rank
+    distinction); one row per query_id present in ``qrels`` (queries
+    the ranker returned nothing for score 0, not NULL — an absent
+    query is a retrieval failure, not missing data).
 
     Columns: query_id, ndcg, mrr, recall, n_rel, n_retrieved.
     """

@@ -29,10 +29,28 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "__salt") -> DataFrame:
     """Uniform deterministic-per-row salt in [0, n_salts): derived from a
-    hash of the whole row rather than rand() so retried tasks produce
-    identical output (rand() breaks task-retry idempotence)."""
+    hash of (whole row, input partition id) rather than rand() so
+    retried tasks produce identical output (rand() breaks task-retry
+    idempotence; ``spark_partition_id`` is stable under retry because
+    the retried task recomputes the same partition).
+
+    The partition id must be part of the hash (r10 review): the
+    canonical hot-key case is 10⁹ BYTE-IDENTICAL rows of one key
+    (e.g. a bare ``user_id`` column feeding a count), and a pure
+    row-content hash maps all of them to ONE salt — the single
+    overwhelmed reducer survives salting entirely.  Mixing in the
+    partition id fans identical rows across salts (one input partition
+    per salt), bounding any residual per-salt hot mass by one input
+    split (``maxPartitionBytes``) rather than by the key's full mass."""
     return df.withColumn(
-        salt_col, F.pmod(F.hash(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salts))
+        salt_col,
+        F.pmod(
+            F.hash(
+                F.struct(*[F.col(c) for c in df.columns]),
+                F.spark_partition_id(),
+            ),
+            F.lit(n_salts),
+        ),
     )
 
 
@@ -65,7 +83,24 @@ def replicate_join(
 ) -> DataFrame:
     """Skew join: salt the (large, skewed) left side; replicate the
     right side across all salts via an explode — each of the hot key's
-    ``n_salts`` fragments joins a full copy of its right rows."""
+    ``n_salts`` fragments joins a full copy of its right rows.
+
+    ``how`` is restricted to LEFT-side-preserving joins (r10 review):
+    under ``right``/``full`` the replicated right side would surface an
+    UNMATCHED right row once per salt — ``n_salts`` duplicates — so
+    those (and ``cross``) are rejected rather than silently wrong.
+    ``inner``/``left``/``left_semi``/``left_anti`` are exact: every
+    left row carries exactly one salt, and each right row's replicas
+    meet it at most once (on its salt)."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "left_semi", "leftsemi",
+               "anti", "left_anti", "leftanti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"replicate_join: how={how!r} is not left-side-preserving — "
+            "an unmatched right row would be duplicated once per salt; "
+            "use inner/left/left_semi/left_anti, or swap the sides"
+        )
     salted_left = with_salt(left, n_salts)
     replicated_right = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

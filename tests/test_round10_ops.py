@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from etl_template_spark.queries import REGISTRY
 
 from test_plans import plan_of
@@ -105,3 +107,132 @@ def test_tpch_q5_plan_prunes_both_dimension_chains(spark):
     assert p.count("LeftSemi") >= 2, p
     # the cycle edge is part of the supplier join's composite equi-key
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+# ----------------------------------------------------------------------
+# r10 self-review fixes (library-side; see the round-10 SURVEY paragraph)
+# ----------------------------------------------------------------------
+
+
+def test_with_salt_fans_out_identical_rows(spark):
+    """The canonical hot-key shape is byte-identical rows (a bare key
+    column feeding a count): a pure row-content hash maps them all to
+    ONE salt, silently defeating the salting.  The partition-id mix-in
+    must fan them across salts, while staying deterministic run-to-run
+    (retry idempotence)."""
+    from etl_template_spark.operators.skew import salted_agg, with_salt
+
+    df = spark.createDataFrame(
+        [("hot",)] * 400, "k string"
+    ).repartition(8)
+    salts = {
+        r["__salt"] for r in with_salt(df, n_salts=16).select("__salt").collect()
+    }
+    assert len(salts) > 1, "identical rows all landed on one salt"
+    # determinism: the same plan re-executed yields the same salt set
+    salts2 = {
+        r["__salt"] for r in with_salt(df, n_salts=16).select("__salt").collect()
+    }
+    assert salts == salts2
+    # and the two-phase aggregate is still exact
+    out = salted_agg(
+        df, ["k"], {"n": (F.count(F.lit(1)), F.sum("n"))}, n_salts=16
+    ).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("hot", 400)]
+
+
+def test_replicate_join_rejects_right_preserving_how(spark):
+    """right/full outer would surface each unmatched right row once per
+    salt (n_salts duplicates) — rejected loudly; the left-preserving
+    hows stay exact vs the plain join."""
+    import pytest
+
+    from etl_template_spark.operators.skew import replicate_join
+
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("c", 3)], "k string, x int"
+    )
+    right = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "k string, label string"
+    )
+    for bad in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="left-side-preserving"):
+            replicate_join(left, right, on="k", how=bad)
+    for how in ("left", "left_semi", "left_anti"):
+        got = replicate_join(left, right, on="k", n_salts=4, how=how)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), how
+
+
+def test_asof_join_rejects_left_column_collision(spark):
+    """A carried value column that already exists on the left frame
+    used to be silently overwritten; it must raise the way a plain
+    join surfaces ambiguity."""
+    import datetime
+
+    import pytest
+
+    from etl_template_spark.operators.asof import asof_join
+
+    ts = datetime.datetime
+    left = spark.createDataFrame(
+        [("k1", ts(2024, 1, 2), 99.0)], "k string, t timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("k1", ts(2024, 1, 1), 1.0)], "k string, rt timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="value_cols.*left"):
+        asof_join(left, right, "k", "k", "t", "rt", value_cols=["v"])
+    # aliased, the same join works and the left column is intact
+    ok = asof_join(
+        left,
+        right.withColumnRenamed("v", "quote_v"),
+        "k",
+        "k",
+        "t",
+        "rt",
+        value_cols=["quote_v"],
+    ).collect()
+    assert [(r["v"], r["quote_v"]) for r in ok] == [(99.0, 1.0)]
+
+
+def test_compact_versioned_preserves_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned version must keep the partition
+    directories (and thus partition pruning) in the new version —
+    flattening them silently turns every pruned scan downstream into a
+    full scan."""
+    import os
+
+    from etl_template_spark.io import (
+        compact_versioned,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [("2024-01-01", i, f"r{i}") for i in range(20)]
+        + [("2024-01-02", i, f"s{i}") for i in range(20)],
+        "event_date string, id long, payload string",
+    ).repartition(8)  # many small files per partition dir
+    write_versioned(df, root, "ev", partition_by=["event_date"])
+
+    compact_versioned(spark, root, "ev", sort_by=["id"])
+    v = latest_version(root, "ev")
+    vdir = os.path.join(root, "ev", f"v={v}")
+    part_dirs = sorted(
+        e for e in os.listdir(vdir) if e.startswith("event_date=")
+    )
+    assert part_dirs == ["event_date=2024-01-01", "event_date=2024-01-02"]
+    back = read_versioned(spark, root, "ev")
+    assert back.count() == 40
+    assert set(back.columns) == {"event_date", "id", "payload"}
+    # explicit partition_by=[] opts OUT of preservation
+    compact_versioned(spark, root, "ev", partition_by=[])
+    v2 = latest_version(root, "ev")
+    v2dir = os.path.join(root, "ev", f"v={v2}")
+    assert not any(e.startswith("event_date=") for e in os.listdir(v2dir))
+    assert read_versioned(spark, root, "ev").count() == 40
