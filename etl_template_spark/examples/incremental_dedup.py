@@ -104,7 +104,13 @@ def night_pairs(
         seen = read_versioned_merged(
             spark, data_root, f"{STEP}_index"
         ).select("doc_id").distinct()
-        new_docs = new_docs.join(seen, "doc_id", "left_anti")
+        # localCheckpoint (r10 review): the anti-join scans the FULL
+        # merged index, and new_docs feeds three consumers (the shingle
+        # explode, the LSH probe below, and — through sh_new/sig_new —
+        # the isEmpty probe plus the versioned write); without the
+        # materialization each one re-runs the index-sized anti-join.
+        # The frame is night-sized by contract.
+        new_docs = new_docs.join(seen, "doc_id", "left_anti").localCheckpoint()
     sh_new = new_docs.select(
         "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
     ).distinct()
@@ -128,9 +134,12 @@ def night_pairs(
     candidates = lsh_candidate_pairs(
         all_sig, probe=all_sig.join(new_docs.select("doc_id"), "doc_id")
     )
+    # localCheckpoint the verified pairs: run() probes isEmpty and the
+    # CC fold consumes them — two executions of the whole LSH + exact-
+    # Jaccard pipeline without it.  Pair count is night-bounded.
     return verified_jaccard(
         candidates, all_sh, THRESHOLD, sizes=all_sig.select("doc_id", "n_sh")
-    )
+    ).localCheckpoint()
 
 
 def run(data_root: str | None = None, sf_dir: str = SF_DIR):

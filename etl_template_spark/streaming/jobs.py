@@ -243,7 +243,12 @@ def running_totals_tws_stream(
             statefulProcessor=_Totals(),
             outputStructType="user_id bigint, n_events bigint, sum_value double",
             outputMode="Update",
-            timeMode="None",
+            # TTL'd state REQUIRES a time mode (r10 review: the
+            # hardcoded "None" made Spark's handle validation reject
+            # the ttlDurationMs at stream start — the documented TTL
+            # path could never run); same conditional as the sibling
+            # tws operators
+            timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
         )
     )
 
@@ -457,13 +462,22 @@ def versioned_stream_sink(
     root: str,
     step: str,
     checkpoint_dir: str,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Stream → versioned dataset: each micro-batch commits as a new
     ``v=N`` via foreachBatch (R7 semantics on a stream), through the
     idempotent ``commit_stream_batch`` path — a crash-replayed batch id
     is detected and skipped, so the sink is exactly-once at version
     granularity even across foreachBatch redelivery (not merely across
-    clean restarts)."""
+    clean restarts).
+
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` (r10 review —
+    the trigger used to be pinned to ``availableNow``, forcing
+    continuous deployments to copy-paste the writeStream wiring).
+    Default stays ``{"availableNow": True}`` (drain-and-stop);
+    a long-running ingest passes e.g.
+    ``{"processingTime": "1 minute"}`` — the commit path is the same
+    either way, that is what makes it redelivery-safe."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit_stream_batch(batch_df, root, step, batch_id)
@@ -471,7 +485,7 @@ def versioned_stream_sink(
     return (
         df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", os.path.join(checkpoint_dir, step))
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
 
@@ -489,6 +503,31 @@ def _duration_ms(duration: str) -> int:
         "day": 86_400_000, "days": 86_400_000,
     }[unit.lower()]
     return int(float(qty) * per_ms)
+
+
+def funnel_fold(state_triple, rows_df):
+    """The per-user monotone funnel transition (view → click →
+    purchase), factored out of ``funnel_stream`` AND
+    ``funnel_tws_stream`` so both carry ONE stage machine (the
+    attribution_fold pattern, r10 review — the fold was previously
+    duplicated verbatim and a tie-rule fix to one copy would silently
+    diverge the other; this is also the protobuf-free unit-test seam
+    for the tws variant).  Given the carried (t_view, t_click,
+    t_purchase) and one micro-batch pandas frame of this user's rows,
+    return the advanced triple: batch rows fold in event-time order,
+    stages never regress, and each stage timestamp must be STRICTLY
+    after its predecessor's."""
+    tv, tc, tp = state_triple
+    if len(rows_df):
+        srt = rows_df.sort_values("ts")
+        for et, ts in zip(srt["event_type"], srt["ts"]):
+            if et == "view" and tv is None:
+                tv = ts
+            elif et == "click" and tc is None and tv is not None and ts > tv:
+                tc = ts
+            elif et == "purchase" and tp is None and tc is not None and ts > tc:
+                tp = ts
+    return tv, tc, tp
 
 
 def funnel_stream(
@@ -527,15 +566,7 @@ def funnel_stream(
             return
         tv, tc, tp = state.get if state.exists else (None, None, None)
         rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
-        if len(rows):
-            srt = rows.sort_values("ts")
-            for et, ts in zip(srt["event_type"], srt["ts"]):
-                if et == "view" and tv is None:
-                    tv = ts
-                elif et == "click" and tc is None and tv is not None and ts > tv:
-                    tc = ts
-                elif et == "purchase" and tp is None and tc is not None and ts > tc:
-                    tp = ts
+        tv, tc, tp = funnel_fold((tv, tc, tp), rows)
         state.update((tv, tc, tp))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -623,24 +654,9 @@ def funnel_tws_stream(
             )
             pdfs = list(rows)
             batch = pd.concat(pdfs) if pdfs else pd.DataFrame()
-            if len(batch):
-                # same monotone fold as funnel_stream: batch rows in
-                # event-time order; stages never regress
-                srt = batch.sort_values("ts")
-                for et, ts in zip(srt["event_type"], srt["ts"]):
-                    if et == "view" and tv is None:
-                        tv = ts
-                    elif (
-                        et == "click" and tc is None and tv is not None and ts > tv
-                    ):
-                        tc = ts
-                    elif (
-                        et == "purchase"
-                        and tp is None
-                        and tc is not None
-                        and ts > tc
-                    ):
-                        tp = ts
+            # the ONE shared stage machine (funnel_fold) — semantics
+            # identical to funnel_stream by construction, not by copy
+            tv, tc, tp = funnel_fold((tv, tc, tp), batch)
             self._funnel.update((tv, tc, tp))
             if ttl_ms is not None:
                 # exactly one live timer per key, re-armed on every
@@ -934,8 +950,9 @@ def attribution_fold(user_id, touches, rows, window_ms, slack_ms=0):
             hits = [c for (t, c) in touches if lo <= t <= ts]
             credits = hits or ["direct"]
             share = value / len(credits)
+            uid = int(user_id) if user_id is not None else None
             for ch in credits:
-                out.append((int(event_id), int(user_id), ch, share, len(hits)))
+                out.append((int(event_id), uid, ch, share, len(hits)))
     if max_ts is not None:
         cutoff = max_ts - pd.Timedelta(milliseconds=window_ms + slack_ms)
         touches = [(t, c) for (t, c) in touches if t >= cutoff]
@@ -1028,9 +1045,27 @@ def attribution_tws_stream(
                 if len(batch)
                 else []
             )  # attribution_fold imposes the tie-aware total order itself
-            out, touches = attribution_fold(
-                int(key[0]), touches, rows_in, window_ms, slack_ms
-            )
+            # NULL user key (r10 review): int(None) would kill the whole
+            # query; the batch twin's LEFT JOIN gives a null-user
+            # purchase no touches and a full-value 'direct' credit, so
+            # the user id passes through as None and the fold does the
+            # same thing (its touch list for the null key is never
+            # populated by a join — only by this key's own rows, which
+            # is exactly the batch semantics for user_id = NULL only if
+            # no touches match; a NULL never equi-joins, so fold with an
+            # EMPTY touch list and keep none)
+            if key[0] is None:
+                purchases_only = [
+                    r for r in rows_in if r[2] == "purchase"
+                ]
+                out, _ = attribution_fold(
+                    None, [], purchases_only, window_ms, slack_ms
+                )
+                touches = []
+            else:
+                out, touches = attribution_fold(
+                    int(key[0]), touches, rows_in, window_ms, slack_ms
+                )
             if touches:
                 self._touches.put(touches)
             else:
@@ -1209,6 +1244,14 @@ def interval_join_tws_stream(
                 if len(batch)
                 else []
             )  # interval_join_fold imposes the probe-then-insert order
+            # NULL user key (r10 review): the batch twin is an INNER
+            # equi-join on user_id and a NULL never equi-joins — the
+            # null-keyed group emits nothing and buffers nothing
+            # (int(None) would otherwise kill the whole query)
+            if key[0] is None:
+                self._clicks.clear()
+                self._purchases.clear()
+                return
             out, clicks, purchases = interval_join_fold(
                 int(key[0]), clicks, purchases, rows_in, window_ms, slack_ms
             )

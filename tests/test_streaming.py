@@ -200,6 +200,90 @@ def test_transform_with_state_plan_constructs(spark, events_dir):
     ]
 
 
+def test_tws_ttl_selects_processing_time_mode(spark, events_dir):
+    """r10 review: TTL'd state REQUIRES a time mode — with the old
+    hardcoded timeMode="None", Spark's handle validation rejected the
+    ttlDurationMs at stream start, so the operator's documented TTL
+    path could never run.  The analyzed plan must carry ProcessingTime
+    exactly when a TTL is requested."""
+    from etl_template_spark.streaming import running_totals_tws_stream
+
+    stream = read_events_stream(spark, events_dir)
+    with_ttl = running_totals_tws_stream(stream, state_ttl_ms=3_600_000)
+    without = running_totals_tws_stream(stream)
+    assert "ProcessingTime" in with_ttl._jdf.queryExecution().analyzed().toString()
+    assert (
+        "ProcessingTime"
+        not in without._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_funnel_fold_is_the_shared_stage_machine():
+    """r10 review: the monotone view→click→purchase fold used to be
+    duplicated verbatim in funnel_stream and funnel_tws_stream; it is
+    now ONE function.  Pin its two subtle rules: stage timestamps are
+    STRICTLY increasing (a click at the view's exact instant does not
+    advance), and stages never regress on replayed/late rows."""
+    import pandas as pd
+
+    from etl_template_spark.streaming.jobs import funnel_fold
+
+    t = pd.Timestamp
+    rows = pd.DataFrame(
+        {
+            "event_type": ["click", "view", "click", "purchase"],
+            "ts": [
+                t("2024-01-01 00:00"),  # click BEFORE any view: ignored
+                t("2024-01-01 00:00"),  # view
+                t("2024-01-01 00:00"),  # click at the view's instant: strict > fails
+                t("2024-01-01 01:00"),  # purchase without a click: ignored
+            ],
+        }
+    )
+    assert funnel_fold((None, None, None), rows) == (
+        t("2024-01-01 00:00"),
+        None,
+        None,
+    )
+    later = pd.DataFrame(
+        {
+            "event_type": ["click", "purchase", "view"],
+            "ts": [
+                t("2024-01-01 00:30"),
+                t("2024-01-01 00:45"),
+                t("2023-12-31 00:00"),  # late earlier view must not regress tv
+            ],
+        }
+    )
+    tv, tc, tp = funnel_fold((t("2024-01-01 00:00"), None, None), later)
+    assert (tv, tc, tp) == (
+        t("2024-01-01 00:00"),
+        t("2024-01-01 00:30"),
+        t("2024-01-01 00:45"),
+    )
+
+
+def test_attribution_fold_null_user_credits_direct():
+    """r10 review: a NULL user key used to kill the whole streaming
+    query via int(None).  The batch twin's LEFT JOIN gives a null-user
+    purchase no touches (NULL never equi-joins) and a full-value
+    'direct' credit — the fold must do the same with user_id=None."""
+    import pandas as pd
+
+    from etl_template_spark.streaming.jobs import attribution_fold
+
+    t = pd.Timestamp
+    out, touches = attribution_fold(
+        None,
+        [],
+        [(7, t("2024-01-01 12:00"), "purchase", 50.0)],
+        window_ms=7 * 86_400_000,
+        slack_ms=0,
+    )
+    assert out == [(7, None, "direct", 50.0, 0)]
+    assert touches == []
+
+
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithState Python workers require google.protobuf "
