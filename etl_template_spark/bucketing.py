@@ -23,15 +23,30 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _quoted(table: str) -> str:
+    """Backtick-quote each dot-separated identifier part, io.py's
+    register_versioned_table pattern (r10 review): an unquoted
+    interpolation breaks on any table name Spark's parser dislikes
+    (``line-items``) before a single byte is written."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in table.split(".")
+    )
+
+
 def _drop_stale(spark: SparkSession, table: str) -> None:
     """Drop the table AND any orphaned warehouse directory.  With the
     default in-memory catalog, table METADATA dies with the session but
     the warehouse DIRECTORY survives — the next saveAsTable then fails
     with LOCATION_ALREADY_EXISTS.  (A production deployment uses a
-    persistent metastore and never hits this.)"""
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    persistent metastore and never hits this.)  Database-qualified
+    names live under ``<db>.db/<table>`` in the warehouse (r10 review —
+    the old join of the raw dotted name swept nothing, leaving the
+    stale-location failure this function exists to prevent)."""
+    spark.sql(f"DROP TABLE IF EXISTS {_quoted(table)}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    db, _, bare = table.rpartition(".")
+    rel = os.path.join(f"{db.lower()}.db", bare.lower()) if db else bare.lower()
+    path = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.isdir(path):
         shutil.rmtree(path)
 
@@ -59,7 +74,7 @@ def write_bucketed(
     writer.saveAsTable(table)
     if analyze:
         df.sparkSession.sql(
-            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR ALL COLUMNS"
+            f"ANALYZE TABLE {_quoted(table)} COMPUTE STATISTICS FOR ALL COLUMNS"
         )
 
 

@@ -52,8 +52,15 @@ def release_tracked() -> int:
     Safe to call at any time — frames a still-lazy plan depends on are
     simply recomputed if traversed again."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while True:
+        # pop-then-handle, no check-then-pop (r10 review): list.pop() is
+        # atomic under the GIL, so concurrent releasers (parallel
+        # pipeline levels) race safely — the loser's pop raises
+        # IndexError here instead of propagating out of a pipeline step
+        try:
+            df = _TRACKED.pop()
+        except IndexError:
+            break
         try:
             df.unpersist()
             n += 1

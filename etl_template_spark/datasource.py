@@ -83,6 +83,35 @@ def _parquet_files(path: str) -> list[str]:
     )
 
 
+def _reject_partitioned(path: str, step: str) -> None:
+    """Fail LOUDLY on a hive-partitioned version (r10 review): this
+    connector lists only top-level data files, so a version written
+    with ``partition_by`` used to come back as a zero-row, empty-schema
+    frame with no error — a silently-empty downstream job.  Partitioned
+    versions belong to the native JVM scan (``io.read_versioned``),
+    which does partition discovery and pruning; say so instead of
+    returning nothing."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return
+    part_dirs = [
+        e
+        for e in entries
+        if "=" in e
+        and not e.startswith(("_", "."))
+        and os.path.isdir(os.path.join(path, e))
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"etl_versioned: step {step!r} version at {path!r} is "
+            f"hive-partitioned ({part_dirs[0]}, ...) — this pure-Python "
+            "connector reads flat versions only; use "
+            "etl_template_spark.io.read_versioned (native parquet scan "
+            "with partition discovery/pruning) for partitioned steps"
+        )
+
+
 def _resolve(options) -> tuple[str, str, int | None]:
     root = options.get("path")
     step = options.get("step")
@@ -144,6 +173,66 @@ def _supported(f: Filter) -> bool:
     )
 
 
+def _rg_can_match(rg_meta, names: list[str], filters: list[Filter]) -> bool:
+    """Row-group statistics pruning at PLANNING time (r10 review — the
+    module docstring promised it; now it is true): return False only
+    when some accepted filter provably matches NO row of the group, so
+    the partition is never scheduled.  Conservative by construction:
+    pruning decisions use min/max only for plain int/float stats
+    (parquet string stats may be truncated; mixed-type comparisons lie)
+    and keep the group whenever a column or its statistics are absent.
+    Accepted filters are still re-applied row-level at read()."""
+    num = (int, float)
+    for f in filters:
+        try:
+            idx = names.index(f.attribute[0])
+        except ValueError:
+            continue  # filter on a column this file lacks: keep
+        col = rg_meta.column(idx)
+        stats = col.statistics
+        if stats is None:
+            continue
+        if isinstance(f, IsNull):
+            if stats.null_count == 0:  # None (stats absent) ≠ 0: keep
+                return False
+            continue
+        if isinstance(f, IsNotNull):
+            # an all-null group (every row null in this column) can
+            # never satisfy IsNotNull; null_count None = unknown = keep
+            if (
+                stats.null_count is not None
+                and rg_meta.num_rows > 0
+                and stats.null_count == rg_meta.num_rows
+            ):
+                return False
+            continue
+        if not (stats.has_min_max and isinstance(stats.min, num) and isinstance(stats.max, num)):
+            continue
+        lo, hi = stats.min, stats.max
+        if isinstance(f, In):
+            vals = [v for v in f.value if isinstance(v, num)]
+            if len(vals) == len(f.value) and all(v < lo or v > hi for v in vals):
+                return False
+        elif not isinstance(f.value, num):
+            continue
+        elif isinstance(f, EqualTo):
+            if f.value < lo or f.value > hi:
+                return False
+        elif isinstance(f, GreaterThan):
+            if hi <= f.value:
+                return False
+        elif isinstance(f, GreaterThanOrEqual):
+            if hi < f.value:
+                return False
+        elif isinstance(f, LessThan):
+            if lo >= f.value:
+                return False
+        elif isinstance(f, LessThanOrEqual):
+            if lo > f.value:
+                return False
+    return True
+
+
 @dataclass
 class RowGroupPartition(InputPartition):
     file: str
@@ -164,6 +253,7 @@ class VersionedReader(DataSourceReader):
         self._path = _version_dir(root, step, version)
         if not os.path.isdir(self._path):
             raise FileNotFoundError(f"version dir does not exist: {self._path}")
+        _reject_partitioned(self._path, step)
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -178,8 +268,11 @@ class VersionedReader(DataSourceReader):
 
         parts = []
         for f in _parquet_files(self._path):
-            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-                parts.append(RowGroupPartition(file=f, row_group=rg))
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                if _rg_can_match(md.row_group(rg), names, self._filters):
+                    parts.append(RowGroupPartition(file=f, row_group=rg))
         # an empty committed version still needs one (empty) partition
         return parts or [RowGroupPartition(file="", row_group=-1)]
 
@@ -297,6 +390,7 @@ class VersionedStreamReader(SimpleDataSourceStreamReader):
             d = _version_dir(self._root, self._step, v)
             if not os.path.isfile(os.path.join(d, "_SUCCESS")):
                 continue  # uncommitted claim — not yet visible
+            _reject_partitioned(d, self._step)
             for f in _parquet_files(d):
                 for batch in pq.ParquetFile(f).iter_batches():
                     rows.extend(tuple(r.values()) for r in batch.to_pylist())
@@ -329,7 +423,9 @@ class VersionedDataSource(DataSource):
             version = latest_version(root, step)
         if version is None:
             raise FileNotFoundError(f"no versions for step {step!r} under {root!r}")
-        files = _parquet_files(_version_dir(root, step, version))
+        vdir = _version_dir(root, step, version)
+        _reject_partitioned(vdir, step)
+        files = _parquet_files(vdir)
         if not files:
             return StructType([])
         return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)

@@ -75,9 +75,18 @@ def _with_ranks(
         lo, hi = F.col(f"__zmin_{i}"), F.col(f"__zmax_{i}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
         ranks.append(
-            F.least(
-                F.lit(top),
-                F.floor((c - lo) / span * F.lit(top + 1)).cast("long"),
+            # NULLs rank LOW, explicitly (r10 review): without the
+            # when(), the NULL arithmetic rode through F.least — which
+            # SKIPS null operands — and returned ``top``, silently
+            # clustering every null into the keyspace's maximum corner
+            # and widening the max region's row-group min/max stats.
+            # Rank 0 co-locates nulls with the true minimums: a shared
+            # bucket, but a compact one at a single corner.
+            F.when(c.isNull(), F.lit(0).cast("long")).otherwise(
+                F.least(
+                    F.lit(top),
+                    F.floor((c - lo) / span * F.lit(top + 1)).cast("long"),
+                )
             )
         )
     drop = [f"__zmin_{i}" for i in range(len(cols))] + [

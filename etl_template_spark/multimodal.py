@@ -42,7 +42,18 @@ THUMB_SCHEMA_DDL = "media_id bigint, thumb binary, thumb_w int, thumb_h int"
 
 def attach_media_meta(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
     """Codec-free metadata (size + digest) computed JVM-side — no Python
-    round-trip for the columns every downstream filter wants first."""
+    round-trip for the columns every downstream filter wants first.
+    ``id_col`` names the media key the metadata is understood to be
+    keyed by; it is validated to exist (r10 review: it used to be
+    silently ignored, so a wrong id column produced no error and a
+    wrong assumption downstream) but not otherwise consumed — the
+    output keeps every input column."""
+    for c in (id_col, content_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"attach_media_meta: column {c!r} not in frame "
+                f"(have: {df.columns})"
+            )
     return df.withColumn("n_bytes", F.length(content_col).cast("bigint")).withColumn(
         "sha256", F.sha2(F.col(content_col), 256)
     )
@@ -53,10 +64,32 @@ def partition_by_byte_budget(
     bytes_col: str = "n_bytes",
     target_bytes: int = 128 * 1024 * 1024,
     total_bytes: int | None = None,
+    balance: str = "roundrobin",
 ) -> DataFrame:
     """Repartition so each partition carries ~target_bytes of media.
-    Media rows are KB-to-MB sized; row-count-based partitioning makes
-    wildly uneven tasks.
+    Media rows are KB-to-MB sized; sizing the partition COUNT by rows
+    makes wildly uneven tasks — the count here is byte-derived.
+
+    ``balance`` picks how rows are PLACED into those partitions
+    (r10 review — the old docstring implied byte-balanced placement
+    while doing round-robin):
+
+    - ``"roundrobin"`` (default): one shuffle; partitions are
+      byte-balanced in EXPECTATION only — a heavy-tailed corpus
+      (thumbnails + occasional 100 MB videos) can land several heavy
+      rows in one partition by chance.  Right when the size
+      distribution is mild, because it moves the (large, binary) rows
+      exactly once.
+    - ``"packed"``: deterministic greedy packing — rows hash into
+      parallel packing shards, each shard bins by a size-descending
+      running byte total (window over the shard, no global sort), so
+      every BIN holds ≤ target_bytes + one max row BY CONSTRUCTION;
+      the (shard, bin) keys then range-partition into ~one-bin tasks
+      (the range sampler may co-locate a couple of bins, so a task is
+      bounded by a SMALL CONSTANT × target — versus round-robin's
+      unbounded pileup of heavy rows).  Costs a SECOND full shuffle
+      of the binary payload, so it is an explicit opt-in for
+      heavy-tailed corpora where straggler/OOM cost exceeds a shuffle.
 
     Sizing needs ONE driver-side scalar (the corpus byte total).  By
     default one cheap global agg computes it — a driver-side scalar,
@@ -68,7 +101,35 @@ def partition_by_byte_budget(
     if total_bytes is None:
         total_bytes = df.agg(F.sum(bytes_col).alias("t")).collect()[0]["t"] or 0
     n_parts = max(1, int(total_bytes / target_bytes) + 1)
-    return df.repartition(n_parts)
+    if balance == "roundrobin":
+        return df.repartition(n_parts)
+    if balance != "packed":
+        raise ValueError(f"balance must be 'roundrobin' or 'packed': {balance!r}")
+    from pyspark.sql import Window
+
+    n_shards = min(64, n_parts)
+    # monotonically_increasing_id is partition-deterministic (a retried
+    # task recomputes the same ids), unlike rand() — the repo-wide
+    # retry-idempotence rule (operators/skew.py::with_salt)
+    staged = df.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col("__mid")), F.lit(n_shards))
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col(bytes_col).desc_nulls_last(), F.col("__mid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.coalesce(F.col(bytes_col), F.lit(0))).over(w)
+    staged = staged.withColumn(
+        "__bin", F.floor((cum - F.lit(1)) / F.lit(int(target_bytes)))
+    )
+    # range-partition count ≈ the number of (shard, bin) keys: each
+    # shard contributes its full bins plus at most one partial, so
+    # n_parts + n_shards covers the key count and keeps the sampler
+    # from folding many bins into one task
+    return staged.repartitionByRange(
+        n_parts + n_shards, F.col("__shard"), F.col("__bin")
+    ).drop("__mid", "__shard", "__bin")
 
 
 # ---------------------------------------------------------------------------

@@ -275,6 +275,21 @@ class Pipeline:
         self.steps: list[Step] = []
 
     def step(self, name: str, fn, input_step: str | None = None, **kw) -> "Pipeline":
+        # validate the reference NOW (r10 review): _levels() used to
+        # default an unknown/forward input_step to level 0, so in
+        # parallel mode the consumer ran concurrently with (or before)
+        # its producer — FileNotFoundError on a fresh root, or silently
+        # reading the PREVIOUS run's committed version on a reused one.
+        # A typo'd or later-declared dependency fails at declaration.
+        declared = {s.name for s in self.steps}
+        if input_step is not None and input_step not in declared:
+            raise ValueError(
+                f"step {name!r}: input_step {input_step!r} is not a "
+                f"previously declared step (have: {sorted(declared)}) — "
+                "declare producers before consumers"
+            )
+        if name in declared:
+            raise ValueError(f"duplicate step name {name!r}")
         self.steps.append(Step(name=name, fn=fn, input_step=input_step, **kw))
         return self
 
@@ -329,11 +344,21 @@ class Pipeline:
                 return
 
             def _body(s: Step = s) -> int:
-                df_in = (
-                    read_versioned(spark, self.data_root, s.input_step)
-                    if s.input_step
-                    else None
-                )
+                # pin the input to the version THIS run recorded for the
+                # producer (r10 review): on resume, a skipped producer
+                # carries its original output_version forward, and
+                # reading "latest" instead could consume a version some
+                # OTHER writer committed since — the manifest would then
+                # assert a provenance that never happened.  Fresh runs
+                # pin the version the producer just wrote (identical to
+                # latest under the single-writer contract, but stated).
+                if s.input_step:
+                    in_ver = run.steps[s.input_step].output_version
+                    df_in = read_versioned(
+                        spark, self.data_root, s.input_step, version=in_ver
+                    )
+                else:
+                    df_in = None
                 df_out = s.fn(spark, df_in)
                 # R19 parity (LoopProgressManager, tools.go:891-951): the
                 # output row count rides the write job as an observed
@@ -353,10 +378,17 @@ class Pipeline:
                     )
                 # the write materialized df_out; any intermediates its
                 # builder persisted (caching.persist_tracked) are now
-                # dead weight — drop them before the next step runs
-                from .caching import release_tracked
+                # dead weight — drop them before the next step runs.
+                # SERIAL mode only (r10 review): the registry is
+                # process-global, so a parallel sibling calling this
+                # would unpersist frames a still-running step depends on
+                # (lazy plans recompute — correct but a silent perf
+                # cliff); parallel mode releases once per LEVEL instead,
+                # at the barrier, when no step is in flight.
+                if not parallel:
+                    from .caching import release_tracked
 
-                release_tracked()
+                    release_tracked()
                 return version
 
             run.execute_step(
@@ -373,9 +405,16 @@ class Pipeline:
             else:
                 from concurrent.futures import ThreadPoolExecutor
 
+                from .caching import release_tracked
+
                 for level in self._levels():
                     with ThreadPoolExecutor(max_workers=max_workers) as pool:
                         futures = [pool.submit(_run_one, s) for s in level]
+                    # level barrier: nothing is in flight, so releasing
+                    # the process-global persist registry here cannot
+                    # pull a live sibling's intermediates out from under
+                    # it (the per-step release is serial-mode only)
+                    release_tracked()
                     errors = [f.exception() for f in futures if f.exception()]
                     if errors:
                         raise errors[0]

@@ -190,3 +190,52 @@ def test_stream_offset_stops_at_uncommitted_claim(spark, tmp_path):
     it3, off3 = r.read(off2)
     assert off3 == {"version": 4}  # both v3 and v4 released together
     assert len(list(it3)) == 2 + 5
+
+
+def test_partitioned_version_rejected_loudly(spark, tmp_path):
+    """r10 review: a hive-partitioned version used to come back as a
+    zero-row, empty-schema frame with NO error (the connector lists
+    only top-level files) — a silently-empty downstream job.  It must
+    raise and point at the native reader instead."""
+    root = str(tmp_path)
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("split")
+    )
+    write_versioned(df, root, "parted", partition_by=["split"])
+    with pytest.raises(Exception, match="hive-partitioned"):
+        spark.read.format(FORMAT_NAME).option("step", "parted").load(
+            root
+        ).collect()
+
+
+def test_row_group_stats_prune_partitions(spark, tmp_path):
+    """r10 review: pushed comparison filters must prune whole row
+    groups from the PLAN via parquet min/max statistics (the module
+    docstring's claim, now implemented), and the pruned scan must stay
+    exact."""
+    from etl_template_spark.datasource import VersionedReader, _supported
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    root = str(tmp_path)
+    # several single-row-group files with disjoint id ranges: filters on
+    # id can prove most groups irrelevant from stats alone
+    for lo in (0, 1000, 2000, 3000):
+        spark.range(lo, lo + 100).coalesce(1).write.format(FORMAT_NAME).option(
+            "step", "rg"
+        ).mode("append").save(root)
+    # the versioned layout keeps each write separate; read merges ONE
+    # version only, so build one multi-file version via the JVM writer
+    big = spark.range(0, 4000).withColumn(
+        "bucket", (F.col("id") / 1000).cast("int")
+    ).repartitionByRange(4, "id")
+    write_versioned(big, root, "rg4")
+
+    r = VersionedReader(root, "rg4", None)
+    all_parts = r.partitions()
+    r.pushFilters([GreaterThan(attribute=("id",), value=2999)])
+    pruned = r.partitions()
+    assert 0 < len(pruned) < len(all_parts), (len(pruned), len(all_parts))
+    # and the full read through Spark stays exact
+    back = spark.read.format(FORMAT_NAME).option("step", "rg4").load(root)
+    assert back.where(F.col("id") > 2999).count() == 1000
+    assert back.where(F.col("id") == 1500).count() == 1

@@ -74,3 +74,54 @@ def test_frame_sampling_explodes(spark):
     assert len(by_id[1]) == 3  # 3000 bytes / 1024 stride
     assert len(by_id[2]) == 1
     assert all(len(r["frame"]) <= 64 for r in rows)
+
+
+def test_attach_media_meta_validates_columns(media_df):
+    """r10 review: id_col used to be silently ignored — a wrong id
+    column produced no error and a wrong keying assumption downstream."""
+    with pytest.raises(ValueError, match="no_such_id"):
+        attach_media_meta(media_df, "no_such_id")
+    with pytest.raises(ValueError, match="blob"):
+        attach_media_meta(media_df, "media_id", content_col="blob")
+
+
+def test_partition_by_byte_budget_packed_bounds_partitions(spark):
+    """The opt-in greedy packing must bound every partition near the
+    byte target even on a heavy-tailed corpus — the shape round-robin
+    only balances in expectation."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.multimodal import partition_by_byte_budget
+
+    # 400 thumbnails of 1KB + 8 "videos" of 90KB, 100KB target: round
+    # robin can land 2+ videos together; packing must not exceed
+    # target + one max row (the classic greedy bound)
+    rows = [(i, 1_000) for i in range(400)] + [
+        (1000 + i, 90_000) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, n_bytes long").repartition(4)
+    packed = partition_by_byte_budget(
+        df, target_bytes=100_000, balance="packed"
+    )
+    per_part = packed.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.sum("n_bytes").alias("b")
+    )
+    sizes = [r["b"] for r in per_part.collect()]
+    assert sum(sizes) == 400 * 1_000 + 8 * 90_000
+    # every BIN is <= target + one max row by construction; the range
+    # placement may co-locate a couple of bins per task — bound by a
+    # small constant multiple, never the unbounded round-robin pileup
+    assert max(sizes) <= 2 * (100_000 + 90_000), sizes
+    # determinism: re-running yields the same partition byte profile
+    sizes2 = [
+        r["b"]
+        for r in partition_by_byte_budget(
+            df, target_bytes=100_000, balance="packed"
+        )
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum("n_bytes").alias("b"))
+        .collect()
+    ]
+    assert sorted(sizes) == sorted(sizes2)
+    with pytest.raises(ValueError, match="balance"):
+        partition_by_byte_budget(df, balance="nope")

@@ -236,3 +236,27 @@ def test_compact_versioned_preserves_partition_layout(spark, tmp_path):
     v2dir = os.path.join(root, "ev", f"v={v2}")
     assert not any(e.startswith("event_date=") for e in os.listdir(v2dir))
     assert read_versioned(spark, root, "ev").count() == 40
+
+
+def test_zorder_ranks_nulls_low_not_max(spark):
+    """r10 review: a NULL in a z-order column used to ride through
+    F.least (which skips null operands) and rank at the keyspace
+    MAXIMUM, silently scattering nulls through the top row groups.
+    They must rank at the low corner instead — and non-null ranks are
+    unchanged by the fix."""
+    from etl_template_spark.layout import Z_COL, with_zorder
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (100.0, 100.0), (None, 0.0)], "a double, b double"
+    )
+    rows = {
+        (r["a"], r["b"]): r[Z_COL]
+        for r in with_zorder(df, ["a", "b"], bits=8).collect()
+    }
+    z_min, z_max, z_null = (
+        rows[(0.0, 0.0)],
+        rows[(100.0, 100.0)],
+        rows[(None, 0.0)],
+    )
+    assert z_null == z_min  # null ranks with the minimum corner
+    assert z_max > z_null
