@@ -69,6 +69,12 @@ def _attempted_names() -> frozenset[str]:
 
 
 def _exposure_order() -> list[str]:
+    # Deliberately NOT memoized (r10 review weighed it): the order is a
+    # pure function of on-disk state (CORRECTNESS_r*.json + content
+    # hashes) that tests and the driver mutate within one process, so a
+    # cache could serve a stale order into an official recording.  The
+    # recompute costs ~1 s and runs twice per round — correctness of
+    # the recording window is worth more than that.
     from etl_template_spark import verification
 
     latest = verification.latest_recorded_round()

@@ -62,7 +62,11 @@ def _steal_seconds() -> float | None:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    # one leading number only, and never a crash (r10 review): the old
+    # greedy [0-9.]+ captured 'sf0.1.bak' as '0.1.' and float() raised
+    # BEFORE any query ran — losing the round's official perf datum to
+    # a directory rename, the r05 failure mode these guards exist for
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(os.path.normpath(sf_dir)))
     sf = float(m.group(1)) if m else -1.0
 
     from etl_template_spark.caching import release_tracked

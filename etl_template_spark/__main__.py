@@ -64,51 +64,27 @@ def _build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "example":
+        import importlib
         import tempfile
 
         a = args.args
-        if args.name == "etl_template":
-            from .examples.etl_template import run
-
-            run(a[0] if a else tempfile.mkdtemp(prefix="etl_example_"))
-        elif args.name == "streaming_ingest":
-            from .examples.streaming_ingest import run
-
-            run(a[0] if a else tempfile.mkdtemp(prefix="ingest_example_"))
-        elif args.name == "curation_pipeline":  # [sf_dir] [data_root]
-            from .examples.curation_pipeline import SF_DIR, run
-
-            run(
-                a[1] if len(a) > 1 else None,
-                a[0] if a else SF_DIR,
+        # import the NAMED module, never a bare-else fallback (r10
+        # review): a new EXAMPLE_NAMES entry used to be accepted by
+        # argparse and then silently routed to quality_gate — the wrong
+        # pipeline committing datasets under the caller's --out root
+        mod = importlib.import_module(f".examples.{args.name}", __package__)
+        if args.name in ("etl_template", "streaming_ingest"):
+            # signature: run(data_root)
+            prefix = (
+                "etl_example_" if args.name == "etl_template" else "ingest_example_"
             )
-        elif args.name == "dataset_release":  # [sf_dir] [data_root]
-            from .examples.dataset_release import SF_DIR, run
-
-            run(
+            mod.run(a[0] if a else tempfile.mkdtemp(prefix=prefix))
+        else:
+            # signature: run(data_root=None, sf_dir=SF_DIR); CLI order
+            # is [sf_dir] [data_root] (matching each module's __main__)
+            mod.run(
                 a[1] if len(a) > 1 else None,
-                a[0] if a else SF_DIR,
-            )
-        elif args.name == "link_graph_refresh":  # [sf_dir] [data_root]
-            from .examples.link_graph_refresh import SF_DIR, run
-
-            run(
-                a[1] if len(a) > 1 else None,
-                a[0] if a else SF_DIR,
-            )
-        elif args.name == "incremental_dedup":  # [sf_dir] [data_root]
-            from .examples.incremental_dedup import SF_DIR, run
-
-            run(
-                a[1] if len(a) > 1 else None,
-                a[0] if a else SF_DIR,
-            )
-        else:  # quality_gate [sf_dir] [data_root]
-            from .examples.quality_gate import SF_DIR, run
-
-            run(
-                a[1] if len(a) > 1 else None,
-                a[0] if a else SF_DIR,
+                a[0] if a else mod.SF_DIR,
             )
         return 0
 

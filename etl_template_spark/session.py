@@ -18,7 +18,18 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _default_shuffle_partitions() -> int:
+    # read per-call, not at import (r10 review): get_spark reads
+    # SPARK_GRAFT_CPUS per call for local[N], so an env var set after
+    # import but before get_spark must size BOTH consistently — an
+    # import-time constant left local[4] paired with 32 shuffle
+    # partitions, the 8x-tasks-per-core skew the sizing exists to avoid
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+# backward-compat name: evaluated at import for callers that read it,
+# but get_spark itself uses the per-call reader above
+DEFAULT_SHUFFLE_PARTITIONS = _default_shuffle_partitions()
 
 
 def get_spark(
@@ -30,7 +41,7 @@ def get_spark(
     """Build (or fetch) a SparkSession with the engine's standard posture."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    shuffle_partitions = shuffle_partitions or _default_shuffle_partitions()
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

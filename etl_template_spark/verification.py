@@ -154,18 +154,53 @@ def invalidated_names(root: str | None = None) -> frozenset[str]:
     return frozenset(out)
 
 
-def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
-    """Subset of ``paths`` (absolute) whose working-tree content equals
-    git HEAD — i.e. still exactly what the just-committed correctness
-    round executed.  If git is unavailable, every path is treated as
-    clean (round-start discipline is then the only guard)."""
+def _recording_anchor(root: str, rnd: int) -> str | None:
+    """The commit whose tree the round-``rnd`` recording executed: the
+    commit that ADDED ``CORRECTNESS_r{rnd:02d}.json`` (the driver
+    records on the final round tree and the bookkeeping commit lands
+    immediately after, before any other edit under the round-start
+    discipline).  None when git cannot resolve it — unresolvable
+    anchors follow the repo-wide ambiguity policy: NOT clean, skip the
+    stamp."""
     import subprocess
 
-    # First establish that a comparison is even possible: a resolvable
-    # HEAD in root's repository.  Without this guard, "git diff HEAD"
-    # outside a repo / on an unborn HEAD exits 1 — the SAME code as a
-    # genuine dirty diff — and no returncode policy can tell them
-    # apart.  With it, the diff's returncode alone is unambiguous.
+    try:
+        proc = subprocess.run(
+            [
+                "git", "-C", root, "log", "--diff-filter=A",
+                "--format=%H", "-n", "1", "--",
+                f"CORRECTNESS_r{rnd:02d}.json",
+            ],
+            capture_output=True,
+            timeout=30,
+        )
+    except Exception:
+        return None
+    if proc.returncode != 0:
+        return None
+    sha = proc.stdout.decode().strip()
+    return sha or None
+
+
+def _modules_match_recording(root: str, rnd: int, paths: set[str]) -> set[str]:
+    """Subset of ``paths`` whose CURRENT bytes equal their bytes at the
+    round-``rnd`` recording anchor (r10 review: the old HEAD comparison
+    certified content the driver never executed whenever the builder
+    edited AND COMMITTED a pending query module before the round's
+    first pytest run — current HEAD then contained the edit, the diff
+    was 'clean', and the stale recording got a fresh stamp).  Every
+    ambiguity (no anchor commit, git failure, unreadable file) resolves
+    to NOT matching: the stamp is skipped and the query re-records — a
+    wasted window slot at worst, never a stale pass.
+
+    One deliberate exception, carried over from the pre-anchor policy:
+    a root with NO resolvable git HEAD at all (fresh clone, bare test
+    tmpdir) has no history to compare against for ANY path, so the
+    round-start discipline is the only guard and every readable path
+    passes through.  The real repo always has a HEAD, so the strict
+    anchored path is the one that runs in production."""
+    import subprocess
+
     try:
         head_ok = (
             subprocess.run(
@@ -178,39 +213,30 @@ def _modules_clean_vs_head(root: str, paths: set[str]) -> set[str]:
     except Exception:
         head_ok = False
     if not head_ok:
-        return set(paths)  # no history to check → trust round-start discipline
+        return {p for p in paths if p}
 
-    clean: set[str] = set()
+    anchor = _recording_anchor(root, rnd)
+    if anchor is None:
+        return set()
+    matched: set[str] = set()
     for path in sorted(paths):
-        rel = os.path.relpath(path, root)
+        if not path:
+            continue  # unknown source file (r10 review: '' crashed relpath)
         try:
+            rel = os.path.relpath(path, root)
             proc = subprocess.run(
-                ["git", "-C", root, "diff", "--quiet", "HEAD", "--", rel],
+                ["git", "-C", root, "show", f"{anchor}:{rel}"],
                 capture_output=True,
                 timeout=30,
             )
-            # Returncode ALONE decides: 0 = identical to HEAD; anything
-            # else (1 = genuinely differs, >=2 = per-path git failure,
-            # e.g. exit 128) = NOT clean.  Treating a git FAILURE as
-            # clean would let a genuinely edited module keep its stale
-            # stamp (r5 ADVICE); treating it as dirty merely skips the
-            # stamp, so the query re-records — a wasted window slot at
-            # worst, never a stale pass.  The repo-wide failure modes
-            # (no repo, unborn HEAD, dubious ownership) already short-
-            # circuit through the HEAD pre-check above, so a rc>=2 here
-            # is a rare per-path anomaly, not the common case.  stderr
-            # is deliberately ignored: git emits warnings (CRLF,
-            # permissions) alongside a real exit-0 clean diff.
-            if proc.returncode == 0:
-                clean.add(path)
+            if proc.returncode != 0:
+                continue
+            with open(path, "rb") as fh:
+                if fh.read() == proc.stdout:
+                    matched.add(path)
         except Exception:
-            # The HEAD pre-check above proved git exists and the repo is
-            # readable, so an exception here is a per-path anomaly (e.g.
-            # a timeout under a CPU-steal burst) — resolve the ambiguity
-            # to NOT-clean, same as rc >= 2: the stamp is skipped and
-            # the query re-records, never certifying unverified content.
-            pass
-    return clean
+            pass  # per-path anomaly → not matching → stamp skipped
+    return matched
 
 
 def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
@@ -225,10 +251,13 @@ def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
       stamped round are (re)stamped; content drift without a fresh
       official record keeps the old stamp, i.e. stays invalidated;
     - a name is stamped only while its defining module is bit-identical
-      to git HEAD (the state the just-landed round ran, since the
-      driver commits before recording) — if the builder edited the
-      module first, the stamp is skipped and the query simply stays in
-      the re-record window.
+      to the RECORDING ANCHOR — the commit that added that round's
+      CORRECTNESS file, i.e. the tree the driver actually executed
+      (r10 review: comparing against current HEAD certified post-edit
+      content whenever the builder edited and committed a pending
+      module before the round's first pytest run) — if the module
+      drifted, the stamp is skipped and the query simply stays in the
+      re-record window.
 
     Returns the new snapshot (also written to disk when changed).
     """
@@ -250,10 +279,19 @@ def refresh_snapshot(root: str | None = None) -> dict[str, dict]:
     mod_files = {
         name: inspect.getsourcefile(REGISTRY[name].build) or "" for name in pending
     }
-    clean = _modules_clean_vs_head(root, set(mod_files.values()))
+    # anchored per round: each pending name's module must match the
+    # tree its OWN recording round executed, not whatever HEAD is now
+    matched: set[tuple[str, int]] = set()
+    for rnd in sorted(set(pending.values())):
+        files = {
+            mod_files[n] for n, r in pending.items() if r == rnd and mod_files[n]
+        }
+        matched |= {
+            (f, rnd) for f in _modules_match_recording(root, rnd, files)
+        }
     changed = False
     for name, rnd in pending.items():
-        if mod_files[name] in clean:
+        if (mod_files[name], rnd) in matched:
             snap[name] = {"round": rnd, "hash": query_content_hash(name)}
             changed = True
     if changed:

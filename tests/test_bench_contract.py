@@ -25,6 +25,17 @@ def test_bench_headline_line_is_bounded():
     assert "\n" not in line
 
 
+def test_bench_headline_names_are_registered():
+    """Every HEADLINE name must exist in the query registry (r10
+    review): a typo'd or renamed entry would otherwise raise KeyError
+    at bench time — on the driver's official pass — and the round would
+    record no perf datum at all (the BENCH_r05 failure mode)."""
+    from etl_template_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, f"HEADLINE names not in REGISTRY: {missing}"
+
+
 def test_bench_headline_line_parses_with_required_keys():
     timings = {name: 1.0 for name in bench.HEADLINE}
     obj = json.loads(bench.headline_line(25.0, timings, 0.1, None))

@@ -1,0 +1,114 @@
+"""Executable guard for compat.py's cross-engine rounding caveat.
+
+Spark casts double→decimal via the SHORTEST decimal repr (HALF_UP);
+DuckDB rounds the exact BINARY value.  The two disagree only for
+doubles adjacent to a scale-6 half-point (verified r10:
+0.1937825 → Spark 0.193783, DuckDB 0.193782).  The query inventory's
+``dec``/``dsum`` discipline is cross-engine-exact only while no such
+double feeds a decimal cast, so this guard scans every fixture double
+column — plus the derived price expressions the TPC-H queries actually
+sum — and fails loudly the moment a driver-regenerated fixture enters
+the risk region.  Derived full-precision expressions (KL terms,
+embedding dots) are covered end-to-end by the sf0.1 soak instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pytest
+
+from etl_template_spark.compat import rounding_agreement_failures
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_detector_catches_known_divergence():
+    """A known diverging double must be flagged — proves the guard can
+    actually see the failure mode it exists for (no vacuous pass).
+    947.7089425 was measured against both live engines in r10:
+    Spark 947.708943 (shortest-repr tie, HALF_UP), DuckDB 947.708942."""
+    bad = rounding_agreement_failures([0.1937825, 947.7089425, 1.5, 123.45])
+    assert 947.7089425 in bad
+    # clearly-interior values never flag
+    assert 1.5 not in bad and 123.45 not in bad
+
+
+def test_spark_model_matches_live_session(spark):
+    """Pins the detector's Spark-side model (shortest repr, HALF_UP)
+    against a real session, on ties above and below the binary value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    vals = [0.1937825, 947.7089425, 2.0000005, 2.9999995, -0.1937825]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["d"]
+        for r in df.select("x", F.col("x").cast("decimal(30,6)").alias("d"))
+        .orderBy("x")
+        .collect()
+    ]
+    q = Decimal("0.000001")
+    want = [Decimal(repr(v)).quantize(q, ROUND_HALF_UP) for v in sorted(vals)]
+    assert got == want
+
+
+def test_detector_passes_safe_values():
+    # scale-2 decimals and 3-factor products thereof: exact at scale 6
+    vals = [1.50, 123.45, 123.45 * 0.95, 123.45 * 0.95 * 1.08, 0.0, -7.25]
+    assert rounding_agreement_failures(vals) == []
+
+
+@pytest.mark.parametrize(
+    "table",
+    [
+        os.path.basename(p).removesuffix(".parquet")
+        for p in sorted(glob.glob(os.path.join(SF_DIR, "*.parquet")))
+    ],
+)
+def test_fixture_double_columns_round_identically(table):
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR, f"{table}.parquet")
+    cols = [
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM (DESCRIBE SELECT * FROM read_parquet(?)) "
+            "WHERE column_type IN ('DOUBLE', 'FLOAT')",
+            [path],
+        ).fetchall()
+    ]
+    for col in cols:
+        vals = [
+            r[0]
+            for r in con.execute(
+                f'SELECT DISTINCT "{col}" FROM read_parquet(?) '
+                f'WHERE "{col}" IS NOT NULL',
+                [path],
+            ).fetchall()
+        ]
+        bad = rounding_agreement_failures(vals)
+        assert not bad, (
+            f"{table}.{col}: {len(bad)} double(s) round differently in "
+            f"Spark vs DuckDB at scale 6, e.g. {bad[:3]} — the dec()/dsum "
+            f"cross-engine guarantee no longer covers this fixture"
+        )
+
+
+def test_derived_price_expressions_round_identically():
+    """The expressions the TPC-H family feeds to dsum: products of the
+    scale-2 price/discount/tax columns (exact at scale ≤ 6 — the reason
+    the corpus sits in the agreeing region by construction)."""
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    rows = con.execute(
+        "SELECT DISTINCT l_extendedprice * (1 - l_discount), "
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) "
+        "FROM read_parquet(?)",
+        [path],
+    ).fetchall()
+    vals = [v for row in rows for v in row if v is not None]
+    bad = rounding_agreement_failures(vals)
+    assert not bad, f"derived price expressions in the risk region: {bad[:3]}"
