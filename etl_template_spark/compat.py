@@ -34,6 +34,17 @@ r10) exists but would rewrite every oracle's content hash and
 invalidate all recorded correctness stamps (~4 rounds of re-record
 window debt), which is disproportionate to a risk the guard already
 pins to zero occurrences; revisit only if the guard ever fires.
+
+The same class exists for ``F.round(x, 6)`` vs DuckDB ``round(x, 6)``
+(measured r10: 2/806 adversarial 7-digit values diverge, e.g.
+33.2585625 → Spark 33.258563 / DuckDB 33.258562; random
+full-precision doubles essentially never diverge — they are never
+within an ulp of a 6-decimal boundary).  The inventory's round-6
+sites feed on transcendental outputs (ln ratios, BM25 saturation), so
+their realized risk is ~0; the one UNROUNDED short-decimal division
+that reaches a decimal cast (the attribution share, price ÷ touch
+count) has its own derived-value guard in
+``tests/test_compat_guard.py``.
 """
 
 from __future__ import annotations

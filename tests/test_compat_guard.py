@@ -97,6 +97,45 @@ def test_fixture_double_columns_round_identically(table):
         )
 
 
+def test_attribution_shares_round_identically():
+    """q_attribution_linear's ``share = value / touches`` is the one
+    UNROUNDED division that feeds a decimal cast (dsum): a 2-decimal
+    price divided by a small count can terminate exactly on a scale-6
+    half-point (e.g. 1.13/32 = 0.0353125), which is the diverging
+    class.  Mirrors the registered oracle's pairs/share CTE verbatim
+    so the guard sees the very values the recording hashes."""
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR, "events.parquet")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    rows = con.execute(
+        """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+        touches AS (
+          SELECT user_id, ts, event_type FROM events
+          WHERE event_type IN ('click', 'view', 'signup')),
+        pairs AS (
+          SELECT p.event_id, p.value, t.event_type AS channel
+          FROM purchases p
+          LEFT JOIN touches t
+            ON t.user_id = p.user_id
+           AND t.ts <= p.ts
+           AND t.ts >= p.ts - INTERVAL 7 DAY)
+        SELECT DISTINCT value / COUNT(*) OVER (PARTITION BY event_id)
+        FROM pairs
+        """
+    ).fetchall()
+    vals = [r[0] for r in rows if r[0] is not None]
+    bad = rounding_agreement_failures(vals)
+    assert not bad, (
+        f"{len(bad)} attribution share(s) in the diverging class, "
+        f"e.g. {bad[:3]} — dsum('share') would hash-mismatch vs DuckDB"
+    )
+
+
 def test_derived_price_expressions_round_identically():
     """The expressions the TPC-H family feeds to dsum: products of the
     scale-2 price/discount/tax columns (exact at scale ≤ 6 — the reason
