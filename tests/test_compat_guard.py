@@ -19,6 +19,8 @@ import os
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from etl_template_spark.compat import rounding_agreement_failures
 
@@ -60,6 +62,23 @@ def test_detector_passes_safe_values():
     # scale-2 decimals and 3-factor products thereof: exact at scale 6
     vals = [1.50, 123.45, 123.45 * 0.95, 123.45 * 0.95 * 1.08, 0.0, -7.25]
     assert rounding_agreement_failures(vals) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    units=st.integers(min_value=-(10**12), max_value=10**12),
+    frac_digits=st.integers(min_value=0, max_value=6),
+)
+def test_safe_region_never_diverges(units, frac_digits):
+    """The compat docstring's load-bearing claim, as a property: a
+    double whose exact decimal expansion terminates within 6 fractional
+    digits (every price-like fixture column and every ≤3-factor product
+    of scale-2 decimals) casts to decimal(30,6) identically in both
+    engines — the cast never needs to round, so the divergence class is
+    unreachable.  Pins the 'corpus sits in the agreeing region by
+    construction' argument."""
+    v = units / (10.0**frac_digits)
+    assert rounding_agreement_failures([v]) == []
 
 
 @pytest.mark.parametrize(
