@@ -333,6 +333,41 @@ def test_prune_versions_keeps_newest(spark, tmp_path):
     assert list_versions(root, "s") == [5]
 
 
+def test_concurrent_claims_are_unique(tmp_path):
+    """The claim's whole reason to exist is the CONCURRENT case (the
+    reference's list-and-increment races, tools.go:343-366; os.mkdir is
+    the atomic arbiter) — so race it for real: many threads claiming
+    simultaneously from the same start state must each get a distinct
+    version directory, with no gaps beyond the contiguous range."""
+    import threading
+
+    from etl_template_spark.io import claim_next_version
+
+    root = str(tmp_path)
+    n_threads = 16
+    claims: list[tuple[int, str]] = []
+    lock = threading.Lock()
+    barrier = threading.Barrier(n_threads)
+
+    def worker():
+        barrier.wait()  # maximize contention: everyone lists, then claims
+        got = claim_next_version(root, "s")
+        with lock:
+            claims.append(got)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    versions = sorted(v for v, _ in claims)
+    assert len(set(versions)) == n_threads, f"duplicate claims: {versions}"
+    assert versions == list(range(1, n_threads + 1))
+    paths = {p for _, p in claims}
+    assert len(paths) == n_threads and all(os.path.isdir(p) for p in paths)
+
+
 def test_uncommitted_claim_is_invisible_to_readers(spark, tmp_path):
     """r7 ADVICE: a crash between claim_next_version's mkdir and the
     publish leaves an empty v=N without _SUCCESS.  Readers (latest,
