@@ -20,6 +20,21 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def node_count(p: str, name: str) -> int:
+    """Number of PLAN NODES named ``name`` in a formatted explain.
+
+    Counts the detail-section headers ``(id) Name`` — one per node —
+    because raw substring counts are inflated: the formatted output
+    prints every node in the tree AND in the details (2x), and join
+    nodes carry modifiers (``BroadcastHashJoin Inner BuildRight (id)``)
+    that defeat the ``"Name ("`` tree idiom (r10 mutation pass: the
+    q_tpch_q5 LeftSemi >= 2 threshold was satisfied by ONE semi join's
+    double print and missed a deleted prune)."""
+    import re
+
+    return len(re.findall(rf"^\({{1}}\d+\) {name}\b", p, re.M))
+
+
 def test_scan_pushdown_and_pruning(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_scan_parquet")
     pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
@@ -67,7 +82,7 @@ def test_global_topk_is_bounded_heap(spark, sf_dir):
 def test_flagship_has_partial_aggregation(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_agg_group")
     # partial (map-side) + final HashAggregate around the shuffle
-    assert p.count("HashAggregate") >= 2
+    assert p.count("HashAggregate (") >= 2  # tree nodes, not detail echoes
     pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
     assert "l_shipdate" in pushed
 
@@ -120,7 +135,7 @@ def test_tpch_q8_star_all_dims_broadcast(spark, sf_dir):
     nation x2, region) must broadcast — the only sort-merge join allowed
     is the fact-fact lineitem-orders join."""
     p = plan_of(spark, sf_dir, "q_tpch_q8")
-    assert p.count("BroadcastHashJoin") >= 5
+    assert node_count(p, "BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in p
 
 
@@ -464,7 +479,7 @@ def test_minmax_by_is_single_pass_no_window(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_agg_minmax_by")
     assert "Window" not in p and "Join" not in p
     assert "partial_max" in p and "partial_min" in p
-    assert p.count("SortAggregate") + p.count("HashAggregate") >= 2
+    assert p.count("SortAggregate (") + p.count("HashAggregate (") >= 2
     assert p.count("Exchange (") == 1  # one shuffle of group partials
 
 
@@ -473,7 +488,7 @@ def test_histogram_is_pure_partial_aggregate(spark, sf_dir):
     final agg: one shuffle of (group, bin) partials, nothing else."""
     p = plan_of(spark, sf_dir, "q_histogram")
     assert "Window" not in p and "Join" not in p
-    assert p.count("HashAggregate") >= 2
+    assert p.count("HashAggregate (") >= 2
     assert p.count("Exchange (") == 1
 
 
@@ -555,7 +570,7 @@ def test_dedup_url_is_zero_shuffle_normalization_plus_one_agg(spark, sf_dir):
     the final presentation sort; no joins, no windows."""
     p = plan_of(spark, sf_dir, "q_dedup_url")
     assert "Join" not in p and "Window" not in p
-    assert p.count("HashAggregate") >= 2  # partial + final
+    assert p.count("HashAggregate (") >= 2  # partial + final (tree nodes)
     # exactly the aggregate's shuffle + the ORDER BY range exchange
     # (detail-section entries only; the tree repeats each node)
     exchanges = [
@@ -584,7 +599,7 @@ def test_dedup_bloom_two_phase_prefilter(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_dedup_bloom")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
-    assert p.count("Join") >= 2  # bucket prefilter + exact verify
+    assert node_count(p, "[A-Za-z]*Join") >= 2  # join NODES: bucket prefilter + exact verify
     assert "BroadcastHashJoin" in p  # the bucket set is the broadcast side
     assert "xxhash64" in p
 

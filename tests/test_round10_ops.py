@@ -100,11 +100,24 @@ def test_tpch_q5_cycle_edge_is_the_semantics(spark, tmp_path):
 def test_tpch_q5_plan_prunes_both_dimension_chains(spark):
     """Both ASIA semi-join prunes (supplier AND customer) must survive
     into the physical plan, and the cycle edge must ride hash
-    equi-joins — no nested-loop fallback, no cartesian."""
+    equi-joins — no nested-loop fallback, no cartesian.
+
+    The semi-join count uses the TREE string, where each node prints
+    once (r10 mutation pass: the formatted explain prints every node
+    twice — tree + details — so `formatted.count("LeftSemi") >= 2` was
+    satisfied by the supplier prune alone and did not notice the
+    customer prune deleted)."""
     p = plan_of(spark, SF, "q_tpch_q5")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert p.count("LeftSemi") >= 2, p
+    tree = (
+        REGISTRY["q_tpch_q5"]
+        .build(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert tree.count("LeftSemi") >= 2, tree
     # the cycle edge is part of the supplier join's composite equi-key
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
 
