@@ -29,6 +29,48 @@ def bucketed_tables(spark, sf_dir):
     return li, o
 
 
+def test_hostile_and_qualified_names_rewrite_cleanly(spark, sf_dir):
+    """The two r10 identifier fixes, exercised end-to-end: a
+    catalog-valid but parser-hostile table name (the reserved word
+    ``order``) must round-trip through every name-parsing path (drop,
+    write, analyze, read), and a database-qualified name must survive
+    a REWRITE after catalog metadata loss — the stale-location failure
+    ``_drop_stale`` exists to prevent lives under ``<db>.db/<table>``
+    in the warehouse, which the pre-fix sweep of the raw dotted name
+    never touched.  (Catalog-INVALID names like ``line-items`` fail in
+    Spark's catalog regardless of quoting — out of scope.)"""
+    import os
+
+    from etl_template_spark.bucketing import read_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .limit(100)
+    )
+    # reserved-word bare name: quoting must hold on every name path
+    write_bucketed(li, "order", ["l_orderkey"], n_buckets=2)
+    assert read_table(spark, "order").count() == 100
+    spark.sql("DROP TABLE `order`")
+
+    # db-qualified name: drop the METADATA but leave the warehouse
+    # directory (the in-memory-catalog failure mode), then rewrite
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    write_bucketed(li, "bdb.t1", ["l_orderkey"], n_buckets=2)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, "bdb.db", "t1")
+    assert os.path.isdir(loc), loc
+    spark.sql("DROP TABLE bdb.t1")  # metadata gone ...
+    # ... but the directory survives WITH data (dead-session remnant)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "part-stale.parquet"), "w") as fh:
+        fh.write("stale")
+    write_bucketed(li, "bdb.t1", ["l_orderkey"], n_buckets=2)  # must not raise
+    assert read_table(spark, "bdb.t1").count() == 100
+    spark.sql("DROP TABLE bdb.t1")
+    spark.sql("DROP DATABASE bdb")
+
+
 def test_colocated_join_has_no_shuffle(spark, bucketed_tables):
     """With broadcast disabled (so the planner can't sidestep the
     question on tiny test data), the bucket-co-located SortMergeJoin
