@@ -565,7 +565,8 @@ def funnel_stream(
             state.remove()
             return
         tv, tc, tp = state.get if state.exists else (None, None, None)
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        pdfs = list(pdfs)
+        rows = pd.concat(pdfs) if pdfs else pd.DataFrame()
         tv, tc, tp = funnel_fold((tv, tc, tp), rows)
         state.update((tv, tc, tp))
         if ttl_ms is not None:
@@ -772,7 +773,8 @@ def retention_stream(
         cohort, seen = state.get if state.exists else (None, [])
         seen = list(seen or [])
         out_cohort, out_offset = [], []
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        pdfs = list(pdfs)
+        rows = pd.concat(pdfs) if pdfs else pd.DataFrame()
         if len(rows):
             for wk in sorted(rows.sort_values("ts")["wk"].unique()):
                 wk = pd.Timestamp(wk).to_pydatetime()
@@ -851,7 +853,8 @@ def transitions_stream(
             return
         last_ts, last_type = state.get if state.exists else (None, None)
         prevs, nexts = [], []
-        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        pdfs = list(pdfs)
+        rows = pd.concat(pdfs) if pdfs else pd.DataFrame()
         if len(rows):
             srt = rows.sort_values(["ts", "event_id"])
             for ts, et in zip(srt["ts"], srt["event_type"]):
