@@ -157,6 +157,31 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert set(pairs) == {(1, 2)} and pairs[(1, 2)] > 0.6
 
 
+def test_verified_jaccard_threshold_is_inclusive(spark):
+    """A pair at EXACTLY the threshold must survive (``>=``, mirroring
+    the oracles' ``jaccard >= 0.5``).  The fixture corpus carries no
+    exact-0.5 pair at test SF, so the oracle differential cannot see
+    this boundary (probed: a ``>`` mutant passes q_dedup_fuzzy at
+    sf0.001) — this test plants one: 3-shingle sets of size 3 sharing
+    exactly 2 give j = 2/(3+3-2) = 0.5 bit-exactly (sessionize-gap-edge
+    discipline: unit tests pin planted boundaries, differentials pin
+    data-visible semantics)."""
+    docs = _df(
+        spark,
+        [(1, "a b c d e"), (2, "a b c d f")],
+        "doc_id int, text string",
+    )
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), 3)).alias("s")
+    ).distinct()
+    pairs = _df(spark, [(1, 2)], "d1 int, d2 int")
+    out = {(r["d1"], r["d2"]): r["jaccard"] for r in
+           verified_jaccard(pairs, sh, threshold=0.5).collect()}
+    assert out == {(1, 2): 0.5}
+    # strictly-below still drops: raise the threshold one ulp-ish step
+    assert verified_jaccard(pairs, sh, threshold=0.500001).isEmpty()
+
+
 def test_lsh_probe_mode_equals_self_join_restricted_to_probe(spark):
     """Incremental LSH: with ``probe`` a subset of the signatures, the
     candidate set must be exactly the self-join pairs touching the
