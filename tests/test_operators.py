@@ -268,6 +268,21 @@ def test_replicate_join_matches_plain_join(spark):
 # -------------------------------------------------------- heavy hitters ----
 
 
+def test_heavy_hitters_threshold_is_inclusive(spark):
+    """A key at EXACTLY theta*N must survive (``cnt*den >= N*num``,
+    mirroring the oracle's ``COUNT(*)*100 >= n*1``).  The fixture
+    corpus has no token at exactly the 1% share, so the differential
+    cannot see this boundary (probed: a ``>`` mutant passes
+    q_heavy_hitters at sf0.001) — plant one: theta = 1/4 over 8 rows
+    with 'x' appearing exactly twice (2*4 == 8*1), 'a' once (below)."""
+    from etl_template_spark.operators.heavy import heavy_hitters
+
+    rows = [("x",), ("x",), ("a",), ("b",), ("c",), ("d",), ("e",), ("f",)]
+    df = _df(spark, rows, "token string")
+    got = {r["token"]: r["cnt"] for r in heavy_hitters(df, "token", 1, 4).collect()}
+    assert got == {"x": 2}
+
+
 def test_heavy_hitters_exact_under_zipf_eviction(spark):
     """MG capacity (k=50) << distinct keys (2000), spread over 8
     partitions, so every partition's sketch evicts heavily — the
