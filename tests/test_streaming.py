@@ -871,6 +871,76 @@ def test_attribution_tws_plan_constructs(spark, events_dir):
         ]
 
 
+def test_attribution_fold_lookback_lower_bound_is_inclusive():
+    """A touch at EXACTLY ``purchase.ts - window`` must earn credit
+    (the batch twin's lookback is the closed interval
+    ``[ts - window, ts]``).  The batch-twin fold test's touches all sit
+    strictly inside the window, so a ``lo < t`` mutant survived every
+    attribution test (boundary-sweep probe) — this plants the edge:
+    with the inclusive bound the credit goes to the touch channel,
+    with the exclusive mutant it silently falls back to 'direct'."""
+    import pandas as pd
+
+    from etl_template_spark.streaming import attribution_fold
+
+    window_ms = 7 * 86_400_000
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    purchase_ts = t0 + pd.Timedelta(milliseconds=window_ms)
+    rows = [
+        (1, t0, "click", 0.0),
+        (2, purchase_ts, "purchase", 10.0),
+    ]
+    out, _ = attribution_fold(7, [], rows, window_ms)
+    assert out == [(2, 7, "click", 10.0, 1)]
+
+
+def test_interval_join_fold_window_upper_bound_is_inclusive():
+    """A purchase at EXACTLY ``click.ts + window`` must pair (the batch
+    twin's predicate is ``p.ts <= c.ts + window``).  The batch-twin
+    fold test has a same-instant pair (pinning the LOWER bound) but no
+    exactly-window-late purchase, so a ``< c_ts + win`` mutant survived
+    (boundary-sweep probe) — this plants the edge."""
+    import pandas as pd
+
+    from etl_template_spark.streaming import interval_join_fold
+
+    window_ms = 2 * 3_600_000
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+    p_ts = t0 + pd.Timedelta(milliseconds=window_ms)
+    rows = [
+        (1, t0, "click", 0.0),
+        (2, p_ts, "purchase", 5.0),
+    ]
+    out, _, _ = interval_join_fold(3, [], [], rows, window_ms)
+    assert out == [(3, 1, t0, 2, p_ts, 5.0)]
+    # and through the SYMMETRIC branch (a LATE click probing the
+    # buffered purchase — the other code path carries its own bound):
+    # purchase arrives alone in batch 1, the exactly-window-earlier
+    # click in batch 2; slack keeps the purchase probeable
+    out1, clicks, purchases = interval_join_fold(
+        3, [], [], [(2, p_ts, "purchase", 5.0)], window_ms, slack_ms=window_ms
+    )
+    assert out1 == []
+    out2, _, _ = interval_join_fold(
+        3, clicks, purchases, [(1, t0, "click", 0.0)], window_ms,
+        slack_ms=window_ms,
+    )
+    assert out2 == [(3, 1, t0, 2, p_ts, 5.0)]
+    # symmetric branch LOWER bound: a SAME-INSTANT pair split across
+    # batches (purchase first, the tying click late) — the one-batch
+    # same-instant case routes through the purchase-probes-clicks
+    # branch instead, so it cannot pin this bound
+    out3, clicks3, purchases3 = interval_join_fold(
+        4, [], [], [(6, t0, "purchase", 2.0)], window_ms, slack_ms=window_ms
+    )
+    assert out3 == []
+    out4, _, _ = interval_join_fold(
+        4, clicks3, purchases3, [(5, t0, "click", 0.0)], window_ms,
+        slack_ms=window_ms,
+    )
+    assert out4 == [(4, 5, t0, 6, t0, 2.0)]
+
+
 def test_attribution_fold_matches_batch_twin_over_microbatches(spark):
     """The factored per-key transition function, driven over simulated
     micro-batches (cross-batch touch carry + lossless pruning), must
