@@ -705,6 +705,79 @@ def test_attribution_fold_totals_under_admissible_interleavings(
     assert {k: sorted(v) for k, v in got.items()} == expected_credits()
 
 
+@given(_fold_events, st.integers(min_value=0, max_value=10), st.randoms())
+@settings(**_SETTINGS)
+def test_funnel_fold_monotone_and_batch_parity_under_interleavings(
+    events, n_cuts, rnd
+):
+    """The funnel fold's two contracts, closing the property family the
+    other two fold twins already carry: (a) IN-ORDER arrival split into
+    any contiguous micro-batches lands on exactly the one-shot fold of
+    the full stream (batch parity — the docstring's 'in-order backlog
+    reproduces the batch result'); (b) under ANY watermark-admissible
+    interleaving, stages are MONOTONE — a stage timestamp never changes
+    once set — and the final triple is a valid strictly-increasing
+    funnel drawn from the user's own events."""
+    from etl_template_spark.streaming.jobs import funnel_fold
+
+    delay_s = 3_600
+    base = pd.Timestamp("2024-01-01")
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(seconds=ts) for (_u, ts, _e) in rows],
+                "event_type": [et for (_u, _t, et) in rows],
+            }
+        )
+
+    evs = [(u, ts, et) for (u, ts, et, _j) in events]
+    # (a) batch parity: event-time order, contiguous cuts
+    by_user: dict = {}
+    for u, ts, et in sorted(evs, key=lambda r: r[1]):
+        by_user.setdefault(u, []).append((u, ts, et))
+    for u, rows in by_user.items():
+        one_shot = funnel_fold((None, None, None), pdf(rows))
+        cuts = (
+            sorted(rnd.sample(range(1, len(rows)), min(n_cuts, len(rows) - 1)))
+            if len(rows) > 1
+            else []
+        )
+        state, lo = (None, None, None), 0
+        for c in cuts + [len(rows)]:
+            if c > lo:
+                state = funnel_fold(state, pdf(rows[lo:c]))
+                lo = c
+        assert state == one_shot
+    # (b) monotonicity + validity under admissible interleavings
+    states: dict = {}
+    for batch in _arrival_batches(events, delay_s, rnd, n_cuts):
+        per_user: dict = {}
+        for _ak, _eid, uid, ts, et in batch:
+            per_user.setdefault(uid, []).append((uid, ts, et))
+        for uid, rows in per_user.items():
+            prev = states.get(uid, (None, None, None))
+            cur = funnel_fold(prev, pdf(rows))
+            for p, c in zip(prev, cur):
+                assert p is None or c == p  # stages never regress/change
+            states[uid] = cur
+    for uid, (tv, tc, tp) in states.items():
+        times = {
+            et: {
+                base + pd.Timedelta(seconds=ts)
+                for (u, ts, et2, _j) in events
+                if u == uid and et2 == et
+            }
+            for et in ("view", "click", "purchase")
+        }
+        if tv is not None:
+            assert tv in times["view"]
+        if tc is not None:
+            assert tc in times["click"] and tc > tv
+        if tp is not None:
+            assert tp in times["purchase"] and tp > tc
+
+
 # ------------------------------------------------ sharded Misra-Gries ----
 
 
