@@ -415,6 +415,55 @@ ROUND8_WINDOW = [
 # family, curation, cross-encoder — headed by q_scan_pyds, displaced
 # from the r8 window), then the stalest 17 of the r6 block (join
 # family + tpch head) — 3+2+28+17 = 50 exactly.
+# The intended round-11 correctness window, pinned at the start of the
+# round-11 build per the r10 VERDICT rotation directive: zero fresh and
+# zero invalidated entries this round (the declared surface is complete
+# at 180), so the window is a clean full-tail rotation — the ENTIRE
+# remaining r7-recorded block (32 queries, headed by the UDF-surface
+# tail q_udtf_mapinpandas/q_udtf_python, then ETL-ops, sampling,
+# events/temporal, retrieval, profiling, and the scan/sink head), then
+# the stalest 18 of the r8 block (subqueries/advanced-SQL and the
+# dedup family head) — 32+18 = 50 exactly.
+ROUND11_WINDOW = [
+    'q_udtf_mapinpandas', 'q_udtf_python', 'q_win_dedup', 'q_merge_upsert',
+    'q_scd2', 'q_agg_skew_salted', 'q_sample_hash', 'q_events_funnel',
+    'q_events_retention', 'q_sample_weighted', 'q_sample_stratified',
+    'q_sample_reservoir', 'q_sample_cluster', 'q_sample_budget', 'q_bm25_rank',
+    'q_dedup_url', 'q_changelog_apply', 'q_shuffle_interleave',
+    'q_dedup_semantic', 'q_incremental_agg', 'q_timeseries_gapfill',
+    'q_profile_table', 'q_distribution_drift', 'q_quality_repetition',
+    'q_entity_resolution', 'q_index_inverted', 'q_anomaly_mad', 'q_ngram_pmi',
+    'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
+    'q_scan_parquet', 'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc',
+    'q_sink_partitioned', 'q_sink_versioned', 'q_subquery_scalar',
+    'q_subquery_in', 'q_subquery_correlated', 'q_agg_stats',
+    'q_agg_percentile', 'q_string_agg', 'q_dedup_exact', 'q_dedup_fuzzy',
+    'q_dedup_cluster', 'q_dedup_incremental', 'q_dedup_ngram',
+    'q_dedup_simhash',
+]
+
+
+def test_round11_window_matches_prediction():
+    """Window-drift tripwire, round-11 edition (same pattern as r5-r10).
+    BEFORE the round-11 recording lands, the live exposure order must
+    start with exactly the pinned prediction; AFTER CORRECTNESS_r11.json
+    exists, the names the driver actually recorded must match a prefix
+    of the prediction."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r11 = os.path.join(repo, "CORRECTNESS_r11.json")
+    if not os.path.exists(r11):
+        assert list(entry_mod.queries())[:50] == ROUND11_WINDOW
+        return
+    with open(r11) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND11_WINDOW[: len(recorded)]), (
+        "r11 recorded a different window than the round-11 build predicted"
+    )
+
+
 # The intended round-10 correctness window, pinned at the start of the
 # round-10 build per the r9 VERDICT rotation directive: the ONE new
 # query leads (q_tpch_q5 — the cyclic 6-way join, the round's only
