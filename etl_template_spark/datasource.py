@@ -269,7 +269,16 @@ class VersionedReader(DataSourceReader):
         parts = []
         for f in _parquet_files(self._path):
             md = pq.ParquetFile(f).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            # Full dotted paths, not leaf names: a nested struct leaf can
+            # share its NAME with a filtered top-level column (e.g. struct
+            # `s.x` vs column `x`), and `names.index("x")` on leaf names
+            # would resolve to whichever leaf comes first in parquet
+            # schema order — applying the WRONG column's min/max stats
+            # and pruning a row group that actually contains matches
+            # (silent row loss).  `_supported` admits only single-part
+            # attributes, so a path-equality lookup matches exactly the
+            # top-level column or nothing (r10 ADVICE).
+            names = [md.schema.column(i).path for i in range(md.num_columns)]
             for rg in range(md.num_row_groups):
                 if _rg_can_match(md.row_group(rg), names, self._filters):
                     parts.append(RowGroupPartition(file=f, row_group=rg))

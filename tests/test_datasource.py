@@ -239,3 +239,37 @@ def test_row_group_stats_prune_partitions(spark, tmp_path):
     back = spark.read.format(FORMAT_NAME).option("step", "rg4").load(root)
     assert back.where(F.col("id") > 2999).count() == 1000
     assert back.where(F.col("id") == 1500).count() == 1
+
+
+def test_nested_leaf_cannot_shadow_filtered_column(spark, tmp_path):
+    """r10 ADVICE: stats pruning must key off the parquet leaf's full
+    dotted PATH, not its leaf NAME.  With a struct whose leaf shares a
+    name with a filtered top-level column and appears FIRST in schema
+    order (here ``s.id`` before ``id``), a leaf-name ``names.index``
+    would resolve the filter to the struct leaf's min/max and prune a
+    row group that actually matches — silent row loss."""
+    from etl_template_spark.datasource import VersionedReader
+    from pyspark.sql.datasource import GreaterThan
+
+    root = str(tmp_path)
+    # struct leaf s.id spans [0, 100); top-level id spans [5000, 5100).
+    # A filter id > 4999 matches EVERY row, but s.id's stats (max 99)
+    # would "prove" no row matches if the wrong leaf is consulted.
+    df = spark.range(100).select(
+        F.struct(F.col("id")).alias("s"), (F.col("id") + 5000).alias("id")
+    )
+    write_versioned(df.coalesce(1), root, "shadow")
+
+    r = VersionedReader(root, "shadow", None)
+    all_parts = r.partitions()
+    r.pushFilters([GreaterThan(attribute=("id",), value=4999)])
+    kept = r.partitions()
+    assert len(kept) == len(all_parts), (
+        "struct leaf s.id shadowed top-level id: matching row group pruned"
+    )
+    # and the end-to-end read stays exact
+    back = spark.read.format(FORMAT_NAME).option("step", "shadow").load(root)
+    assert back.where(F.col("id") > 4999).count() == 100
+    # pruning on the real top-level column still works alongside the struct
+    r.pushFilters([GreaterThan(attribute=("id",), value=999999)])
+    assert r.partitions()[0].row_group == -1  # everything provably pruned
