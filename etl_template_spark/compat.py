@@ -20,10 +20,14 @@ decimal cast goes through the SHORTEST decimal representation
 while DuckDB rounds the EXACT binary value.  For an adversarial double
 such as 0.1937825 (binary 0.19378249999…), Spark yields 0.193783 and
 DuckDB 0.193782 — so the bit-identical-cross-engine guarantee holds
-only for doubles where both views round alike.  That covers every
+only for doubles where both views round alike.  The agreeing region
+is also magnitude-bounded (r11): DuckDB's cast multiplies by 10^s in
+double, so above |v| ≈ 2^53·10^-s (~9.0e9 at scale 6) even exact
+integers diverge from the shortest-repr path.  Both bounds cover every
 value in the current corpus: price-like fixture columns are decimals
-of scale ≤ 2, and the derived expressions are products of at most
-three of them (scale ≤ 6 exact — no rounding happens at all).  The
+of scale ≤ 2 well under 1e6 in magnitude, and the derived expressions
+are products of at most three of them (scale ≤ 6 exact — no rounding
+happens at all).  The
 guarantee is ENFORCED, not assumed: ``rounding_agreement_failures``
 below is the executable check, ``tests/test_compat_guard.py`` scans
 every fixture double column plus the derived price expressions with
@@ -89,32 +93,54 @@ def rounding_agreement_failures(values, scale: int = 6) -> list[float]:
     differs between Spark and DuckDB — i.e. the inputs that would break
     ``dec``/``dsum_sql`` cross-engine equality (see module docstring).
 
-    A disagreement needs a scale-``s`` half-point within ~an ulp of the
-    value (both engines round any clearly-interior value to the same
-    nearest cell), so a cheap vectorized prefilter keeps the per-value
-    arbitration off the hot path: candidates are values within a
-    generous 1e-3·10^-s of an odd multiple of 0.5·10^-s (true
-    divergences sit within ~1e-6·10^-s of one).  Each candidate is then
-    arbitrated EMPIRICALLY against DuckDB itself (one batched query —
-    DuckDB's tie behavior matches no clean decimal model: r10 probes
-    saw binary-above-half round down and binary-below-half round up),
-    with Spark's side computed from its documented cast semantics:
+    A disagreement at moderate magnitude needs a scale-``s`` half-point
+    within ~an ulp of the value (both engines round any clearly-interior
+    value to the same nearest cell), so a cheap vectorized prefilter
+    keeps the per-value arbitration off the hot path: candidates are
+    values within a generous 1e-3·10^-s of an odd multiple of
+    0.5·10^-s (true divergences sit within ~1e-6·10^-s of one).  The
+    prefilter is only trustworthy where the double grid at v·2·10^s is
+    finer than that tolerance — above |v| ≈ 4.4·10^(6-s)·10^s the ulp
+    of the scaled product exceeds 1e-3 and a genuine half-point can
+    land anywhere in the cell (and an int64 cast of the scaled value
+    eventually overflows), so every value whose scaled ulp is not
+    comfortably under the tolerance is routed STRAIGHT to the
+    empirical arbitration instead (r10 ADVICE).  That large-magnitude
+    route is load-bearing, not paranoia: DuckDB's double→decimal cast
+    multiplies by 10^s in DOUBLE, so above |v| ≈ 2^53·10^-s even exact
+    INTEGER doubles diverge from Spark's shortest-repr model (probed
+    r11: 1137692863589.0 → DuckDB 1137692863588.999936, Spark
+    ...589.000000).  Values that overflow decimal(30,``s``) entirely
+    are reported as failures without arbitration — Spark's non-ANSI
+    cast yields NULL where DuckDB raises, a divergence by construction.
+    Each candidate is arbitrated EMPIRICALLY against DuckDB itself
+    (one batched query — DuckDB's tie behavior matches no clean
+    decimal model: r10 probes saw binary-above-half round down and
+    binary-below-half round up), with Spark's side computed from its
+    documented cast semantics:
     ``BigDecimal(Double.toString(v)).setScale(s, HALF_UP)``, i.e. the
     shortest decimal repr rounded half-away-from-zero
     (``test_compat_guard.py`` pins the model against a live session).
     """
-    import math
-
     import numpy as np
 
     arr = np.asarray(list(values), dtype="float64")
     arr = arr[np.isfinite(arr)]
-    scaled2 = arr * (2.0 * 10.0**scale)
-    near = np.abs(scaled2 - np.round(scaled2)) < 1e-3
-    odd = np.round(scaled2).astype("int64") % 2 != 0
-    candidates = [v for v in arr[near & odd].tolist() if math.isfinite(v)]
-    if not candidates:
+    if arr.size == 0:
         return []
+    limit = 10.0 ** (_PRECISION - scale)
+    overflow = arr[np.abs(arr) >= limit].tolist()
+    arr = arr[np.abs(arr) < limit]
+    scaled2 = arr * (2.0 * 10.0**scale)
+    # grid fine enough that a true half-point provably lands inside the
+    # `near` tolerance AND rounds to its exact (odd) integer
+    reliable = np.spacing(np.abs(scaled2)) < 5e-4
+    near = np.abs(scaled2 - np.round(scaled2)) < 1e-3
+    odd = np.fmod(np.round(scaled2), 2.0) != 0.0  # no int64 cast: exact for
+    # all reliable magnitudes (round(scaled2) < 2^53 there)
+    candidates = arr[(~reliable) | (reliable & near & odd)].tolist()
+    if not candidates:
+        return overflow
 
     import duckdb
 
@@ -129,7 +155,7 @@ def rounding_agreement_failures(values, scale: int = 6) -> list[float]:
         ).fetchall()
     finally:
         con.close()
-    bad: list[float] = []
+    bad: list[float] = list(overflow)
     for v, (duck,) in zip(candidates, rows):
         spark_model = Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
         if spark_model != duck:

@@ -66,7 +66,7 @@ def test_detector_passes_safe_values():
 
 @settings(max_examples=200, deadline=None)
 @given(
-    units=st.integers(min_value=-(10**12), max_value=10**12),
+    units=st.integers(min_value=-(4 * 10**9), max_value=4 * 10**9),
     frac_digits=st.integers(min_value=0, max_value=6),
 )
 def test_safe_region_never_diverges(units, frac_digits):
@@ -76,9 +76,52 @@ def test_safe_region_never_diverges(units, frac_digits):
     of scale-2 decimals) casts to decimal(30,6) identically in both
     engines — the cast never needs to round, so the divergence class is
     unreachable.  Pins the 'corpus sits in the agreeing region by
-    construction' argument."""
+    construction' argument.
+
+    The domain is bounded at |v| ≤ 4e9 (r11, half the true edge):
+    above |v| ≈ 2^53·10^-6 ≈ 9.0e9 DuckDB's double→decimal cast — a
+    double multiply by 10^6 — rounds, so even exact integers diverge
+    from Spark's shortest-repr path (probed: divergences appear from
+    the 1e10 decade up, zero in 4000 samples below).  The guard now
+    ROUTES those magnitudes to empirical arbitration rather than
+    silently passing them; the corpus never leaves the bounded
+    region (price-scale values, ≤3-factor products)."""
     v = units / (10.0**frac_digits)
     assert rounding_agreement_failures([v]) == []
+
+
+def test_detector_large_magnitude_routes_to_arbitration():
+    """r10 ADVICE: the vectorized prefilter's tolerance (1e-3 on
+    v·2e6) is coarser than the float grid above |v| ≈ 4.4e6, and its
+    int64 cast overflowed beyond |v| ≈ 4.6e12.  Large magnitudes must
+    now bypass the prefilter and be arbitrated empirically.  Each
+    planted value below was verified divergent against live DuckDB."""
+    bad = rounding_agreement_failures(
+        [
+            4400000.0000005,  # half-point just past the prefilter-reliable edge
+            1137692863589.0,  # exact INTEGER: DuckDB's ·1e6 product rounds
+            12887219074599.0,  # old int64-scaled path was near overflow UB
+            5.0e9,  # exact integer inside DuckDB's exact-product range
+            4400000.25,  # large but clearly interior
+        ]
+    )
+    assert 4400000.0000005 in bad
+    assert 1137692863589.0 in bad
+    assert 12887219074599.0 in bad
+    assert 5.0e9 not in bad
+    assert 4400000.25 not in bad
+
+
+def test_detector_decimal_overflow_is_a_failure():
+    """|v| ≥ 10^24 cannot fit decimal(30,6): Spark's non-ANSI cast
+    yields NULL where DuckDB raises — a cross-engine divergence by
+    construction, reported without (crashing) arbitration."""
+    bad = rounding_agreement_failures([1.0e25, 2.5, -3.0e24])
+    assert 1.0e25 in bad and -3.0e24 in bad and 2.5 not in bad
+    # overflow values must survive the arbitration path too (not just
+    # the no-candidates early return): pair one with a live candidate
+    bad = rounding_agreement_failures([1.0e25, 947.7089425])
+    assert 1.0e25 in bad and 947.7089425 in bad
 
 
 @pytest.mark.parametrize(
