@@ -830,6 +830,41 @@ def prune_versions(
             doomed.append(n)
     for n in sorted(set(doomed)):
         shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
+    # _pin-* ingest scratch (io.stage_pin): released by the ingest on
+    # every non-crash path, so one still present is either a crash
+    # leftover or a LIVE ingest between its pin and its versioned
+    # write — the same ambiguity as an uncommitted claim, resolved the
+    # same way: sweep only once the tree-wide max mtime is older than
+    # the claim grace period.
+    try:
+        pin_names = [
+            p for p in os.listdir(step_dir) if p.startswith("_pin-")
+        ]
+    except OSError:
+        pin_names = []
+    for name in pin_names:
+        pin_dir = os.path.join(step_dir, name)
+        try:
+            newest_mtime = os.path.getmtime(pin_dir)
+            for sub_dir, _dirs, files in os.walk(pin_dir):
+                if now - newest_mtime < min_claim_age:
+                    break  # provably alive — stop statting
+                try:
+                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
+                except OSError:
+                    pass
+                for entry in files:
+                    try:
+                        newest_mtime = max(
+                            newest_mtime,
+                            os.path.getmtime(os.path.join(sub_dir, entry)),
+                        )
+                    except OSError:
+                        pass  # raced away mid-walk
+        except OSError:
+            continue  # raced away — nothing to sweep
+        if now - newest_mtime >= min_claim_age:
+            shutil.rmtree(pin_dir, ignore_errors=True)
     # _inflight-{batch_id}-* scratch (the streaming sink's staging dirs;
     # see streaming/jobs.py::commit_stream_batch) is swept ONLY when a
     # committed version's _BATCH_ID marker proves that batch already
@@ -914,6 +949,46 @@ def compact_merged_log(
     return len(
         prune_versions(root, step, keep_last=1, min_claim_age=min_claim_age)
     )
+
+
+def stage_pin(
+    df: DataFrame, root: str, step: str
+) -> tuple[DataFrame, Callable[[], None]]:
+    """Durably materialize ``df`` under the step's storage root and
+    return ``(pinned_frame, release)``.
+
+    The fault-tolerant sibling of ``localCheckpoint()`` for INGEST
+    paths (r10 VERDICT): a local checkpoint pins the frame in
+    executor-LOCAL shuffle blocks, so losing one executor mid-ingest
+    fails the whole job — recoverable only by re-running it (safe
+    here because the incremental ingests are redelivery-idempotent,
+    but an availability cliff at 1000-executor scale, where some
+    executor loss per long job is the norm).  A staged parquet write
+    under the same storage root keeps the pin on DURABLE storage
+    instead: the pinned plan is a plain scan, so an executor loss
+    degrades to re-reading a file.  The price is one write+read of a
+    delta-sized frame through the job's own filesystem — the same
+    cost class as the versioned write the ingest is about to do
+    anyway.
+
+    The scratch dir (``_pin-<uuid>``) is invisible to versioned
+    readers (``list_versions`` matches ``v=N`` only).  Callers must
+    invoke ``release`` after the LAST action on the pinned frame
+    (try/finally); crash leftovers are swept by ``prune_versions``
+    once older than its claim grace period."""
+    import uuid
+
+    spark = df.sparkSession
+    pin_dir = os.path.join(_step_dir(root, step), f"_pin-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(pin_dir)
+    # explicit schema: an empty delta writes no part files, and a bare
+    # read of a part-less directory cannot infer one
+    pinned = spark.read.schema(df.schema).parquet(pin_dir)
+
+    def release() -> None:
+        shutil.rmtree(pin_dir, ignore_errors=True)
+
+    return pinned, release
 
 
 def process_scratch_root(prefix: str, sf_dir: str) -> str:

@@ -113,7 +113,13 @@ def ivf_index_incremental(
     merged index; the first call must bring vectors (it trains).
     Returns ``(merged_index, latest_cells_version)``.
     """
-    from ..io import latest_version, read_versioned, read_versioned_merged, write_versioned
+    from ..io import (
+        latest_version,
+        read_versioned,
+        read_versioned_merged,
+        stage_pin,
+        write_versioned,
+    )
 
     _assign_cells, _ = _sim_helpers()
     cent_step, cells_step = f"{step}_centroids", f"{step}_cells"
@@ -172,14 +178,21 @@ def ivf_index_incremental(
             seen = read_versioned_merged(spark, root, cells_step).select("vec_id")
             d = d.join(seen, "vec_id", "left_anti")
         centroids = read_versioned(spark, root, cent_step)
-        # localCheckpoint before the emptiness probe (r10 review): the
-        # assignment plan embeds the anti-join against the FULL merged
-        # cell log plus the broadcast-centroid argmax, and isEmpty +
-        # write_versioned would otherwise execute it twice.  The
-        # materialized frame is delta-sized by contract.
-        assigned = _assign_cells(d, centroids).localCheckpoint()
-        if not assigned.isEmpty():
-            write_versioned(assigned, root, cells_step)
+        # stage_pin before the emptiness probe (r10 review; durable per
+        # the r10 VERDICT — see io.stage_pin): the assignment plan
+        # embeds the anti-join against the FULL merged cell log plus
+        # the broadcast-centroid argmax, and isEmpty + write_versioned
+        # would otherwise execute it twice.  The pin is delta-sized by
+        # contract and on the index's own storage root, so an executor
+        # loss mid-ingest degrades to re-reading the staged file.
+        assigned, release = stage_pin(
+            _assign_cells(d, centroids), root, cells_step
+        )
+        try:
+            if not assigned.isEmpty():
+                write_versioned(assigned, root, cells_step)
+        finally:
+            release()
     version = latest_version(root, cells_step)
     merged = read_versioned_merged(spark, root, cells_step).drop("_version")
     return merged, version

@@ -1010,3 +1010,79 @@ def test_prune_grace_uses_tree_mtime(spark, tmp_path):
     os.utime(leaf, (stale, stale))
     assert n in prune_versions(root, "s", keep_last=5)
     assert not os.path.isdir(slow_dir)
+
+
+def test_stage_pin_roundtrip_and_release(spark, tmp_path):
+    """io.stage_pin (r10 VERDICT): the durable sibling of
+    localCheckpoint() for ingest paths — the pinned frame reads back
+    bit-identical as a plain parquet scan, the scratch dir is invisible
+    to versioned readers, and release() removes it."""
+    from etl_template_spark.io import list_versions, stage_pin, write_versioned
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    df = spark.createDataFrame([("2", "b"), ("3", "c")], SCHEMA)
+    pinned, release = stage_pin(df, root, "s")
+    assert sorted(map(tuple, pinned.collect())) == [("2", "b"), ("3", "c")]
+    assert pinned.schema == df.schema
+    # pin dir exists under the step dir but versioned readers don't see it
+    pins = [p for p in os.listdir(os.path.join(root, "s")) if p.startswith("_pin-")]
+    assert len(pins) == 1
+    assert list_versions(root, "s") == [1]
+    release()
+    assert not os.path.isdir(os.path.join(root, "s", pins[0]))
+
+
+def test_stage_pin_empty_frame_keeps_schema(spark, tmp_path):
+    """An empty delta writes no part files; the pin must still read
+    back with the declared schema (the ingest's isEmpty probe runs on
+    the pinned frame)."""
+    from etl_template_spark.io import stage_pin
+
+    df = spark.createDataFrame([], SCHEMA)
+    pinned, release = stage_pin(df, str(tmp_path), "s")
+    try:
+        assert pinned.isEmpty()
+        assert pinned.schema == df.schema
+    finally:
+        release()
+
+
+def test_prune_versions_sweeps_stale_pin_scratch(spark, tmp_path):
+    """A _pin-* scratch dir released on every non-crash path is, when
+    still present, either a crash leftover or a live ingest — the sweep
+    reclaims it only past the claim grace period, keyed off the
+    tree-wide max mtime (same discipline as uncommitted claims)."""
+    from etl_template_spark.io import prune_versions, stage_pin, write_versioned
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    pinned, _release = stage_pin(
+        spark.createDataFrame([("2", "b")], SCHEMA), root, "s"
+    )
+    pin_dir = os.path.join(
+        root, "s",
+        [p for p in os.listdir(os.path.join(root, "s")) if p.startswith("_pin-")][0],
+    )
+    # fresh pin (simulating a live ingest): spared
+    prune_versions(root, "s", keep_last=5)
+    assert os.path.isdir(pin_dir)
+    # a stale top dir with ONE fresh leaf is still alive (tree max)
+    stale = time.time() - 7200
+    leaves = [
+        os.path.join(d, f)
+        for d, _s, fs in os.walk(pin_dir)
+        for f in fs
+    ]
+    os.utime(pin_dir, (stale, stale))
+    for leaf in leaves[1:]:
+        os.utime(leaf, (stale, stale))
+    prune_versions(root, "s", keep_last=5)
+    assert os.path.isdir(pin_dir)
+    # whole tree stale: reclaimed
+    for d, _s, fs in os.walk(pin_dir):
+        os.utime(d, (stale, stale))
+        for f in fs:
+            os.utime(os.path.join(d, f), (stale, stale))
+    prune_versions(root, "s", keep_last=5)
+    assert not os.path.isdir(pin_dir)
