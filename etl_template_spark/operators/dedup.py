@@ -154,7 +154,17 @@ def verified_jaccard(
     """Exact Jaccard for candidate (d1, d2) pairs via the inverted
     index; only candidate pairs are ever scored.  Pass ``sizes``
     (doc_id, n_sh) when the caller already aggregated it (the MinHash
-    signature carries it) to avoid a second pass over the shingles."""
+    signature carries it) to avoid a second pass over the shingles.
+
+    Shape note (r11, measured): a collect_set/array_intersect
+    formulation (semi-join the index to candidate docs, aggregate
+    per-doc shingle arrays, two joins + F.array_intersect, no explode)
+    returns identical results but LOST the A/B at sf0.1 — 2.5 s vs
+    1.1 s for the verification stage — because the collect_set shuffle
+    outweighs the joins it replaces, and under AQE the candidate side
+    of this shape broadcasts, so the full index is scanned once but
+    never shuffled anyway.  Revisit only if candidate volume ever
+    makes the pairs×shingles intermediate the bottleneck."""
     if sizes is None:
         sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sizes = sizes.select("doc_id", "n_sh")
@@ -308,11 +318,23 @@ def df_capped_pair_counts(shingles: DataFrame, n_docs: DataFrame):
     skew-split the probe side of the keep-join — the hot keys being
     filtered out is exactly when the shuffle must not serialize them.
     """
+    from ..caching import persist_tracked
+
     dfreq = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     cap = F.greatest(F.lit(5), F.ceil(F.col("n_docs") / 100.0)).cast("long")
-    kept = shingles.join(
-        dfreq.crossJoin(F.broadcast(n_docs)).where(F.col("df") <= cap).select("s"),
-        "s",
+    # persist the pruned index (r11, A/B-measured): it feeds THREE
+    # consumers — the per-doc sizes and both sides of the self-join —
+    # and only one of those reuses an exchange; without the persist the
+    # DF-count + keep-join recomputes per consumer (sf0.1 medians 4.67 s
+    # → 4.11 s on q_dedup_ngram).  MEMORY_AND_DISK, released by the
+    # caller's release_tracked() per the caching-module discipline.
+    kept = persist_tracked(
+        shingles.join(
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") <= cap)
+            .select("s"),
+            "s",
+        )
     )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("d1"), "s")
