@@ -981,8 +981,15 @@ def stage_pin(
     spark = df.sparkSession
     pin_dir = os.path.join(_step_dir(root, step), f"_pin-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(pin_dir)
-    # explicit schema: an empty delta writes no part files, and a bare
-    # read of a part-less directory cannot infer one
+    # declared schema, not parquet inference — DEFENSIVE (probed r11):
+    # today's writer emits a schema-bearing part file even for
+    # plan-empty results, so inference would work, but the declared
+    # schema keeps the pin readable if that ever changes and pins the
+    # exact TYPES.  Nullability is NOT preserved either way: file
+    # sources force every column nullable regardless of the declared
+    # schema, so the pinned frame's columns are nullable — names and
+    # types exact, a documented relaxation the ingest call sites
+    # tolerate (parquet sinks ignore nullability).
     pinned = spark.read.schema(df.schema).parquet(pin_dir)
 
     def release() -> None:

@@ -1034,9 +1034,14 @@ def test_stage_pin_roundtrip_and_release(spark, tmp_path):
 
 
 def test_stage_pin_empty_frame_keeps_schema(spark, tmp_path):
-    """An empty delta writes no part files; the pin must still read
-    back with the declared schema (the ingest's isEmpty probe runs on
-    the pinned frame)."""
+    """The pin reads back with the DECLARED schema (names and types
+    exact — an empty delta must survive the ingest's isEmpty probe
+    regardless of what the writer emitted), with the one documented
+    relaxation: file sources force every column nullable, so a
+    nullable=False input comes back nullable=True (probed r11 — a
+    declared read schema does NOT override file-source nullability)."""
+    from pyspark.sql import functions as F
+
     from etl_template_spark.io import stage_pin
 
     df = spark.createDataFrame([], SCHEMA)
@@ -1044,6 +1049,18 @@ def test_stage_pin_empty_frame_keeps_schema(spark, tmp_path):
     try:
         assert pinned.isEmpty()
         assert pinned.schema == df.schema
+    finally:
+        release()
+
+    nn = spark.range(3).select(F.col("id"))  # id is nullable=False
+    assert not nn.schema["id"].nullable
+    pinned, release = stage_pin(nn, str(tmp_path), "s")
+    try:
+        assert [(f.name, f.dataType) for f in pinned.schema.fields] == [
+            (f.name, f.dataType) for f in nn.schema.fields
+        ]
+        assert pinned.schema["id"].nullable  # the documented relaxation
+        assert sorted(r.id for r in pinned.collect()) == [0, 1, 2]
     finally:
         release()
 
