@@ -417,14 +417,20 @@ ROUND8_WINDOW = [
 # family + tpch head) — 3+2+28+17 = 50 exactly.
 # The intended round-11 correctness window, pinned at the start of the
 # round-11 build per the r10 VERDICT rotation directive: zero fresh and
-# zero invalidated entries this round (the declared surface is complete
-# at 180), so the window is a clean full-tail rotation — the ENTIRE
-# remaining r7-recorded block (32 queries, headed by the UDF-surface
-# tail q_udtf_mapinpandas/q_udtf_python, then ETL-ops, sampling,
-# events/temporal, retrieval, profiling, and the scan/sink head), then
-# the stalest 18 of the r8 block (subqueries/advanced-SQL and the
-# dedup family head) — 32+18 = 50 exactly.
+# re-pinned mid-round (r11): the round's ONE query-module edit — the
+# _doc_shingles repartition(doc_id) single-shuffle change in
+# llm_text.py (A/B-measured, plan-pinned) — deliberately invalidates
+# that module's 14 queries, so they lead the window (stalest first),
+# followed by the stalest valid tail: the ENTIRE remaining r7-recorded
+# block except its last 2 entries (headed by the UDF-surface tail
+# q_udtf_mapinpandas/q_udtf_python, through the scan head ending at
+# q_scan_orc) — 14+36 = 50 exactly.  Displaced to the r12 window head:
+# the two r7 sinks and the r8 subquery/advanced-SQL block.
 ROUND11_WINDOW = [
+    'q_dedup_exact', 'q_dedup_fuzzy', 'q_dedup_cluster',
+    'q_dedup_incremental', 'q_dedup_ngram', 'q_dedup_simhash',
+    'q_text_stats', 'q_lang_id', 'q_quality_score', 'q_token_count',
+    'q_fingerprint', 'q_tfidf', 'q_heavy_hitters', 'q_corpus_curation',
     'q_udtf_mapinpandas', 'q_udtf_python', 'q_win_dedup', 'q_merge_upsert',
     'q_scd2', 'q_agg_skew_salted', 'q_sample_hash', 'q_events_funnel',
     'q_events_retention', 'q_sample_weighted', 'q_sample_stratified',
@@ -435,11 +441,6 @@ ROUND11_WINDOW = [
     'q_entity_resolution', 'q_index_inverted', 'q_anomaly_mad', 'q_ngram_pmi',
     'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
     'q_scan_parquet', 'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc',
-    'q_sink_partitioned', 'q_sink_versioned', 'q_subquery_scalar',
-    'q_subquery_in', 'q_subquery_correlated', 'q_agg_stats',
-    'q_agg_percentile', 'q_string_agg', 'q_dedup_exact', 'q_dedup_fuzzy',
-    'q_dedup_cluster', 'q_dedup_incremental', 'q_dedup_ngram',
-    'q_dedup_simhash',
 ]
 
 

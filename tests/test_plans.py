@@ -715,3 +715,21 @@ def test_incremental_tier_library_plans_no_cartesian(spark, sf_dir, tmp_path):
         bm25_search(spark, root, "idx", ("data", "model"), prune_lengths=False)
     )
     assert "LeftSemi" not in p_unpruned  # escape hatch: plain join back
+
+
+def test_shingle_build_single_shuffle_feeds_minhash(spark, sf_dir):
+    """The shingle table's one repartition(doc_id) must satisfy BOTH
+    the distinct's (doc_id, s) clustering and the MinHash signature's
+    groupBy(doc_id) — exactly ONE exchange in the whole explode →
+    distinct → signature pipeline (r11: a bare .distinct() partitions
+    by (doc_id, s), which no per-doc aggregate can reuse — one extra
+    full shuffle of the engine's largest intermediate at 100 TB)."""
+    from etl_template_spark.operators.dedup import minhash_signature
+    from etl_template_spark.queries.llm_text import _doc_shingles
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    sh = _doc_shingles(spark, sf_dir, k=3)  # no persist: lineage visible
+    p = minhash_signature(sh)._jdf.queryExecution().explainString(mode)
+    assert node_count(p, "Exchange") == 1
