@@ -724,9 +724,16 @@ def test_shingle_build_single_shuffle_feeds_minhash(spark, sf_dir):
     distinct → signature pipeline (r11: a bare .distinct() partitions
     by (doc_id, s), which no per-doc aggregate can reuse — one extra
     full shuffle of the engine's largest intermediate at 100 TB)."""
+    from etl_template_spark.caching import release_tracked
     from etl_template_spark.operators.dedup import minhash_signature
     from etl_template_spark.queries.llm_text import _doc_shingles
 
+    # earlier plan_of() calls register persists on this exact shingle
+    # subplan; the CacheManager would rewrite the lineage below to an
+    # InMemoryRelation and change the exchange count — drop them so
+    # the test pins the COLD plan regardless of suite ordering
+    release_tracked()
+    spark.catalog.clearCache()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
