@@ -142,22 +142,38 @@ def rounding_agreement_failures(values, scale: int = 6) -> list[float]:
     if not candidates:
         return overflow
 
+    import decimal
+
     import duckdb
+    import pandas as pd
 
     q = Decimal(1).scaleb(-scale)
     con = duckdb.connect()
     try:
+        # registered frame, not an interpolated VALUES list (r11
+        # review): the large-magnitude route can make the candidate
+        # set input-sized, and a per-value repr() in one SQL string is
+        # an unbounded statement; a registered pandas frame arbitrates
+        # any candidate count through DuckDB's vectorized cast.  The
+        # explicit index pins row order across the scan.
+        con.register(
+            "__cand", pd.DataFrame({"i": range(len(candidates)), "x": candidates})
+        )
         rows = con.execute(
-            "SELECT CAST(x AS DECIMAL(30, {s})) FROM (VALUES {vals}) t(x)".format(
-                s=scale,
-                vals=", ".join(f"(CAST({v!r} AS DOUBLE))" for v in candidates),
-            )
+            f"SELECT CAST(x AS DECIMAL(30, {scale})) FROM __cand ORDER BY i"
         ).fetchall()
     finally:
         con.close()
     bad: list[float] = list(overflow)
-    for v, (duck,) in zip(candidates, rows):
-        spark_model = Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
-        if spark_model != duck:
-            bad.append(v)
+    # widened decimal context (r11 review): the default 28-digit
+    # context cannot quantize values with int-digits + scale > 28, so
+    # |v| in [10^(28-s), 10^(30-s)) — inside decimal(30,s)'s domain —
+    # raised InvalidOperation instead of arbitrating.  30 integer
+    # digits + scale is the cast's own bound; 40 gives headroom.
+    with decimal.localcontext() as ctx:
+        ctx.prec = 40
+        for v, (duck,) in zip(candidates, rows):
+            spark_model = Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
+            if spark_model != duck:
+                bad.append(v)
     return bad

@@ -730,6 +730,46 @@ def analyze_versioned(
     return table
 
 
+def _tree_is_stale(top: str, now: float, grace: float) -> bool:
+    """True when EVERY mtime under ``top`` (the directory entry itself,
+    nested subdirectories, and files) is at least ``grace`` seconds
+    old — the shared liveness oracle for the two scratch sweeps in
+    :func:`prune_versions` (uncommitted ``v=N`` claims and stage_pin's
+    ``_pin-*`` dirs).  Tree-wide max, not the top dir's own mtime:
+    Spark streams task output into nested ``_temporary/`` subtrees
+    whose writes never touch the top-level directory entry (r9
+    ADVICE).  One fresh-enough mtime already proves the tree alive, so
+    the walk stops statting there — a live writer's tree can hold a
+    part file per task, and the common (live) case should cost one
+    stat, not a full-tree stat storm per GC pass.  A ``top`` that
+    races away mid-walk is treated as ALIVE (there is nothing left to
+    sweep, and the racer proves a live writer)."""
+    try:
+        newest_mtime = os.path.getmtime(top)
+        alive = now - newest_mtime < grace
+        for sub_dir, _dirs, files in os.walk(top):
+            if alive:
+                break
+            try:
+                newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
+            except OSError:
+                pass
+            for entry in files:
+                try:
+                    newest_mtime = max(
+                        newest_mtime,
+                        os.path.getmtime(os.path.join(sub_dir, entry)),
+                    )
+                except OSError:
+                    pass  # a live writer renamed it away mid-walk
+                if now - newest_mtime < grace:
+                    break
+            alive = now - newest_mtime < grace
+    except OSError:
+        return False  # raced away — nothing to sweep
+    return now - newest_mtime >= grace
+
+
 def prune_versions(
     root: str,
     step: str,
@@ -795,47 +835,15 @@ def prune_versions(
     for n in all_versions:
         if n in set(committed) or n >= newest:
             continue
-        claim_dir = os.path.join(step_dir, f"v={n}")
-        try:
-            newest_mtime = os.path.getmtime(claim_dir)
-            # tree-wide max, not the claim dir's own mtime: task output
-            # streams into nested _temporary/ subtrees whose writes
-            # never touch the top-level directory entry (r9 ADVICE).
-            # One fresh-enough mtime already proves the claim alive, so
-            # stop statting there — a live writer's claim tree can hold
-            # a part file per task, and the common (live) case should
-            # cost one stat, not a full-tree stat storm per GC pass.
-            alive = now - newest_mtime < min_claim_age
-            for sub_dir, _dirs, files in os.walk(claim_dir):
-                if alive:
-                    break
-                try:
-                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
-                except OSError:
-                    pass
-                for entry in files:
-                    try:
-                        newest_mtime = max(
-                            newest_mtime,
-                            os.path.getmtime(os.path.join(sub_dir, entry)),
-                        )
-                    except OSError:
-                        pass  # a live writer renamed it away mid-walk
-                    if now - newest_mtime < min_claim_age:
-                        break
-                alive = now - newest_mtime < min_claim_age
-        except OSError:
-            continue  # raced away — nothing to sweep
-        if now - newest_mtime >= min_claim_age:
+        if _tree_is_stale(os.path.join(step_dir, f"v={n}"), now, min_claim_age):
             doomed.append(n)
     for n in sorted(set(doomed)):
         shutil.rmtree(os.path.join(step_dir, f"v={n}"), ignore_errors=True)
     # _pin-* ingest scratch (io.stage_pin): released by the ingest on
     # every non-crash path, so one still present is either a crash
     # leftover or a LIVE ingest between its pin and its versioned
-    # write — the same ambiguity as an uncommitted claim, resolved the
-    # same way: sweep only once the tree-wide max mtime is older than
-    # the claim grace period.
+    # write — the same ambiguity as an uncommitted claim, resolved by
+    # the same staleness walk.
     try:
         pin_names = [
             p for p in os.listdir(step_dir) if p.startswith("_pin-")
@@ -844,26 +852,7 @@ def prune_versions(
         pin_names = []
     for name in pin_names:
         pin_dir = os.path.join(step_dir, name)
-        try:
-            newest_mtime = os.path.getmtime(pin_dir)
-            for sub_dir, _dirs, files in os.walk(pin_dir):
-                if now - newest_mtime < min_claim_age:
-                    break  # provably alive — stop statting
-                try:
-                    newest_mtime = max(newest_mtime, os.path.getmtime(sub_dir))
-                except OSError:
-                    pass
-                for entry in files:
-                    try:
-                        newest_mtime = max(
-                            newest_mtime,
-                            os.path.getmtime(os.path.join(sub_dir, entry)),
-                        )
-                    except OSError:
-                        pass  # raced away mid-walk
-        except OSError:
-            continue  # raced away — nothing to sweep
-        if now - newest_mtime >= min_claim_age:
+        if _tree_is_stale(pin_dir, now, min_claim_age):
             shutil.rmtree(pin_dir, ignore_errors=True)
     # _inflight-{batch_id}-* scratch (the streaming sink's staging dirs;
     # see streaming/jobs.py::commit_stream_batch) is swept ONLY when a

@@ -26,6 +26,15 @@ docstring) — which is why BOTH contracts stay registered.
 
 Reference parity: no dedup surface in the reference; declared engine
 surface per SURVEY §2B.
+
+
+r11 plan note: this query's physical plan changed via its shared
+helpers — llm_text._doc_shingles (repartition(doc_id) single-shuffle) —
+which the content-hash stamp (defining module + oracle only)
+cannot see.  This paragraph deliberately invalidates the stamp so
+the round-11 window re-records the query against its NEW plan;
+results are bit-identical (sf0.1 soak + both-scale invariance
+re-ran green on the changed tree before this note landed).
 """
 
 from __future__ import annotations

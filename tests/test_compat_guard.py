@@ -112,6 +112,22 @@ def test_detector_large_magnitude_routes_to_arbitration():
     assert 4400000.25 not in bad
 
 
+def test_detector_wide_decimal_window_arbitrates():
+    """r11 review: |v| in [10^(28-s), 10^(30-s)) fits decimal(30,s)
+    but its quantized form has int-digits + scale > 28, so the
+    default decimal context raised InvalidOperation instead of
+    arbitrating — a crash window two decades wide directly below the
+    overflow cut (nothing probed between ~1.3e13 and 3e24).  The
+    widened localcontext must arbitrate the whole window, and every
+    value in it is a TRUE divergence (probed r11: Spark's
+    shortest-repr model reads e.g. 1e23 as exactly 1E+23, while
+    DuckDB's double·10^s product needs ~10^29 exact — beyond any
+    double — so it always rounds at these magnitudes)."""
+    bad = rounding_agreement_failures([1.0e23, 3.7e22, 1.0e22, 2.5])
+    assert 1.0e23 in bad and 3.7e22 in bad and 1.0e22 in bad
+    assert 2.5 not in bad
+
+
 def test_detector_decimal_overflow_is_a_failure():
     """|v| ≥ 10^24 cannot fit decimal(30,6): Spark's non-ANSI cast
     yields NULL where DuckDB raises — a cross-engine divergence by

@@ -417,20 +417,25 @@ ROUND8_WINDOW = [
 # family + tpch head) — 3+2+28+17 = 50 exactly.
 # The intended round-11 correctness window, pinned at the start of the
 # round-11 build per the r10 VERDICT rotation directive: zero fresh and
-# re-pinned mid-round (r11): the round's ONE query-module edit — the
-# _doc_shingles repartition(doc_id) single-shuffle change in
-# llm_text.py (A/B-measured, plan-pinned) — deliberately invalidates
-# that module's 14 queries, so they lead the window (stalest first),
-# followed by the stalest valid tail: the ENTIRE remaining r7-recorded
-# block except its last 2 entries (headed by the UDF-surface tail
-# q_udtf_mapinpandas/q_udtf_python, through the scan head ending at
-# q_scan_orc) — 14+36 = 50 exactly.  Displaced to the r12 window head:
-# the two r7 sinks and the r8 subquery/advanced-SQL block.
+# re-pinned mid-round (r11): the round's perf edits deliberately
+# invalidate 16 stamps — llm_text.py's 14 (the _doc_shingles
+# repartition(doc_id) single-shuffle change, A/B-measured and
+# plan-pinned) plus q_dedup_containment and q_dedup_prefix, whose
+# PLANS changed through the shared helpers (_doc_shingles,
+# df_capped_pair_counts) that the defining-module content hash cannot
+# see, so their modules carry explicit invalidating plan notes (r11
+# review finding).  The 16 lead the window (stalest first, registry
+# order within a round), followed by the 34 stalest valid entries
+# (the r7 block headed by the UDF-surface tail, through q_scan_jsonl)
+# — 16+34 = 50 exactly.  Displaced to the r12 window head: the r7
+# scan tail (csv/orc), the two r7 sinks, and the r8
+# subquery/advanced-SQL block.
 ROUND11_WINDOW = [
     'q_dedup_exact', 'q_dedup_fuzzy', 'q_dedup_cluster',
     'q_dedup_incremental', 'q_dedup_ngram', 'q_dedup_simhash',
     'q_text_stats', 'q_lang_id', 'q_quality_score', 'q_token_count',
     'q_fingerprint', 'q_tfidf', 'q_heavy_hitters', 'q_corpus_curation',
+    'q_dedup_containment', 'q_dedup_prefix',
     'q_udtf_mapinpandas', 'q_udtf_python', 'q_win_dedup', 'q_merge_upsert',
     'q_scd2', 'q_agg_skew_salted', 'q_sample_hash', 'q_events_funnel',
     'q_events_retention', 'q_sample_weighted', 'q_sample_stratified',
@@ -440,7 +445,7 @@ ROUND11_WINDOW = [
     'q_profile_table', 'q_distribution_drift', 'q_quality_repetition',
     'q_entity_resolution', 'q_index_inverted', 'q_anomaly_mad', 'q_ngram_pmi',
     'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
-    'q_scan_parquet', 'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc',
+    'q_scan_parquet', 'q_scan_jsonl',
 ]
 
 
