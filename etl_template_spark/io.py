@@ -958,7 +958,9 @@ def stage_pin(
     degrades to re-reading a file.  The price is one write+read of a
     delta-sized frame through the job's own filesystem — the same
     cost class as the versioned write the ingest is about to do
-    anyway.
+    anyway (A/B-measured r11 on the BM25 redelivery ingest at sf0.1,
+    1000-doc delta: 1.12 s vs 1.02 s median with localCheckpoint —
+    ~10% of the ingest for the durability).
 
     The scratch dir (``_pin-<uuid>``) is invisible to versioned
     readers (``list_versions`` matches ``v=N`` only).  Callers must
