@@ -483,7 +483,13 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks), so the whole pipeline is hash-checked against a DuckDB
     oracle; tests additionally assert recall vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(e)
+    # persist the 10-row centroid frame (r11, A/B-measured 1.99 s →
+    # 1.71 s median): its LINEAGE is the whole seed-assign + Lloyd-mean
+    # pipeline over the corpus, and both the corpus-side and the
+    # probe-side assignment consume it — without the pin each consumer
+    # re-runs the quantizer build.  Same discipline as q_sim_search_pq,
+    # which already persists its sub/books intermediates.
+    cents = persist_tracked(_ivf_centroids(e))
     corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1)
     probes = (
         _assign_cells(e.where(F.col("vec_id") == 0), cents, n=_IVF_NPROBE)

@@ -418,24 +418,27 @@ ROUND8_WINDOW = [
 # The intended round-11 correctness window, pinned at the start of the
 # round-11 build per the r10 VERDICT rotation directive: zero fresh and
 # re-pinned mid-round (r11): the round's perf edits deliberately
-# invalidate 16 stamps — llm_text.py's 14 (the _doc_shingles
+# invalidate 22 stamps — llm_text.py's 14 (the _doc_shingles
 # repartition(doc_id) single-shuffle change, A/B-measured and
-# plan-pinned) plus q_dedup_containment and q_dedup_prefix, whose
-# PLANS changed through the shared helpers (_doc_shingles,
-# df_capped_pair_counts) that the defining-module content hash cannot
-# see, so their modules carry explicit invalidating plan notes (r11
-# review finding).  The 16 lead the window (stalest first, registry
-# order within a round), followed by the 34 stalest valid entries
-# (the r7 block headed by the UDF-surface tail, through q_scan_jsonl)
-# — 16+34 = 50 exactly.  Displaced to the r12 window head: the r7
-# scan tail (csv/orc), the two r7 sinks, and the r8
-# subquery/advanced-SQL block.
+# plan-pinned), q_dedup_containment and q_dedup_prefix (PLANS changed
+# through shared helpers the defining-module content hash cannot see;
+# explicit invalidating plan notes, r11 review finding), and
+# similarity.py's 6 (the IVF centroid persist — A/B-measured, same
+# multi-consumer class).  The 22 lead the window (stalest first,
+# registry order within a round: the r8 llm_text block, then the
+# containment/prefix pair, then the r10-recorded similarity module),
+# followed by the 28 stalest valid entries (the r7 block headed by
+# the UDF-surface tail, through q_ngram_pmi) — 22+28 = 50 exactly.
+# Displaced to the r12 window head: the r7 tail from q_locf_impute
+# through the sinks, and the r8 subquery/advanced-SQL block.
 ROUND11_WINDOW = [
     'q_dedup_exact', 'q_dedup_fuzzy', 'q_dedup_cluster',
     'q_dedup_incremental', 'q_dedup_ngram', 'q_dedup_simhash',
     'q_text_stats', 'q_lang_id', 'q_quality_score', 'q_token_count',
     'q_fingerprint', 'q_tfidf', 'q_heavy_hitters', 'q_corpus_curation',
     'q_dedup_containment', 'q_dedup_prefix',
+    'q_sim_search', 'q_sim_search_lsh', 'q_dedup_embedding',
+    'q_knn_join_blocked', 'q_sim_search_ivf', 'q_sim_search_pq',
     'q_udtf_mapinpandas', 'q_udtf_python', 'q_win_dedup', 'q_merge_upsert',
     'q_scd2', 'q_agg_skew_salted', 'q_sample_hash', 'q_events_funnel',
     'q_events_retention', 'q_sample_weighted', 'q_sample_stratified',
@@ -444,8 +447,6 @@ ROUND11_WINDOW = [
     'q_dedup_semantic', 'q_incremental_agg', 'q_timeseries_gapfill',
     'q_profile_table', 'q_distribution_drift', 'q_quality_repetition',
     'q_entity_resolution', 'q_index_inverted', 'q_anomaly_mad', 'q_ngram_pmi',
-    'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
-    'q_scan_parquet', 'q_scan_jsonl',
 ]
 
 
