@@ -415,6 +415,59 @@ ROUND8_WINDOW = [
 # family, curation, cross-encoder — headed by q_scan_pyds, displaced
 # from the r8 window), then the stalest 17 of the r6 block (join
 # family + tpch head) — 3+2+28+17 = 50 exactly.
+# The intended round-12 correctness window, pinned at the start of the
+# round-12 build per the r11 VERDICT rotation directive: zero fresh,
+# zero invalidated (the 22 r11 re-recordings were stamped at round
+# start — invalidated_names() empty), so the window is purely the
+# staleness rotation: the 4 remaining r7-recorded entries
+# (q_locf_impute, q_agg_hll, q_attribution_linear, q_scd2_lookup —
+# the r7 tail displaced from the r11 window by the 22 invalidations),
+# then ALL 32 r8-recorded entries (the scans/sinks pair displaced from
+# r11, the subquery/advanced-SQL block, the agg family, the streaming
+# batch-twins, the rank/rolling/splits/mixture/constraint/contamination
+# tail), then the 14 stalest r9-recorded entries (q_scan_pyds through
+# the join family) — 4+32+14 = 50 exactly, matching the r11 VERDICT's
+# recomputed prediction name-for-name.
+ROUND12_WINDOW = [
+    'q_locf_impute', 'q_agg_hll', 'q_attribution_linear', 'q_scd2_lookup',
+    'q_scan_parquet', 'q_scan_jsonl', 'q_scan_csv', 'q_scan_orc',
+    'q_sink_partitioned', 'q_sink_versioned', 'q_subquery_scalar',
+    'q_subquery_in', 'q_subquery_correlated', 'q_agg_stats',
+    'q_agg_percentile', 'q_string_agg', 'q_stream_tumbling',
+    'q_stream_sliding', 'q_sessionize', 'q_stream_dedup_late',
+    'q_stream_join', 'q_sessionize_native', 'q_stream_distinct_users',
+    'q_agg_mode', 'q_agg_minmax_by', 'q_agg_cond_count', 'q_histogram',
+    'q_events_transitions', 'q_dedup_keep_best', 'q_contamination_check',
+    'q_ngram_novelty', 'q_rank_metrics', 'q_rolling_stats',
+    'q_train_test_split', 'q_dataset_mixture', 'q_constraint_check',
+    'q_scan_pyds', 'q_scan_text', 'q_compact_versioned', 'q_sink_zorder',
+    'q_delete_versioned', 'q_scan_versioned_merged', 'q_project',
+    'q_filter', 'q_join_inner', 'q_join_left', 'q_join_right',
+    'q_join_full', 'q_join_semi', 'q_join_anti',
+]
+
+
+def test_round12_window_matches_prediction():
+    """Window-drift tripwire, round-12 edition (same pattern as r5-r11).
+    BEFORE the round-12 recording lands, the live exposure order must
+    start with exactly the pinned prediction; AFTER CORRECTNESS_r12.json
+    exists, the names the driver actually recorded must match a prefix
+    of the prediction."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r12 = os.path.join(repo, "CORRECTNESS_r12.json")
+    if not os.path.exists(r12):
+        assert list(entry_mod.queries())[:50] == ROUND12_WINDOW
+        return
+    with open(r12) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND12_WINDOW[: len(recorded)]), (
+        "r12 recorded a different window than the round-12 build predicted"
+    )
+
+
 # The intended round-11 correctness window, pinned at the start of the
 # round-11 build per the r10 VERDICT rotation directive: zero fresh and
 # re-pinned mid-round (r11): the round's perf edits deliberately
