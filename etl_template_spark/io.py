@@ -843,7 +843,11 @@ def prune_versions(
     # every non-crash path, so one still present is either a crash
     # leftover or a LIVE ingest between its pin and its versioned
     # write — the same ambiguity as an uncommitted claim, resolved by
-    # the same staleness walk.
+    # the same staleness walk.  A live pin stays provably alive here
+    # no matter how long the ingest runs: stage_pin's heartbeat
+    # thread (r11 ADVICE) touches _HEARTBEAT inside the pin dir every
+    # 60 s by default, so only process death lets the tree age past
+    # the grace period.
     try:
         pin_names = [
             p for p in os.listdir(step_dir) if p.startswith("_pin-")
@@ -941,7 +945,7 @@ def compact_merged_log(
 
 
 def stage_pin(
-    df: DataFrame, root: str, step: str
+    df: DataFrame, root: str, step: str, heartbeat_interval: float = 60.0
 ) -> tuple[DataFrame, Callable[[], None]]:
     """Durably materialize ``df`` under the step's storage root and
     return ``(pinned_frame, release)``.
@@ -966,12 +970,52 @@ def stage_pin(
     readers (``list_versions`` matches ``v=N`` only).  Callers must
     invoke ``release`` after the LAST action on the pinned frame
     (try/finally); crash leftovers are swept by ``prune_versions``
-    once older than its claim grace period."""
+    once older than its claim grace period.
+
+    Liveness heartbeat (r11 ADVICE): unlike an uncommitted ``v=N``
+    claim — whose live writer keeps streaming files into the tree —
+    a pin's tree goes mtime-quiescent the moment its one parquet
+    write finishes (READS never update mtime), so a live ingest whose
+    remaining work (isEmpty probe, versioned write, LSH/Jaccard
+    verification) outlasts the sweep grace period would be
+    indistinguishable from a crash leftover, and a concurrent
+    ``prune_versions``/``compact_merged_log`` would delete the pin
+    mid-job — failing exactly the long jobs the pin exists to
+    protect.  A daemon thread therefore touches ``_HEARTBEAT`` inside
+    the pin dir every ``heartbeat_interval`` seconds (default 60 s,
+    far inside the 3600 s default grace) until ``release``: the
+    sweep's tree-max-mtime walk then proves the pin alive for as long
+    as the owning PROCESS lives, while a crash kills the thread with
+    the process and the tree goes stale on schedule.  The underscore
+    prefix keeps the marker invisible to the parquet reader (Spark
+    file listings skip ``_``/``.`` paths).  Deployments that sweep
+    with a custom ``min_claim_age`` only need it above the heartbeat
+    interval, not above total ingest duration."""
+    import threading
     import uuid
 
     spark = df.sparkSession
     pin_dir = os.path.join(_step_dir(root, step), f"_pin-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(pin_dir)
+    hb_path = os.path.join(pin_dir, "_HEARTBEAT")
+    hb_stop = threading.Event()
+
+    def _beat() -> None:
+        while not hb_stop.wait(heartbeat_interval):
+            try:
+                with open(hb_path, "a"):
+                    pass
+                os.utime(hb_path, None)
+            except FileNotFoundError:
+                break  # pin dir already swept/released — nothing to keep alive
+            except OSError:
+                pass  # transient (e.g. NFS hiccup): keep trying, the
+                # next successful touch restores liveness
+
+    hb_thread = threading.Thread(
+        target=_beat, daemon=True, name=f"stage-pin-heartbeat-{step}"
+    )
+    hb_thread.start()
     # declared schema, not parquet inference — DEFENSIVE (probed r11):
     # today's writer emits a schema-bearing part file even for
     # plan-empty results, so inference would work, but the declared
@@ -984,6 +1028,14 @@ def stage_pin(
     pinned = spark.read.schema(df.schema).parquet(pin_dir)
 
     def release() -> None:
+        # stop the heartbeat BEFORE removing the tree: a touch racing
+        # rmtree could otherwise re-create _HEARTBEAT inside a
+        # half-emptied dir, leaving a husk for the stale sweep.  The
+        # join is bounded — a wedged touch (pathological filesystem)
+        # only risks that same husk, which prune_versions reclaims
+        # once stale.
+        hb_stop.set()
+        hb_thread.join(timeout=5.0)
         shutil.rmtree(pin_dir, ignore_errors=True)
 
     return pinned, release

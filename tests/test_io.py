@@ -1103,3 +1103,55 @@ def test_prune_versions_sweeps_stale_pin_scratch(spark, tmp_path):
             os.utime(os.path.join(d, f), (stale, stale))
     prune_versions(root, "s", keep_last=5)
     assert not os.path.isdir(pin_dir)
+
+
+def test_stage_pin_heartbeat_outlives_grace_period(spark, tmp_path):
+    """r11 ADVICE (medium): a pin's tree goes mtime-quiescent right
+    after its one parquet write — reads never update mtime — so a LIVE
+    ingest whose remaining work outlasts min_claim_age looked like a
+    crash leftover and a concurrent prune deleted the pin mid-job.
+    The heartbeat thread closes that hole: with every data mtime aged
+    past the grace period and the ingest still running (pin not
+    released), the sweep must spare the pin because the heartbeat
+    keeps the tree-max mtime fresh; release() stops the beat and
+    removes the dir; a crashed process (no live thread) still goes
+    stale and is reclaimed — the existing sweep test pins that side."""
+    from etl_template_spark.io import prune_versions, stage_pin, write_versioned
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    pinned, release = stage_pin(
+        spark.createDataFrame([("2", "b")], SCHEMA), root, "s",
+        heartbeat_interval=0.2,
+    )
+    pin_dir = os.path.join(
+        root, "s",
+        [p for p in os.listdir(os.path.join(root, "s")) if p.startswith("_pin-")][0],
+    )
+    hb_path = os.path.join(pin_dir, "_HEARTBEAT")
+    # let at least one beat land, then age EVERY existing mtime far
+    # past the grace period — the simulated "long quiet ingest"
+    deadline = time.time() + 10
+    while not os.path.exists(hb_path) and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.path.exists(hb_path), "heartbeat never landed"
+    stale = time.time() - 7200
+    for d, _s, fs in os.walk(pin_dir):
+        os.utime(d, (stale, stale))
+        for f in fs:
+            os.utime(os.path.join(d, f), (stale, stale))
+    # within one interval the next beat refreshes the tree; a sweep
+    # with the default 3600 s grace must then spare the live pin
+    deadline = time.time() + 10
+    while os.path.getmtime(hb_path) < time.time() - 3600 and time.time() < deadline:
+        time.sleep(0.05)
+    prune_versions(root, "s", keep_last=5)
+    assert os.path.isdir(pin_dir), "sweep reclaimed a LIVE heartbeating pin"
+    # the pinned frame is still readable after the sweep
+    assert sorted(map(tuple, pinned.collect())) == [("2", "b")]
+    # release stops the beat and removes the dir — and no late beat
+    # resurrects it
+    release()
+    assert not os.path.isdir(pin_dir)
+    time.sleep(0.5)
+    assert not os.path.isdir(pin_dir)
