@@ -159,8 +159,21 @@ def rounding_agreement_failures(values, scale: int = 6) -> list[float]:
         con.register(
             "__cand", pd.DataFrame({"i": range(len(candidates)), "x": candidates})
         )
+        # TRY_CAST, not CAST (r11 ADVICE): a candidate just below the
+        # overflow cut can still overflow DuckDB's cast, which scales
+        # by 10^s in DOUBLE — under adverse binade alignment (input
+        # just above a power of two, product just below one) the
+        # multiply can round UP across 10^30 and a plain CAST raises,
+        # crashing the guard on the very value it should report.  No
+        # scale exhibits the alignment in this DuckDB build (probed
+        # r12: nextafter(10^(30-s), 0) casts cleanly for s=0..28), but
+        # the geometry permits it and engine rounding drifts across
+        # versions; a NULL from TRY_CAST is reported as a divergence —
+        # correct either way, since Spark's non-ANSI cast never raises
+        # there (it produces a value or NULL, neither equal to an
+        # unrepresentable DuckDB decimal).
         rows = con.execute(
-            f"SELECT CAST(x AS DECIMAL(30, {scale})) FROM __cand ORDER BY i"
+            f"SELECT TRY_CAST(x AS DECIMAL(30, {scale})) FROM __cand ORDER BY i"
         ).fetchall()
     finally:
         con.close()
@@ -174,6 +187,6 @@ def rounding_agreement_failures(values, scale: int = 6) -> list[float]:
         ctx.prec = 40
         for v, (duck,) in zip(candidates, rows):
             spark_model = Decimal(repr(v)).quantize(q, ROUND_HALF_UP)
-            if spark_model != duck:
+            if duck is None or spark_model != duck:
                 bad.append(v)
     return bad

@@ -317,6 +317,15 @@ def df_capped_pair_counts(shingles: DataFrame, n_docs: DataFrame):
     against quadratic stopword buckets, stated in both oracles, so the
     cap is checked semantics, not a silent approximation.
 
+    Release contract (r11 ADVICE): this function persists the pruned
+    index internally via ``caching.persist_tracked`` (MEMORY_AND_DISK —
+    the A/B-measured three-consumer reuse below), so EVERY caller must
+    run under a scope that ends with ``caching.release_tracked()`` or
+    the persist leaks for the session's lifetime with no handle to
+    release it.  The registered queries satisfy this through the
+    pipeline's per-query release discipline; a direct library caller
+    must wrap its own try/finally.
+
     Keep-list join on the shingle value (no forced broadcast: the kept
     vocabulary is corpus-scaled; AQE broadcasts it only when small).
     Deliberately agg+join rather than a COUNT() OVER (PARTITION BY s)

@@ -140,6 +140,31 @@ def test_detector_decimal_overflow_is_a_failure():
     assert 1.0e25 in bad and 947.7089425 in bad
 
 
+def test_detector_overflow_cut_edge_never_crashes():
+    """r11 ADVICE (low): the largest double strictly below the overflow
+    cut stays a candidate, but DuckDB's cast scales by 10^s in DOUBLE —
+    under adverse binade alignment the product can round up across
+    10^30 and a plain CAST raised, crashing the guard on the value it
+    should report.  TRY_CAST + NULL-as-divergence closes it.  No scale
+    exhibits the adverse alignment in this DuckDB build, so the edge
+    values arbitrate as ordinary (true) divergences; the invariant
+    under test is NO exception at the cut for every scale, whichever
+    way the engine's edge rounding goes."""
+    import math
+
+    for s in range(0, 29):
+        v = math.nextafter(10.0 ** (30 - s), 0)
+        bad = rounding_agreement_failures([v, 2.5], scale=s)
+        # 2.5 is clean only at moderate scales: exactly representable
+        # and a half-point only at s=0 (where DuckDB's tie direction is
+        # legitimately arbitrable), while at s ≳ 13 the 2.5·10^s DOUBLE
+        # product itself inexactly rounds — a TRUE divergence the guard
+        # should keep reporting, not a crash-regression signal.
+        if 1 <= s <= 12:
+            assert 2.5 not in bad, f"scale {s} flagged an exact value"
+        assert all(math.isfinite(x) for x in bad)
+
+
 @pytest.mark.parametrize(
     "table",
     [
