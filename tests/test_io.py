@@ -1150,8 +1150,12 @@ def test_stage_pin_heartbeat_outlives_grace_period(spark, tmp_path):
     # the pinned frame is still readable after the sweep
     assert sorted(map(tuple, pinned.collect())) == [("2", "b")]
     # release stops the beat and removes the dir — and no late beat
-    # resurrects it
+    # resurrects it.  The elapsed bound kills the drop-the-stop mutant:
+    # without hb_stop.set() the bounded join blocks its full 5 s
+    # timeout, while a stopped beat exits within one wait() tick.
+    t0 = time.time()
     release()
+    assert time.time() - t0 < 4.0, "release() blocked on a live heartbeat"
     assert not os.path.isdir(pin_dir)
     time.sleep(0.5)
     assert not os.path.isdir(pin_dir)
