@@ -1105,6 +1105,50 @@ def test_prune_versions_sweeps_stale_pin_scratch(spark, tmp_path):
     assert not os.path.isdir(pin_dir)
 
 
+def test_stage_pin_survives_concurrent_prune_loop(spark, tmp_path):
+    """The r11 ADVICE scenario end-to-end, with REAL concurrency: a
+    slow ingest (pin taken, then several grace periods of 'work'
+    before its versioned write) races a retention sweeper that prunes
+    with a min_claim_age several times SHORTER than the ingest.
+    Before the heartbeat this deterministic schedule deleted the pin
+    mid-job; with it, the pin must stay readable through every sweep
+    and the ingest's closing write must succeed."""
+    import threading
+
+    from etl_template_spark.io import (
+        prune_versions, read_versioned, stage_pin, write_versioned,
+    )
+
+    root = str(tmp_path)
+    write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    pinned, release = stage_pin(
+        spark.createDataFrame([("2", "b")], SCHEMA), root, "s",
+        heartbeat_interval=0.2,
+    )
+    stop = threading.Event()
+    sweeps = [0]
+
+    def sweeper() -> None:
+        while not stop.is_set():
+            prune_versions(root, "s", keep_last=5, min_claim_age=2.0)
+            sweeps[0] += 1
+            time.sleep(0.2)
+
+    t = threading.Thread(target=sweeper)
+    t.start()
+    try:
+        time.sleep(4.5)  # the "long ingest": > 2x the sweep grace
+        write_versioned(pinned, root, "s")  # the closing delta write
+    finally:
+        stop.set()
+        t.join()
+        release()
+    assert sweeps[0] >= 10, "sweeper barely ran — schedule did not race"
+    assert sorted(map(tuple, read_versioned(spark, root, "s").collect())) == [
+        ("2", "b")
+    ]
+
+
 def test_stage_pin_heartbeat_outlives_grace_period(spark, tmp_path):
     """r11 ADVICE (medium): a pin's tree goes mtime-quiescent right
     after its one parquet write — reads never update mtime — so a LIVE
