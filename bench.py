@@ -60,8 +60,36 @@ def _steal_seconds() -> float | None:
         return None
 
 
+def _prelaunch_conditions(sample_sec: float = 1.5) -> dict:
+    """Host conditions sampled BEFORE the session spins up: loadavg
+    (1/5/15 min) and an idle CPU-steal rate over ``sample_sec``.
+    Recorded into the BENCH_DETAIL sidecar so every pass — including
+    the driver's official one — carries its own contention
+    attribution (r11 VERDICT: steal ticks measured DURING a run
+    undercount co-tenant memory-bandwidth/LLC pressure, and quiet
+    IDLE windows don't predict quiet RUNS, so the quiet-column
+    protocol needs both the pre-launch picture and the in-run steal
+    to attribute a hot pass).  Best-effort: absent /proc (non-Linux)
+    yields nulls, never a crash — the official datum must not be
+    lost to an attribution probe."""
+    out: dict = {"loadavg": None, "idle_steal_rate": None,
+                 "sample_sec": sample_sec}
+    try:
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    s0 = _steal_seconds()
+    if s0 is not None and sample_sec > 0:
+        time.sleep(sample_sec)
+        s1 = _steal_seconds()
+        if s1 is not None:
+            out["idle_steal_rate"] = round((s1 - s0) / sample_sec, 4)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    prelaunch = _prelaunch_conditions()
     # one leading number only, and never a crash (r10 review): the old
     # greedy [0-9.]+ captured 'sf0.1.bak' as '0.1.' and float() raised
     # BEFORE any query ran — losing the round's official perf datum to
@@ -140,7 +168,12 @@ def main() -> int:
     try:
         with open(detail_path, "w") as f:
             json.dump(
-                {"sf": sf, "steal_sec": steal_sec, "pass_detail": pass_detail},
+                {
+                    "sf": sf,
+                    "steal_sec": steal_sec,
+                    "prelaunch": prelaunch,
+                    "pass_detail": pass_detail,
+                },
                 f,
                 indent=1,
             )

@@ -47,3 +47,22 @@ def test_bench_headline_line_parses_with_required_keys():
     # pass_detail must NOT be on the parsed line — it lives in the
     # BENCH_DETAIL.json sidecar.
     assert "pass_detail" not in obj
+
+
+def test_bench_prelaunch_conditions_shape():
+    """r11 VERDICT / r12: every bench pass records pre-launch host
+    conditions (loadavg + idle steal rate) into the sidecar so hot
+    official passes self-attribute.  The probe must be best-effort —
+    JSON-serializable whatever the platform yields — and must never
+    be able to crash the bench (the official datum outranks the
+    attribution)."""
+    cond = bench._prelaunch_conditions(sample_sec=0.1)
+    assert set(cond) == {"loadavg", "idle_steal_rate", "sample_sec"}
+    json.dumps(cond)  # sidecar-serializable
+    if cond["loadavg"] is not None:  # Linux/macOS
+        assert len(cond["loadavg"]) == 3
+    if cond["idle_steal_rate"] is not None:  # Linux /proc
+        assert cond["idle_steal_rate"] >= 0.0
+    # prelaunch stays OFF the driver-parsed stdout line
+    line = bench.headline_line(25.0, {n: 1.0 for n in bench.HEADLINE}, 0.1, 0.5)
+    assert "prelaunch" not in line
