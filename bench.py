@@ -75,8 +75,12 @@ def _prelaunch_conditions(sample_sec: float = 1.5) -> dict:
     out: dict = {"loadavg": None, "idle_steal_rate": None,
                  "sample_sec": sample_sec}
     try:
+        # AttributeError too (r12 review): os.getloadavg does not
+        # EXIST on Windows — only catching OSError would crash main()
+        # before any query ran, the exact datum-loss this function's
+        # contract forbids.
         out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
+    except (OSError, AttributeError):
         pass
     s0 = _steal_seconds()
     if s0 is not None and sample_sec > 0:

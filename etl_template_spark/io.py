@@ -989,8 +989,12 @@ def stage_pin(
     the process and the tree goes stale on schedule.  The underscore
     prefix keeps the marker invisible to the parquet reader (Spark
     file listings skip ``_``/``.`` paths).  Deployments that sweep
-    with a custom ``min_claim_age`` only need it above the heartbeat
-    interval, not above total ingest duration."""
+    with a custom ``min_claim_age`` need it a few MULTIPLES of the
+    heartbeat interval (>= 3x is a sound floor: one swallowed touch —
+    the OSError branch deliberately waits out a full interval — plus
+    scheduling delay can stretch the gap between successful beats to
+    ~2 intervals), rather than above total ingest duration as before
+    the heartbeat."""
     import threading
     import uuid
 
@@ -1016,16 +1020,6 @@ def stage_pin(
         target=_beat, daemon=True, name=f"stage-pin-heartbeat-{step}"
     )
     hb_thread.start()
-    # declared schema, not parquet inference — DEFENSIVE (probed r11):
-    # today's writer emits a schema-bearing part file even for
-    # plan-empty results, so inference would work, but the declared
-    # schema keeps the pin readable if that ever changes and pins the
-    # exact TYPES.  Nullability is NOT preserved either way: file
-    # sources force every column nullable regardless of the declared
-    # schema, so the pinned frame's columns are nullable — names and
-    # types exact, a documented relaxation the ingest call sites
-    # tolerate (parquet sinks ignore nullability).
-    pinned = spark.read.schema(df.schema).parquet(pin_dir)
 
     def release() -> None:
         # stop the heartbeat BEFORE removing the tree: a touch racing
@@ -1037,6 +1031,29 @@ def stage_pin(
         hb_stop.set()
         hb_thread.join(timeout=5.0)
         shutil.rmtree(pin_dir, ignore_errors=True)
+
+    try:
+        # declared schema, not parquet inference — DEFENSIVE (probed
+        # r11): today's writer emits a schema-bearing part file even
+        # for plan-empty results, so inference would work, but the
+        # declared schema keeps the pin readable if that ever changes
+        # and pins the exact TYPES.  Nullability is NOT preserved
+        # either way: file sources force every column nullable
+        # regardless of the declared schema, so the pinned frame's
+        # columns are nullable — names and types exact, a documented
+        # relaxation the ingest call sites tolerate (parquet sinks
+        # ignore nullability).
+        pinned = spark.read.schema(df.schema).parquet(pin_dir)
+    except BaseException:
+        # a failure between thread start and handing the caller its
+        # release handle (r12 review): without this, the orphan
+        # heartbeat keeps the dead pin "provably alive" for the whole
+        # driver lifetime — each retried stage_pin would accumulate a
+        # delta-sized parquet copy NO sweep can ever reclaim, a
+        # regression vs pre-heartbeat behavior where failed pins
+        # simply aged out.
+        release()
+        raise
 
     return pinned, release
 

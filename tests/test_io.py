@@ -1074,8 +1074,14 @@ def test_prune_versions_sweeps_stale_pin_scratch(spark, tmp_path):
 
     root = str(tmp_path)
     write_versioned(spark.createDataFrame([("1", "a")], SCHEMA), root, "s")
+    # effectively-infinite heartbeat (r12 review): this test simulates
+    # a CRASH leftover by aging mtimes, so the pin's own live beat must
+    # never land mid-test and re-freshen the tree (with the default
+    # 60 s interval a paused/slow CI host could flake the final
+    # reclaimed assertion)
     pinned, _release = stage_pin(
-        spark.createDataFrame([("2", "b")], SCHEMA), root, "s"
+        spark.createDataFrame([("2", "b")], SCHEMA), root, "s",
+        heartbeat_interval=1e9,
     )
     pin_dir = os.path.join(
         root, "s",
@@ -1103,6 +1109,46 @@ def test_prune_versions_sweeps_stale_pin_scratch(spark, tmp_path):
             os.utime(os.path.join(d, f), (stale, stale))
     prune_versions(root, "s", keep_last=5)
     assert not os.path.isdir(pin_dir)
+
+
+def test_stage_pin_cleans_up_when_read_fails(spark, tmp_path, monkeypatch):
+    """r12 review: a failure between heartbeat start and handing the
+    caller its release handle (e.g. the read-back raising) must stop
+    the beat and remove the pin dir before re-raising — an orphan
+    heartbeat would otherwise keep the dead pin 'provably alive' for
+    the whole driver lifetime, unreclaimable by ANY sweep: each retry
+    of the failed ingest would leak a delta-sized parquet copy."""
+    import threading
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from etl_template_spark.io import stage_pin
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected read failure")
+
+    monkeypatch.setattr(DataFrameReader, "parquet", boom)
+    hb_names = lambda: {  # noqa: E731
+        t.name for t in threading.enumerate()
+        if t.name.startswith("stage-pin-heartbeat-") and t.is_alive()
+    }
+    before = hb_names()
+    with pytest.raises(RuntimeError, match="injected read failure"):
+        stage_pin(
+            spark.createDataFrame([("2", "b")], SCHEMA), str(tmp_path), "s",
+            heartbeat_interval=0.2,
+        )
+    step_dir = os.path.join(str(tmp_path), "s")
+    leftovers = [
+        p for p in (os.listdir(step_dir) if os.path.isdir(step_dir) else [])
+        if p.startswith("_pin-")
+    ]
+    assert leftovers == [], "failed stage_pin left its scratch behind"
+    deadline = time.time() + 10
+    while hb_names() - before and time.time() < deadline:
+        time.sleep(0.05)
+    assert hb_names() - before == set(), "orphan heartbeat thread leaked"
 
 
 def test_stage_pin_survives_concurrent_prune_loop(spark, tmp_path):
@@ -1143,7 +1189,11 @@ def test_stage_pin_survives_concurrent_prune_loop(spark, tmp_path):
         stop.set()
         t.join()
         release()
-    assert sweeps[0] >= 10, "sweeper barely ran — schedule did not race"
+    # low floor on purpose (r12 review): nominal cadence gives ~22
+    # sweeps in the window, but this VM documents multi-second steal
+    # bursts — the assertion only guards against a schedule that never
+    # actually raced, not against a slow one
+    assert sweeps[0] >= 5, "sweeper barely ran — schedule did not race"
     assert sorted(map(tuple, read_versioned(spark, root, "s").collect())) == [
         ("2", "b")
     ]
