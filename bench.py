@@ -87,7 +87,12 @@ def _prelaunch_conditions(sample_sec: float = 1.5) -> dict:
         time.sleep(sample_sec)
         s1 = _steal_seconds()
         if s1 is not None:
-            out["idle_steal_rate"] = round((s1 - s0) / sample_sec, 4)
+            # clamp at 0 (r12 ADVICE): a steal-counter reset between
+            # samples (VM migration/suspend) would otherwise record a
+            # negative rate for a run where nothing is wrong — the
+            # probe's contract is best-effort attribution, and a
+            # regressed counter carries no signal beyond "quiet".
+            out["idle_steal_rate"] = round(max(0.0, (s1 - s0) / sample_sec), 4)
     return out
 
 

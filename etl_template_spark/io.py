@@ -1011,7 +1011,18 @@ def stage_pin(
                     pass
                 os.utime(hb_path, None)
             except FileNotFoundError:
-                break  # pin dir already swept/released — nothing to keep alive
+                # ENOENT usually means the pin was swept/released — but
+                # on a network filesystem it can also be a TRANSIENT
+                # blip (attribute-cache miss, brief unmount) while the
+                # dir still exists (r12 ADVICE).  Exiting on a transient
+                # would silently kill the heartbeat for a still-live
+                # pin, which then ages past the grace period and gets
+                # swept mid-job — the exact failure the heartbeat
+                # prevents.  Confirm the dir is really gone before
+                # giving up; otherwise retry like the OSError branch.
+                if hb_stop.is_set() or not os.path.isdir(pin_dir):
+                    break  # pin dir really swept/released
+                continue
             except OSError:
                 pass  # transient (e.g. NFS hiccup): keep trying, the
                 # next successful touch restores liveness
@@ -1026,11 +1037,29 @@ def stage_pin(
         # rmtree could otherwise re-create _HEARTBEAT inside a
         # half-emptied dir, leaving a husk for the stale sweep.  The
         # join is bounded — a wedged touch (pathological filesystem)
-        # only risks that same husk, which prune_versions reclaims
-        # once stale.
+        # only risks that same husk.
         hb_stop.set()
         hb_thread.join(timeout=5.0)
         shutil.rmtree(pin_dir, ignore_errors=True)
+        if hb_thread.is_alive():
+            # the touch wedged past the join bound (r12 ADVICE): its
+            # eventual completion can re-create _HEARTBEAT in the
+            # half-emptied dir, and the husk — freshly touched —
+            # survives at least one more full grace window before
+            # prune_versions reclaims it.  A daemon finalizer waits
+            # out the wedge and re-removes the husk the moment the
+            # thread actually exits, so release() stays non-blocking
+            # while the husk's lifetime shrinks from a grace period
+            # to the wedge duration.
+            def _finalize() -> None:
+                hb_thread.join()
+                shutil.rmtree(pin_dir, ignore_errors=True)
+
+            threading.Thread(
+                target=_finalize,
+                daemon=True,
+                name=f"stage-pin-finalizer-{step}",
+            ).start()
 
     try:
         # declared schema, not parquet inference — DEFENSIVE (probed

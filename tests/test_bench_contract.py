@@ -66,3 +66,14 @@ def test_bench_prelaunch_conditions_shape():
     # prelaunch stays OFF the driver-parsed stdout line
     line = bench.headline_line(25.0, {n: 1.0 for n in bench.HEADLINE}, 0.1, 0.5)
     assert "prelaunch" not in line
+
+
+def test_bench_prelaunch_steal_counter_regression_clamped(monkeypatch):
+    """r12 ADVICE (low): a steal-counter reset between the two samples
+    (VM migration/suspend) makes s1 < s0; the sidecar must record 0.0
+    — not a negative rate that reads as a broken probe on a run where
+    nothing is actually wrong."""
+    vals = iter([100.0, 50.0])
+    monkeypatch.setattr(bench, "_steal_seconds", lambda: next(vals))
+    cond = bench._prelaunch_conditions(sample_sec=0.01)
+    assert cond["idle_steal_rate"] == 0.0

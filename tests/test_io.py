@@ -1253,3 +1253,110 @@ def test_stage_pin_heartbeat_outlives_grace_period(spark, tmp_path):
     assert not os.path.isdir(pin_dir)
     time.sleep(0.5)
     assert not os.path.isdir(pin_dir)
+
+def test_stage_pin_heartbeat_survives_transient_enoent(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (low): on a network filesystem the heartbeat touch can
+    raise a TRANSIENT FileNotFoundError (attribute-cache blip, brief
+    unmount) while the pin dir still exists.  The old beat treated every
+    ENOENT as 'pin swept' and exited permanently — the still-live pin
+    then aged past min_claim_age and a concurrent sweep could reclaim it
+    mid-job, the exact failure the heartbeat exists to prevent.  The
+    beat must confirm the dir is really gone before giving up, and
+    retry otherwise (like the sibling OSError branch)."""
+    import builtins
+    import threading
+
+    import etl_template_spark.io as io_mod
+
+    flaked = threading.Event()
+
+    def flaky_open(path, mode="r", *args, **kwargs):
+        if str(path).endswith("_HEARTBEAT") and not flaked.is_set():
+            flaked.set()
+            raise FileNotFoundError(path)  # transient: the dir is intact
+        return builtins.open(path, mode, *args, **kwargs)
+
+    # shadow the builtin in the io module's globals only — the beat
+    # resolves `open` through its module before builtins
+    monkeypatch.setattr(io_mod, "open", flaky_open, raising=False)
+    pinned, release = io_mod.stage_pin(
+        spark.createDataFrame([("2", "b")], SCHEMA), str(tmp_path), "s",
+        heartbeat_interval=0.1,
+    )
+    step_dir = os.path.join(str(tmp_path), "s")
+    pin_dir = os.path.join(
+        step_dir,
+        [p for p in os.listdir(step_dir) if p.startswith("_pin-")][0],
+    )
+    hb_path = os.path.join(pin_dir, "_HEARTBEAT")
+    try:
+        # the FIRST touch flakes with ENOENT while the dir exists; the
+        # beat must retry and land the SECOND touch
+        deadline = time.time() + 10
+        while not os.path.exists(hb_path) and time.time() < deadline:
+            time.sleep(0.05)
+        assert flaked.is_set(), "the injected transient ENOENT never fired"
+        assert os.path.exists(hb_path), (
+            "heartbeat died permanently on a transient ENOENT with the "
+            "pin dir still present"
+        )
+        assert sorted(map(tuple, pinned.collect())) == [("2", "b")]
+    finally:
+        release()
+    assert not os.path.isdir(pin_dir)
+
+
+def test_stage_pin_release_finalizer_reclaims_wedged_husk(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (low): release() joins the heartbeat with a 5 s bound
+    and rmtrees regardless; a touch wedged PAST that bound (pathological
+    filesystem) could replay its write afterwards, resurrecting a
+    freshly-touched husk _pin-* dir that survives at least one more full
+    grace window.  release() now leaves a daemon finalizer behind that
+    re-removes the dir the moment the wedged thread finally exits —
+    husk lifetime shrinks from a grace period to the wedge duration,
+    while release() itself stays bounded."""
+    import threading
+
+    from etl_template_spark.io import stage_pin
+
+    real_utime = os.utime
+    wedged = threading.Event()        # the touch entered the wedge
+    unwedge = threading.Event()       # the test releases the wedge
+    husk_planted = threading.Event()  # the replayed write landed
+
+    def wedging_utime(path, *args, **kwargs):
+        if str(path).endswith("_HEARTBEAT") and not wedged.is_set():
+            wedged.set()
+            unwedge.wait(timeout=30)
+            # worst case: the wedged touch's write replays AFTER
+            # release()'s rmtree, resurrecting the husk
+            os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+            with open(path, "a"):
+                pass
+            husk_planted.set()
+        return real_utime(path, *args, **kwargs)
+
+    monkeypatch.setattr(os, "utime", wedging_utime)
+    pinned, release = stage_pin(
+        spark.createDataFrame([("2", "b")], SCHEMA), str(tmp_path), "s",
+        heartbeat_interval=0.1,
+    )
+    step_dir = os.path.join(str(tmp_path), "s")
+    pin_dir = os.path.join(
+        step_dir,
+        [p for p in os.listdir(step_dir) if p.startswith("_pin-")][0],
+    )
+    assert wedged.wait(timeout=10), "heartbeat touch never reached utime"
+    t0 = time.time()
+    release()  # join times out against the wedge, rmtree runs anyway
+    assert time.time() - t0 < 8.0, "release() not bounded under a wedge"
+    unwedge.set()
+    assert husk_planted.wait(timeout=10), "simulated husk replay never ran"
+    # the finalizer must reclaim the husk once the wedged thread exits
+    deadline = time.time() + 10
+    while os.path.isdir(pin_dir) and time.time() < deadline:
+        time.sleep(0.05)
+    assert not os.path.isdir(pin_dir), (
+        "wedged-touch husk survived release(); it would live another "
+        "full grace window before a sweep reclaims it"
+    )
