@@ -263,7 +263,7 @@ def ivf_search(
     scored = probes.join(corpus, "cell").select(
         "qid",
         "vec_id",
-        cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        cosine_col("embedding", "qv").alias("cos_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (

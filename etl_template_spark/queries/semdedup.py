@@ -131,7 +131,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (
         salted_block_join(a, b, "cell", "v2")
         .where(F.col("v1") < F.col("v2"))
-        .where(cosine_col(F.col("emb1"), F.col("emb2")) >= _SEM_THRESHOLD)
+        .where(cosine_col("emb1", "emb2") >= _SEM_THRESHOLD)
         .select("v2")
         .distinct()
     )

@@ -32,13 +32,78 @@ from ..registry import register
 _DIM = 64
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    """Sequential-fold double dot product of two float vectors."""
+# ---------------------------------------------------------------------------
+# Vector math (r13 optimization: unrolled + parsed JVM-side)
+#
+# The similarity family evaluates millions of dot products / norms per
+# query.  Three formulations were A/B'd at sf0.1:
+#
+# 1. ``aggregate(zip_with(...))`` higher-order folds (rounds 1-12):
+#    tiny expression trees, but HOF lambdas never enter whole-stage
+#    codegen — every element step is interpreted, and the interpreted
+#    fold dominated every similarity cell's execution profile.
+# 2. Unrolling via PySpark Column operators: codegen-fast execution,
+#    but constructing ~1300 Column objects per cosine costs tens of
+#    thousands of py4j roundtrips per query build (measured 35k calls
+#    / ~10 s on the IVF build alone).
+# 3. Unrolling as ONE SQL fragment parsed with a single ``F.expr``
+#    call (below): same codegen-fast execution, ~ms build cost.
+#
+# The unrolled value is bit-identical to the old fold: the explicit
+# ``0.0D`` seed keeps the same left-associated IEEE addition chain
+# ``((0.0 + p0) + p1) + ...`` that the oracles' ``list_reduce`` states,
+# and a too-short array yields NULL either way (``get`` past the end
+# nulls the term, exactly like ``zip_with``'s null padding; ``get`` is
+# also ANSI-safe, unlike ``element_at``/brackets).  Arrays are
+# fixed-size by fixture contract; ``dim`` defaults to the embedding
+# dimension and non-default callers (PQ subvectors) pass their width.
+#
+# Helpers accept SQL column names/fragments (fast path).  Plain Column
+# objects (library/test callers composing scores) keep the original
+# higher-order fold — identical semantics, no SQL-printing of
+# arbitrary expression trees.
+# ---------------------------------------------------------------------------
+
+
+def _dot_frag(a: str, b: str, dim: int) -> str:
+    acc = "0.0D"
+    for i in range(dim):
+        acc = (
+            f"({acc} + (CAST(get({a}, {i}) AS DOUBLE)"
+            f" * CAST(get({b}, {i}) AS DOUBLE)))"
+        )
+    return acc
+
+
+def _sqn_frag(a: str, dim: int) -> str:
+    acc = "0.0D"
+    for i in range(dim):
+        x = f"CAST(get({a}, {i}) AS DOUBLE)"
+        acc = f"({acc} + ({x} * {x}))"
+    return acc
+
+
+def _cos_frag(a: str, b: str, dim: int) -> str:
+    return (
+        f"round({_dot_frag(a, b, dim)} / "
+        f"sqrt({_sqn_frag(a, dim)} * {_sqn_frag(b, dim)}), 6)"
+    )
+
+
+def _l2_frag(a: str, b: str, dim: int) -> str:
+    acc = "0.0D"
+    for i in range(dim):
+        d = f"(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE))"
+        acc = f"({acc} + ({d} * {d}))"
+    return acc
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def sq_norm_col(a: Column) -> Column:
+def _sqn_fold(a: Column) -> Column:
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -46,9 +111,25 @@ def sq_norm_col(a: Column) -> Column:
     )
 
 
-def cosine_col(a: Column, b: Column) -> Column:
+def dot_col(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
+    """Sequential double dot product of two fixed-``dim`` float vectors
+    (see the formulation note above)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_frag(a, b, dim))
+    return _dot_fold(a, b)
+
+
+def sq_norm_col(a: Column | str, dim: int = _DIM) -> Column:
+    if isinstance(a, str):
+        return F.expr(_sqn_frag(a, dim))
+    return _sqn_fold(a)
+
+
+def cosine_col(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
     """round(dot / sqrt(na*nb), 6) — formula mirrored verbatim in SQL."""
-    return F.round(dot_col(a, b) / F.sqrt(sq_norm_col(a) * sq_norm_col(b)), 6)
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cos_frag(a, b, dim))
+    return F.round(dot_col(a, b, dim) / F.sqrt(sq_norm_col(a, dim) * sq_norm_col(b, dim)), 6)
 
 
 def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
@@ -109,7 +190,7 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            cosine_col("embedding", "qv").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -134,14 +215,21 @@ def _plane(j: int) -> list[float]:
     return coefs
 
 
-def _bucket_col(vec: Column) -> Column:
-    """LSH bucket id: sign bit per hyperplane, packed into an int."""
-    bucket = F.lit(0)
+def _bucket_col(vec: str) -> Column:
+    """LSH bucket id: sign bit per hyperplane, packed into an int.
+
+    The plane dot is unrolled with literal double coefficients into one
+    JVM-parsed fragment (the same left-associated ``0.0``-seeded chain
+    as ``dot_col``, so the sign — and therefore the bucket — is
+    unchanged; ``repr`` round-trips each coefficient bit-exactly
+    through the SQL parser's ``D``-suffixed double literal)."""
+    terms = []
     for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(c) for c in _plane(j)])
-        d = dot_col(vec, plane)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        acc = "0.0D"
+        for i, c in enumerate(_plane(j)):
+            acc = f"({acc} + (CAST(get({vec}, {i}) AS DOUBLE) * {c!r}D))"
+        terms.append(f"(CASE WHEN {acc} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def _plane_dot_sql(j: int, vec: str = "embedding") -> str:
@@ -217,7 +305,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order).  Tests additionally assert candidate-exactness
     and recall vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", _bucket_col(F.col("embedding")))
+    bucketed = e.withColumn("bucket", _bucket_col("embedding"))
     q = bucketed.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
@@ -239,7 +327,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            cosine_col("embedding", "qv").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -287,7 +375,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         F.col("label"), F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
     )
-    cos = cosine_col(F.col("emb1"), F.col("emb2"))
+    cos = cosine_col("emb1", "emb2")
     return (
         salted_block_join(a, b, "label", "v2")
         .where(F.col("v1") < F.col("v2"))
@@ -347,7 +435,7 @@ def q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="label",
         probe_id_cols=("v1",),
         corpus_id_col="v2",
-        score=cosine_col(F.col("emb1"), F.col("emb2")),
+        score=cosine_col("emb1", "emb2"),
         k=3,
         score_name="cos_sim",
         pair_filter=F.col("v1") != F.col("v2"),
@@ -397,9 +485,25 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFram
     ``min(struct(-cdist, cell))`` — a hash aggregate that partial-
     combines map-side with no sort; remaining vector columns ride along
     as ``first()`` (constant within a vec_id group, so deterministic).
-    n>1 (the tiny query-side multiprobe) keeps the windowed top-n."""
+    n>1 (the tiny query-side multiprobe) keeps the windowed top-n, and
+    deliberately keeps the FOLD cosine (Column form): its input is a
+    bounded frame (1 probe × k centroids), where a fresh codegen
+    compile of the unrolled cosine costs more than interpreting k rows
+    at any scale."""
+    if n > 1:
+        scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+            "cdist", cosine_col(F.col("embedding"), F.col("centroid"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cdist").desc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("crnk", F.row_number().over(w))
+            .where(F.col("crnk") <= n)
+            .drop("centroid", "cdist", "crnk")
+        )
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", cosine_col(F.col("embedding"), F.col("centroid"))
+        "cdist", cosine_col("embedding", "centroid")
     )
     if n == 1:
         carried = [c for c in vecs.columns if c != "vec_id"]
@@ -500,7 +604,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            cosine_col("embedding", "qv").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -533,8 +637,11 @@ def _pq_subvectors(e: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-def _l2_col(a: Column, b: Column) -> Column:
-    """Squared L2 as a sequential double fold (mirrored by ``_l2_sql``)."""
+def _l2_col(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
+    """Squared L2 as the same sequential double chain ``_l2_sql`` states
+    (unrolled + JVM-parsed on the string path — see ``dot_col``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_l2_frag(a, b, dim))
     return F.aggregate(
         F.zip_with(
             a,
@@ -584,7 +691,7 @@ def _pq_assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
     never sorts; the row_number-window formulation costs a full
     (vec_id, s) shuffle-sort for the same answer."""
     scored = sub.join(F.broadcast(codebooks), "s").withColumn(
-        "__d2", _l2_col(F.col("sub"), F.col("centroid"))
+        "__d2", _l2_col("sub", "centroid", _DIM // _PQ_M)
     )
     return (
         scored.groupBy("vec_id", "s")
@@ -685,7 +792,14 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-subspace lookup table: dot(q_s, centroid) for every code
     qtab = (
         q_sub.join(books, "s")
-        .select("s", "cell", dot_col(F.col("qsub"), F.col("centroid")).alias("pdot"))
+        .select(
+            "s",
+            "cell",
+            # bounded frame (_PQ_M×_PQ_K = 128 rows): fold, not
+            # unroll — a codegen compile costs more than 128
+            # interpreted dots at any scale
+            dot_col(F.col("qsub"), F.col("centroid")).alias("pdot"),
+        )
     )
     approx = (
         corpus_codes.join(F.broadcast(qtab), ["s", "cell"])
@@ -702,6 +816,7 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
+            # bounded frame (_PQ_RERANK rows): fold, not unroll
             cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
