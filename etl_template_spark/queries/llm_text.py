@@ -54,28 +54,71 @@ def _doc_shingles(
 
     ``persist=True`` for consumers that traverse the frame more than
     once (MinHash signature + verification both read it): without it the
-    lazy DAG re-runs explode+sha2+distinct per consumer — measured 3× the
-    runtime at sf0.1.  At cluster scale the equivalent is materializing
-    the shingle table once per corpus snapshot (it is reused by every
-    dedup/fingerprint pass), not re-deriving it per query.
+    lazy DAG re-runs tokenize+shingle+explode per consumer.  At cluster
+    scale the equivalent is materializing the shingle table once per
+    corpus snapshot (it is reused by every dedup/fingerprint pass), not
+    re-deriving it per query.
 
-    The explicit ``repartition(doc_id)`` BELOW the distinct makes the
-    shingle table's one shuffle carry the partitioning every per-doc
-    consumer needs: HashPartitioning(doc_id) satisfies the distinct's
-    ClusteredDistribution([doc_id, s]) (a subset of the keys clusters
-    the pair), so the distinct plans NO second exchange, and the
-    MinHash signature's groupBy(doc_id) then rides the same
-    partitioning shuffle-free (plan-pinned).  A bare ``.distinct()``
-    instead hash-partitions by (doc_id, s), which no downstream
-    per-doc aggregate can reuse — at 100 TB that is one extra full
-    shuffle of the engine's largest intermediate (r11 A/B at sf0.1:
-    q_dedup_fuzzy 3.3–3.6 s → 2.8 s median, identical output)."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles_col(tokens_col(), k)).alias("s"))
-        .repartition("doc_id")
-        .distinct()
-    )
+    r13 optimization, step 1 (shape): the table is MAP-ONLY — per-doc
+    distinct needs no aggregation and no exchange at all, because
+    duplicate (doc_id, s) pairs only ever come from repeats inside one
+    document.  This supersedes the r11 ``repartition(doc_id) +
+    distinct`` single-shuffle plan: that shape still shuffled the FULL
+    shingle table — the engine's largest intermediate — once; now
+    nothing shuffles it, and the MinHash signature's groupBy(doc_id)
+    partial-aggregates map-side so its exchange carries one 17-column
+    row per document instead (r13 A/B at sf0.1: q_dedup_fuzzy 3.4 s →
+    2.3 s cold median, identical output).
+
+    r13 optimization, step 2 (per-task work, guide §4.2): the shingling
+    itself moves from the JVM higher-order chain
+    ``explode(array_distinct(transform(sequence, slice+concat_ws)))`` —
+    whose lambda is interpreted per element, measured ~10 µs per
+    shingle, the single largest cost in every shingle-family query — to
+    ONE Arrow boundary doing native batch string work (the posture the
+    multimodal family already uses).  Only (doc_id, text) crosses, the
+    generator is allocated once per task, and each batch splits/joins
+    in CPython's C string routines.  Token semantics are identical by
+    construction: ``str.split(' ')`` == Spark ``split(text, ' ', -1)``
+    == DuckDB ``string_split(text, ' ')`` (single-space separator,
+    empty tokens preserved), ``' '.join`` == ``concat_ws`` over
+    non-null strings, NULL text yields no rows exactly like exploding
+    the NULL-guarded array, and per-doc first-seen dedup equals DISTINCT
+    (order is irrelevant downstream — every consumer joins or
+    aggregates).  Verified bit-identical at sf0.01/sf0.1 across all six
+    consumer queries and against the DuckDB oracles."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    id_type = dict(d.dtypes)["doc_id"]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            out_ids: list = []
+            out_s: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                toks = t.split(" ")
+                n = len(toks) - (k - 1)
+                if n < 1:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[j : j + k]) for j in range(n)
+                )
+                out_ids.extend([i] * len(grams))
+                out_s.extend(grams)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=b.column("doc_id").type),
+                    pa.array(out_s, type=pa.string()),
+                ],
+                ["doc_id", "s"],
+            )
+
+    sh = d.mapInArrow(gen, schema=f"doc_id {id_type}, s string")
     return persist_tracked(sh) if persist else sh
 
 
