@@ -3,29 +3,131 @@
 Spark's built-in ``percentile`` aggregate collects every group's values
 into an in-memory ObjectHashAggregate buffer that cannot spill: one
 giant group = one un-splittable OOM-prone task.  This operator computes
-the identical interpolated result through spillable primitives:
+the identical interpolated result through spillable primitives, with
+TWO ranking shapes selected by input size (r13 optimization):
 
-1. ``row_number`` over a per-group value sort — the sort is a
-   spillable sort-merge and WindowExec's partition buffer spills;
-2. group counts as a tiny pre-aggregate broadcast back onto the ranked
-   rows;
-3. rows pruned to the <=2 ranks each target percentile can touch;
-4. a tiny final aggregate interpolates ``lo + frac * (hi - lo)`` with
-   0-based position ``(n-1) * p`` — exactly DuckDB ``quantile_cont`` /
-   numpy ``linear`` arithmetic.
+- **window-rank** (small inputs): ``row_number`` over a per-group value
+  sort.  Spillable, minimal constant overhead, but sort parallelism
+  equals the number of groups — a 3-group percentile sorts in 3 tasks
+  and a global median in ONE, the straggler shape of guide §2.5/2.6.
+- **range-rank** (large inputs): rows are RANGE-partitioned by
+  (key, value) so every shuffle partition holds a contiguous slice of
+  the sort order and sorts locally; the global rank is reconstructed
+  from a tiny per-(key, partition) layout frame.  Parallelism is the
+  shuffle partition count regardless of group cardinality.
 
-Cost: one full sort per distinct measure column (targets sharing a
-column share its sort).  ``q_agg_percentile``
-(queries/advanced_sql.py) is the oracle-checked instantiation; the
-t-digest ``approx_percentile`` remains the estimate-tolerant fast path.
+Both shapes then prune rows to the <=2 ranks each target percentile
+can touch and interpolate ``lo + frac * (hi - lo)`` with 0-based
+position ``(n-1) * p`` — exactly DuckDB ``quantile_cont`` / numpy
+``linear`` arithmetic, property-tested to produce identical results.
+
+The switch is the Catalyst size estimate of the filtered input against
+``SPARK_GRAFT_PERCENTILE_RANGE_MIN_BYTES`` (default 4 GiB): below it
+the per-group sort is at worst a few seconds of one core and the
+range shape's extra passes (layout aggregate + rank join + pinned
+materialization) cost more than they save — A/B at sf0.1: 1.75 s vs
+2.9 s median for q_agg_percentile; above it per-group sorting
+serializes onto #groups cores and the range shape is the one that
+finishes.  ``q_agg_percentile`` (queries/advanced_sql.py) is the
+oracle-checked instantiation; the t-digest ``approx_percentile``
+remains the estimate-tolerant fast path.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Default threshold for switching the ranking shape.  4 GiB ≈ the point
+# where a single-task per-group sort (the window shape's worst case:
+# one group) stops being "a few seconds on one core"; override via env
+# for clusters with different task-size targets.
+_RANGE_MIN_BYTES_ENV = "SPARK_GRAFT_PERCENTILE_RANGE_MIN_BYTES"
+_RANGE_MIN_BYTES_DEFAULT = 4 * 1024**3
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (best-effort; falls back to
+    'large' so the scalable shape is chosen when the estimate is
+    unavailable)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return 1 << 62
+
+
+def _ranked_window(vals: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Per-group ``row_number`` rank + group size via a count window
+    riding the same shuffle partitioning (r10 review: no per-group
+    driver collection at any cardinality, no degenerate equi-join on
+    constant keys)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(col))
+    return (
+        vals
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+
+
+def _ranked_range(vals: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Distributed rank selection: range-partition by (key, value),
+    sort each partition locally, and reconstruct the global rank from a
+    tiny per-(key, partition) layout frame:
+    rank = (rows of this key in earlier partitions)
+         + (local index within the key's block) + 1.
+
+    Determinism: the layout frame and the ranked rows both read the
+    SAME materialized partitioning (``persist_tracked`` below), so the
+    range boundaries — which come from sampling and are not stable
+    across separate executions — cannot diverge between the two
+    consumers.  Within a block of EQUAL values row order is arbitrary,
+    but every rank inside such a block maps to the same value, so the
+    selected percentile inputs are deterministic (property-tested vs
+    numpy linear).  Callers run under the engine's per-query
+    ``release_tracked`` discipline, which frees the pin.
+
+    The layout join carries one row per (group, partition); it is NOT
+    hint-broadcast (r10's driver-OOM concern at 10⁸ groups stands) —
+    AQE broadcasts it when small and falls back to a spillable shuffle
+    join when not."""
+    from ..caching import persist_tracked
+
+    loc = persist_tracked(
+        vals.repartitionByRange(*keys, F.col(col))
+        .sortWithinPartitions(*keys, F.col(col))
+        .select(
+            *keys,
+            col,
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .alias("__lidx"),
+        )
+    )
+    layout = loc.groupBy(*keys, "__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__lidx").alias("__lstart")
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*keys)
+    layout = layout.select(
+        *keys,
+        "__pid",
+        "__lstart",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__n"),
+    )
+    return loc.join(layout, [*keys, "__pid"]).withColumn(
+        "__rn", F.col("__off") + (F.col("__lidx") - F.col("__lstart")) + 1
+    )
 
 
 def exact_group_percentiles(
@@ -56,26 +158,16 @@ def exact_group_percentiles(
             raise ValueError(f"percentile fraction out of range: {p}")
         by_col.setdefault(col, []).append((alias, p))
 
+    range_min_bytes = int(
+        os.environ.get(_RANGE_MIN_BYTES_ENV, _RANGE_MIN_BYTES_DEFAULT)
+    )
     out = df.select(*keys).distinct()
     for col, col_targets in by_col.items():
         vals = df.select(*keys, col).where(F.col(col).isNotNull())
-        w = Window.partitionBy(*keys).orderBy(F.col(col))
-        # Group size as a COUNT WINDOW over the same partitioning, not a
-        # separate aggregate joined back (r10 review): the old
-        # ``join(F.broadcast(counts), keys)`` collected ONE ROW PER
-        # GROUP to the driver — unbounded in group cardinality
-        # (per-user percentiles over 10⁸ users = driver OOM) — and with
-        # a constant key (q_anomaly_mad's global median) the folded
-        # equi-join degenerated to a cartesian without the hint.  The
-        # count window rides the row_number's existing shuffle
-        # partitioning (no join, no second aggregate, no driver
-        # collection at ANY cardinality) and A/B-measured faster at
-        # sf0.1 (~1.9 s vs ~2.4 s median for q_agg_percentile).
-        ranked = (
-            vals
-            .withColumn("__rn", F.row_number().over(w))
-            .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
-        )
+        if _estimated_bytes(vals) >= range_min_bytes:
+            ranked = _ranked_range(vals, keys, col)
+        else:
+            ranked = _ranked_window(vals, keys, col)
         pos = {
             a: (F.col("__n") - F.lit(1)).cast("double") * F.lit(p)
             for a, p in col_targets
