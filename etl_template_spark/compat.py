@@ -80,6 +80,54 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     return dsum(c, scale) / F.count(c)
 
 
+def fp6(col: Column | str) -> Column:
+    """Fixed-point scale-6 value as an exact integer decimal:
+    ``sign(x) * floor(|x| * 1e6 + 0.5)`` cast to ``decimal(30,0)``.
+
+    Pure floating-point per-row work (multiply + floor + sign), no
+    ``Double.toString``/BigDecimal allocation — the per-row cost that
+    dominates ``dec``'s double→decimal cast (r13 profiling: ~60% of
+    q_agg_group's runtime was the five cast columns)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    n = F.when(c >= 0, F.floor(c * 1e6 + F.lit(0.5))).otherwise(
+        -F.floor(-c * 1e6 + F.lit(0.5))
+    )
+    return n.cast("decimal(30,0)")
+
+
+def dsum_fp(col: Column | str) -> Column:
+    """Order-independent double sum over CERTIFIED money-like columns —
+    bit-identical to ``dsum`` but ~25-30% faster end-to-end on
+    aggregation-bound queries (r13 A/B on q_agg_group at sf0.1:
+    1.68 s → 1.19 s median, identical bytes).
+
+    How it stays exact: each value becomes the integer ``n`` =
+    HALF-UP(x·10⁶) via pure FP arithmetic (``fp6``), the ``n`` are
+    summed EXACTLY in integer decimal (no overflow until 10³⁰ — a long
+    sum would wrap at ~9.2·10¹⁸, i.e. at 100 TB scale), and the final
+    exact rational Σn/10⁶ is divided at scale 8 (exact: at most 6
+    fractional digits exist) before one correctly-rounded cast to
+    double — the same exact rational, hence the same double, as
+    ``dsum``'s decimal(30,6) accumulation.
+
+    CONTRACT: per-value agreement between ``floor(|x|·1e6 + 0.5)`` and
+    Spark's shortest-repr double→decimal(30,6) cast is DATA-DEPENDENT
+    (an adversarial double within an ulp of a half-point can round
+    differently).  Use only on expressions certified by
+    ``tests/test_compat_guard.py::test_fixed_point_money_agreement``,
+    which sweeps every such column and derived expression at every SF
+    and fails on the first divergent value.  Everything else —
+    transcendental outputs, embedding folds, uncertified columns —
+    stays on ``dsum``/``davg``."""
+    return (F.sum(fp6(col)) / F.lit(1000000)).cast("double")
+
+
+def davg_fp(col: Column | str) -> Column:
+    """``dsum_fp`` / count — the certified-column twin of ``davg``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum_fp(c) / F.count(c)
+
+
 def dsum_sql(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))) AS DOUBLE)"
 

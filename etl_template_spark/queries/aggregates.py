@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import davg, davg_sql, dsum, dsum_sql
+# r13: every dsum/davg input in this module is a certified money
+# column/expression (compat.dsum_fp contract + the fixed-point guard
+# sweep in tests/test_compat_guard.py), so the module rides the fast
+# fixed-point twins — bit-identical sums, no per-row toString cast.
+from ..compat import davg_fp as davg, davg_sql, dsum_fp as dsum, dsum_sql
 from ..io import load_table
 from ..registry import register
 

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import dsum, dsum_sql
+# r13: certified money inputs -> fixed-point dsum twin (see compat.dsum_fp)
+from ..compat import dsum_fp as dsum, dsum_sql
 from ..io import load_table
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join_binned

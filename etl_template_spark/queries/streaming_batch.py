@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..compat import dsum, dsum_sql
+# r13: events.value is fixed-point-certified (see compat.dsum_fp)
+from ..compat import dsum_fp as dsum, dsum_sql
 from ..io import load_table
 from ..operators.sessionize import sessionize
 from ..registry import register

@@ -48,7 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..compat import dsum, dsum_sql
+# r13: certified money inputs -> fixed-point dsum twin (see compat.dsum_fp)
+from ..compat import dsum_fp as dsum, dsum_sql
 from ..io import load_table
 from ..registry import register
 

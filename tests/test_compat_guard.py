@@ -254,3 +254,55 @@ def test_derived_price_expressions_round_identically():
     vals = [v for row in rows for v in row if v is not None]
     bad = rounding_agreement_failures(vals)
     assert not bad, f"derived price expressions in the risk region: {bad[:3]}"
+
+
+def test_fixed_point_money_agreement(spark):
+    """CONTRACT GATE for ``compat.dsum_fp``/``davg_fp``/``fp6`` (r13):
+    for every money column and derived expression routed through the
+    fixed-point twins, the pure-FP rounding
+    ``sign(x)·floor(|x|·1e6 + 0.5)`` must equal the unscaled value of
+    Spark's shortest-repr double→decimal(30,6) cast on EVERY value in
+    the fixtures.  A single divergent value here means the fast twins
+    would no longer be bit-identical to dsum/davg — move the affected
+    call sites back to the decimal path before shipping."""
+    from pyspark.sql import functions as F
+
+    from etl_template_spark.io import load_table
+
+    def fast(c):
+        return F.when(c >= 0, F.floor(c * 1e6 + F.lit(0.5))).otherwise(
+            -F.floor(-c * 1e6 + F.lit(0.5))
+        ).cast("long")
+
+    def exact(c):
+        return (c.cast("decimal(30,6)") * 1000000).cast("long")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    lp = li.join(p, li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cases = [
+        (li, [F.col(c) for c in
+              ("l_quantity", "l_extendedprice", "l_discount", "l_tax")]
+         + [rev, rev * (1 + F.col("l_tax")),
+            F.col("l_extendedprice") * F.col("l_discount"),      # Q6
+            F.col("l_extendedprice") * F.col("l_quantity")]),    # Q11
+        (lp, [rev - F.col("p_retailprice") * 0.1 * F.col("l_quantity")]),  # Q9
+        (load_table(spark, SF_DIR, "orders"), [F.col("o_totalprice")]),
+        (load_table(spark, SF_DIR, "customer"), [F.col("c_acctbal")]),
+        (load_table(spark, SF_DIR, "events"), [F.col("value")]),
+    ]
+    for df, exprs in cases:
+        for i, e in enumerate(exprs):
+            x = e.cast("double")
+            bad = (
+                df.select(x.alias("__x"))
+                .where(F.col("__x").isNotNull())
+                .where(fast(F.col("__x")) != exact(F.col("__x")))
+                .limit(3)
+                .collect()
+            )
+            assert not bad, (
+                f"fixed-point divergence on expr #{i} of {df.columns[:3]}: "
+                f"{[r['__x'] for r in bad]}"
+            )
