@@ -65,40 +65,57 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     view, first purchase AFTER that click; ``stage`` = furthest step
     reached.  Strict ordering is what makes it a funnel — a purchase
     before the click must not count, so each stage's MIN is conditioned
-    on the previous stage's timestamp, not just on event type."""
+    on the previous stage's timestamp, not just on event type.
+
+    r13 optimization: ONE pass instead of three.  The old shape scanned
+    events three times (one filtered aggregate per stage), joined each
+    stage to the previous one, and left-joined the three stage frames
+    back together — 10 exchanges in the plan.  A funnel's state is
+    per-user, so one groupBy(user_id) can carry everything: the view
+    MIN directly, and the click/purchase candidates as sorted
+    timestamp arrays from which the first element strictly after the
+    previous stage's time is picked (identical to the conditioned MIN:
+    the filtered ascending array's head IS min(ts WHERE ts > prev)).
+    One scan, one exchange; per-user state is bounded by that user's
+    events, which any per-user funnel needs.  A/B cold at sf0.1
+    (identical rows at both SFs): 0.98 s → 0.35 s exec median."""
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
+    per_user = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            F.when(F.col("t_purchase").isNotNull(), 3)
-            .when(F.col("t_click").isNotNull(), 2)
-            .otherwise(1)
-            .alias("stage"),
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "t_view"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                )
+            ).alias("_clicks"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                )
+            ).alias("_purchases"),
         )
+        .where(F.col("t_view").isNotNull())
+    )
+    t_click = F.get(
+        F.filter("_clicks", lambda x: x > F.col("t_view")), 0
+    )
+    staged = per_user.withColumn("t_click", t_click).withColumn(
+        "t_purchase",
+        F.get(F.filter("_purchases", lambda x: x > F.col("t_click")), 0),
+    )
+    return staged.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .alias("stage"),
     )
 
 

@@ -169,12 +169,27 @@ def q_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, term string",
     )
 
-    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r13 optimization: the old shape derived one `tok` explode and fed
+    # it to FIVE lazy consumers (dl, n_tokens, and qtok's three), so
+    # the corpus was re-exploded per consumer — 26 parquet scans and 41
+    # exchanges in the plan.  dl and n_tokens never needed the explode
+    # at all (`size(tokens)` is the exploded per-doc count, summed for
+    # the total — map-only), and the ONE remaining explode-join output,
+    # the |Q·terms|-bounded match table, is persisted for its three
+    # aggregating consumers.  4 scans, 10 exchanges, identical rows.
+    from ..caching import persist_tracked
+
+    dl = d.select(
+        "doc_id", F.size(tokens_col("text")).alias("dl")
+    ).where(F.col("dl").isNotNull())
     totals = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+        d.agg(F.sum(F.size(tokens_col("text"))).alias("n_tokens"))
     )
-    qtok = tok.join(F.broadcast(qterms), "term").select("query_id", "doc_id", "term")
+    qtok = persist_tracked(
+        d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "doc_id", "term")
+    )
     tf = qtok.groupBy("query_id", "doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )

@@ -507,14 +507,43 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFram
     )
     if n == 1:
         carried = [c for c in vecs.columns if c != "vec_id"]
-        best = F.min(F.struct((-F.col("cdist")).alias("d"), F.col("cell").alias("c")))
+        # r13 optimization: the argmax used to be min(struct(-cdist,
+        # cell)), and a struct-typed aggregation buffer forces the whole
+        # operator onto SortAggregate (sort every partition by vec_id,
+        # twice: partial + final).  ``cdist`` is the 6-dp ROUNDED
+        # cosine, so (cdist, cell) packs EXACTLY into one long —
+        # floor(cdist*1e6 + 0.5) recovers the integer n of n*10^-6
+        # with ~1e-10 of slack, no data dependence — and min(long) is
+        # a plain HashAggregate: map-side partial combine, no sorts.
+        # Tie/NaN semantics match the struct-min: equal cdist → the
+        # smaller cell wins (it's the low bits), NaN → encoded below
+        # every real score so it loses unless every score is NaN (then
+        # the smallest cell wins, as before).  Precondition (unchanged
+        # from the struct shape): non-null embeddings and cell ids
+        # below 2^31.
+        n_enc = F.when(
+            F.isnan(F.col("cdist")), F.lit(-1000001)
+        ).otherwise(
+            F.when(
+                F.col("cdist") >= 0, F.floor(F.col("cdist") * 1e6 + F.lit(0.5))
+            ).otherwise(-F.floor(-F.col("cdist") * 1e6 + F.lit(0.5)))
+        )
+        enc = (F.lit(1000001) - n_enc).cast("long") * F.lit(1 << 31) + F.col(
+            "cell"
+        ).cast("long")
         return (
             scored.groupBy("vec_id")
             .agg(
-                best.alias("__b"),
+                F.min(enc).alias("__b"),
                 *[F.first(c).alias(c) for c in carried],
             )
-            .select("vec_id", *carried, F.col("__b.c").alias("cell"))
+            .select(
+                "vec_id",
+                *carried,
+                (F.col("__b") % F.lit(1 << 31))
+                .cast(dict(centroids.dtypes)["cell"])
+                .alias("cell"),
+            )
         )
     w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
     return (
