@@ -49,6 +49,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §3.1): let AQE rewrite a sort-merge join to a
+        # shuffled-hash join AT RUNTIME when every post-shuffle
+        # partition of the build side is under this threshold — the
+        # no-sort join for provably-small-per-partition builds.  The
+        # gate is the measured partition size, so the rewrite is
+        # scale-adaptive by construction: a 100 TB inverted-index join
+        # whose partitions exceed 64 MB keeps the spillable sort-merge
+        # path, while the r13 A/B on q_dedup_ngram (the only headline
+        # plan with SortMergeJoins — the DF-capped index's keep/self
+        # joins) won all interleaved pairs by 5-15%.  Matches the AQE
+        # advisory partition size, i.e. "one coalesced partition's
+        # worth" of hash table per task.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
