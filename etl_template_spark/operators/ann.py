@@ -40,8 +40,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..compat import davg
-
 
 def _sim_helpers():
     # lazy: queries/__init__ imports operators submodules, so a
@@ -77,16 +75,10 @@ def train_centroids(
         .select("cell", F.col("embedding").alias("centroid"))
     )
     assigned = _assign_cells(e, seeds)
-    return (
-        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(davg(F.col("x").cast("double")).alias("m"))
-        .groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "cell", F.transform("pm", lambda st: st.getField("m")).alias("centroid")
-        )
-    )
+    # Lloyd means shared with the IVF quantizer (decimal-exact davg)
+    from ..queries.similarity import _per_dim_means
+
+    return _per_dim_means(assigned, ["cell"], "embedding")
 
 
 def ivf_index_incremental(

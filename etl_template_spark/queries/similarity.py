@@ -33,61 +33,60 @@ _DIM = 64
 
 
 # ---------------------------------------------------------------------------
-# Vector math (r13 optimization: unrolled + parsed JVM-side)
+# Vector math — formulation chosen PER DIMENSION, by measurement (r14)
 #
-# The similarity family evaluates millions of dot products / norms per
-# query.  Three formulations were A/B'd at sf0.1:
+# The r13 round unrolled every dot/norm/L2 into one JVM-parsed SQL
+# fragment on the theory that higher-order folds never enter whole-
+# stage codegen while unrolled chains do.  r14 re-measured per stage
+# shape and found the theory holds only BELOW the JIT's ~8 KB-bytecode
+# method limit:
 #
-# 1. ``aggregate(zip_with(...))`` higher-order folds (rounds 1-12):
-#    tiny expression trees, but HOF lambdas never enter whole-stage
-#    codegen — every element step is interpreted, and the interpreted
-#    fold dominated every similarity cell's execution profile.
-# 2. Unrolling via PySpark Column operators: codegen-fast execution,
-#    but constructing ~1300 Column objects per cosine costs tens of
-#    thousands of py4j roundtrips per query build (measured 35k calls
-#    / ~10 s on the IVF build alone).
-# 3. Unrolling as ONE SQL fragment parsed with a single ``F.expr``
-#    call (below): same codegen-fast execution, ~ms build cost.
+# - A 16-dim chain (PQ subvector L2, ~16 terms) fits in one JIT-able
+#   method: the unroll is compiled and beats the interpreted fold
+#   decisively (the real r13 PQ win, kept).
+# - A 64-dim cosine (3 chains, ~192 terms + casts) cannot be split
+#   inside whole-stage codegen (consume() expressions that reference
+#   deferred input variables are unsplittable), so the generated
+#   method exceeds the JIT limit and executes as INTERPRETED bytecode
+#   — measured ~10 µs/row, SLOWER than the zip_with/aggregate fold's
+#   ~2.4 µs/row, plus a multi-second Janino parse/compile constant per
+#   distinct fragment.  Interleaved A/B at sf0.1, 50 k-pair assignment
+#   stage, quiet host: unrolled 0.86-0.94 s, 3-fold cosine 0.84-1.12 s,
+#   fold-dot + per-row PRE-COMPUTED norms 0.40-0.51 s.
 #
-# The unrolled value is bit-identical to the old fold: the explicit
-# ``0.0D`` seed keeps the same left-associated IEEE addition chain
-# ``((0.0 + p0) + p1) + ...`` that the oracles' ``list_reduce`` states,
-# and a too-short array yields NULL either way (``get`` past the end
-# nulls the term, exactly like ``zip_with``'s null padding; ``get`` is
-# also ANSI-safe, unlike ``element_at``/brackets).  Arrays are
-# fixed-size by fixture contract; ``dim`` defaults to the embedding
-# dimension and non-default callers (PQ subvectors) pass their width.
-#
-# Helpers accept SQL column names/fragments (fast path).  Plain Column
-# objects (library/test callers composing scores) keep the original
-# higher-order fold — identical semantics, no SQL-printing of
-# arbitrary expression trees.
+# So: 64-dim paths use the fold for the dot product and pre-compute
+# squared norms once per ROW in a projection (``cosine_pre_col``) —
+# a norm is reused across every pair its row joins into, so the
+# per-pair work drops ~3x at any scale; only the ≤16-dim PQ L2 keeps
+# the unrolled fragment.  All formulations produce bit-identical
+# values: the explicit ``0.0`` seed keeps the same left-associated
+# IEEE addition chain ``((0.0 + p0) + p1) + ...`` that the oracles'
+# ``list_reduce`` states, and norms computed in an upstream projection
+# are the same doubles as norms computed inline (the final
+# ``round(dot / sqrt(na*nb), 6)`` is the same IEEE op sequence).
 # ---------------------------------------------------------------------------
 
 
-def _dot_frag(a: str, b: str, dim: int) -> str:
-    acc = "0.0D"
-    for i in range(dim):
-        acc = (
-            f"({acc} + (CAST(get({a}, {i}) AS DOUBLE)"
-            f" * CAST(get({b}, {i}) AS DOUBLE)))"
-        )
-    return acc
+def _dim_guard(frag: str, dim: int, *arrs: str) -> str:
+    """Guard an unrolled fragment so a wrong-LENGTH array yields NULL
+    instead of a silently-truncated value (r13 ADVICE): the unrolled
+    chain reads exactly ``dim`` elements, so an array LONGER than
+    ``dim`` would otherwise diverge silently from the fold (which
+    consumes the full array).  Shorter arrays yield NULL on both paths
+    (``get`` past the end nulls the term); the guard makes the long
+    case equally loud.  Fixture arrays are exactly ``dim`` by contract,
+    so results are unchanged.
 
-
-def _sqn_frag(a: str, dim: int) -> str:
-    acc = "0.0D"
-    for i in range(dim):
-        x = f"CAST(get({a}, {i}) AS DOUBLE)"
-        acc = f"({acc} + ({x} * {x}))"
-    return acc
-
-
-def _cos_frag(a: str, b: str, dim: int) -> str:
-    return (
-        f"round({_dot_frag(a, b, dim)} / "
-        f"sqrt({_sqn_frag(a, dim)} * {_sqn_frag(b, dim)}), 6)"
-    )
+    FORM MATTERS (measured r14): the obvious ``CASE WHEN cond THEN
+    frag END`` puts the whole ``dim``-term chain inside a CaseWhen
+    branch, which whole-stage codegen cannot split into sub-methods —
+    the generated method blows past the JIT's bytecode limit and runs
+    INTERPRETED (PQ exec 2.0 s → 3.8 s).  Multiplying by a guarded
+    ``1.0D`` keeps the chain at top level (splittable) and is
+    bit-exact: ``x * 1.0 == x`` for every double including ``-0.0``
+    and NaN, and a NULL factor (wrong length) nulls the product."""
+    cond = " AND ".join(f"(size({a}) = {dim})" for a in arrs)
+    return f"({frag} * (CASE WHEN {cond} THEN 1.0D END))"
 
 
 def _l2_frag(a: str, b: str, dim: int) -> str:
@@ -95,7 +94,7 @@ def _l2_frag(a: str, b: str, dim: int) -> str:
     for i in range(dim):
         d = f"(CAST(get({a}, {i}) AS DOUBLE) - CAST(get({b}, {i}) AS DOUBLE))"
         acc = f"({acc} + ({d} * {d}))"
-    return acc
+    return _dim_guard(acc, dim, a, b)
 
 
 def _dot_fold(a: Column, b: Column) -> Column:
@@ -111,25 +110,41 @@ def _sqn_fold(a: Column) -> Column:
     )
 
 
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def dot_col(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
     """Sequential double dot product of two fixed-``dim`` float vectors
-    (see the formulation note above)."""
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_dot_frag(a, b, dim))
-    return _dot_fold(a, b)
+    (see the formulation note above; the fold consumes the full array,
+    so no dim guard is needed)."""
+    return _dot_fold(_c(a), _c(b))
 
 
 def sq_norm_col(a: Column | str, dim: int = _DIM) -> Column:
-    if isinstance(a, str):
-        return F.expr(_sqn_frag(a, dim))
-    return _sqn_fold(a)
+    return _sqn_fold(_c(a))
 
 
 def cosine_col(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
     """round(dot / sqrt(na*nb), 6) — formula mirrored verbatim in SQL."""
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(_cos_frag(a, b, dim))
-    return F.round(dot_col(a, b, dim) / F.sqrt(sq_norm_col(a, dim) * sq_norm_col(b, dim)), 6)
+    return F.round(
+        dot_col(a, b, dim) / F.sqrt(sq_norm_col(a, dim) * sq_norm_col(b, dim)), 6
+    )
+
+
+def cosine_pre_col(
+    a: Column | str, na: Column | str, b: Column | str, nb: Column | str
+) -> Column:
+    """Cosine with PRE-COMPUTED squared norms (r14 optimization):
+    ``round(dot(a,b) / sqrt(na * nb), 6)`` where ``na``/``nb`` are
+    columns holding ``sq_norm_col(a)`` / ``sq_norm_col(b)`` computed in
+    an upstream projection.  Bit-identical to ``cosine_col`` — the norm
+    folds produce the same doubles wherever they run, and the final
+    ``/ sqrt(na*nb)`` and round are the same IEEE ops — but the
+    per-PAIR work drops from three folds to one: a norm is per-ROW,
+    computed once and reused across every pair the row joins into
+    (A/B at sf0.1 assignment stage: 0.84-1.12 s → 0.40-0.51 s)."""
+    return F.round(_dot_fold(_c(a), _c(b)) / F.sqrt(_c(na) * _c(nb)), 6)
 
 
 def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
@@ -183,14 +198,21 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition bounded heap, no global sort.  Ordering is on the
     ROUNDED similarity with vec_id tiebreaker → deterministic ranks."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    # r14: squared norms pre-computed per ROW (query norm once in the
+    # 1-row broadcast frame instead of per corpus row; corpus norm in
+    # the scan projection) — the scoring expression is one unrolled dot
+    # chain instead of three, same bits (see cosine_pre_col)
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), sq_norm_col("embedding").alias("__qn")
+    )
     return (
         e.where(F.col("vec_id") != 0)
+        .withColumn("__n", sq_norm_col("embedding"))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
-            cosine_col("embedding", "qv").alias("cos_sim"),
+            cosine_pre_col("embedding", "__n", "qv", "__qn").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -218,18 +240,19 @@ def _plane(j: int) -> list[float]:
 def _bucket_col(vec: str) -> Column:
     """LSH bucket id: sign bit per hyperplane, packed into an int.
 
-    The plane dot is unrolled with literal double coefficients into one
-    JVM-parsed fragment (the same left-associated ``0.0``-seeded chain
-    as ``dot_col``, so the sign — and therefore the bucket — is
-    unchanged; ``repr`` round-trips each coefficient bit-exactly
-    through the SQL parser's ``D``-suffixed double literal)."""
-    terms = []
+    Plane dots are ``dot_col`` folds against literal coefficient
+    arrays (the same left-associated ``0.0``-seeded chain, so the sign
+    — and therefore the bucket — is unchanged).  r14: reverted from
+    the r13 unrolled fragment — 6 planes × 64 terms in one projection
+    is far past the JIT method limit, so the unroll ran as interpreted
+    bytecode, slower than the fold it replaced (see the formulation
+    note at the top of this module)."""
+    bucket = F.lit(0)
     for j in range(_N_PLANES):
-        acc = "0.0D"
-        for i, c in enumerate(_plane(j)):
-            acc = f"({acc} + (CAST(get({vec}, {i}) AS DOUBLE) * {c!r}D))"
-        terms.append(f"(CASE WHEN {acc} >= 0 THEN {1 << j} ELSE 0 END)")
-    return F.expr("(" + " + ".join(terms) + ")")
+        plane = F.array(*[F.lit(c) for c in _plane(j)])
+        d = dot_col(F.col(vec), plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
 
 
 def _plane_dot_sql(j: int, vec: str = "embedding") -> str:
@@ -307,7 +330,10 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", _bucket_col("embedding"))
     q = bucketed.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+        # r14: query norm once in the broadcast frame (cosine_pre_col)
+        sq_norm_col("embedding").alias("__qn"),
     )
     # query bucket + Hamming-1 and Hamming-2 probes, as a broadcast frame
     masks = [0] + [1 << j for j in range(_N_PLANES)] + [
@@ -317,17 +343,19 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probes = q.select(
         "qv",
+        "__qn",
         F.explode(
             F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
     )
     return (
         bucketed.where(F.col("vec_id") != 0)
+        .withColumn("__n", sq_norm_col("embedding"))
         .join(F.broadcast(probes), "bucket")
         .select(
             "vec_id",
             "label",
-            cosine_col("embedding", "qv").alias("cos_sim"),
+            cosine_pre_col("embedding", "__n", "qv", "__qn").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -466,14 +494,33 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
     assigned = _assign_cells(e, seeds)
-    # Lloyd step: per-dimension means per cell
+    # Lloyd step: per-dimension means per cell via posexplode + davg.
+    # (r14 measured a no-explode alternative — ONE wide aggregate with
+    # 64 per-dimension davg columns — and REJECTED it: identical
+    # results and exec time, but the 64-column aggregate costs ~0.7 s
+    # of extra Python build + analysis per query.  The explode's 64x
+    # row expansion is 320 k narrow rows at sf0.1 and one partial-
+    # aggregated exchange at any scale — not the bottleneck.)
+    return _per_dim_means(assigned, ["cell"], "embedding")
+
+
+def _per_dim_means(
+    assigned: DataFrame, keys: list[str], vec: str
+) -> DataFrame:
+    """(keys..., centroid array<double>): per-dimension decimal-exact
+    Lloyd means (``compat.davg`` — summation order cannot change the
+    centroid), shared by the IVF coarse quantizer, the PQ codebooks and
+    ``operators.ann.train_centroids``."""
     return (
-        assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("cell", "pos")
+        assigned.select(*keys, F.posexplode(vec).alias("pos", "x"))
+        .groupBy(*keys, "pos")
         .agg(davg(F.col("x").cast("double")).alias("m"))
-        .groupBy("cell")
+        .groupBy(*keys)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cell", F.transform("pm", lambda st: st.getField("m")).alias("centroid"))
+        .select(
+            *keys,
+            F.transform("pm", lambda st: st.getField("m")).alias("centroid"),
+        )
     )
 
 
@@ -481,10 +528,9 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFram
     """Assign each vector to its ``n`` nearest centroids (cosine):
     broadcast the k centroids, score, pick.
 
-    n=1 (the corpus-side hot path) is an argmax via
-    ``min(struct(-cdist, cell))`` — a hash aggregate that partial-
-    combines map-side with no sort; remaining vector columns ride along
-    as ``first()`` (constant within a vec_id group, so deterministic).
+    n=1 (the corpus-side hot path) is a long-packed argmax under a
+    plain HashAggregate whose GROUPING KEY carries the payload columns
+    (constant per vec_id, so the grouping is unchanged — see below).
     n>1 (the tiny query-side multiprobe) keeps the windowed top-n, and
     deliberately keeps the FOLD cosine (Column form): its input is a
     bounded frame (1 probe × k centroids), where a fresh codegen
@@ -502,54 +548,67 @@ def _assign_cells(vecs: DataFrame, centroids: DataFrame, n: int = 1) -> DataFram
             .where(F.col("crnk") <= n)
             .drop("centroid", "cdist", "crnk")
         )
-    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "cdist", cosine_col("embedding", "centroid")
+    # n == 1 hot path.  Two r13/r14 optimizations compose here:
+    #
+    # - r13: the argmax used to be min(struct(-cdist, cell)), and a
+    #   struct-typed aggregation buffer forces SortAggregate (sort
+    #   every partition by vec_id, twice: partial + final).  ``cdist``
+    #   is the 6-dp ROUNDED cosine, so (cdist, cell) packs EXACTLY
+    #   into one long — floor(cdist*1e6 + 0.5) recovers the integer n
+    #   of n*10^-6 with ~1e-10 of slack, no data dependence — and
+    #   min(long) is a plain HashAggregate: map-side partial combine,
+    #   no sorts.  Tie/NaN semantics match the struct-min: equal cdist
+    #   → the smaller cell wins (it's the low bits), NaN → encoded
+    #   below every real score so it loses unless every score is NaN
+    #   (then the smallest cell wins, as before).  Precondition
+    #   (unchanged from the struct shape): non-null embeddings and
+    #   cell ids below 2^31.
+    # - r14: the r13 shape still carried every OTHER vecs column
+    #   through the aggregate as first(...), and a first(array) buffer
+    #   is not hash-aggregable — the carries forced the whole aggregate
+    #   back onto SortAggregate (sort each task's k-times-expanded
+    #   scored rows, arrays and all).  Now the payload columns ride the
+    #   GROUPING KEY instead: hash-map keys may be variable-length
+    #   (only the aggregation BUFFER must be fixed-width mutable), and
+    #   grouping by (vec_id, payload...) IS grouping by vec_id because
+    #   the payload is constant within a vec_id group.  The buffer is
+    #   one long — plain HashAggregate, map-side partial combine, no
+    #   sorts anywhere.  (A join-back of a narrow (vec_id, cell) proxy
+    #   was A/B'd and rejected: same 1x-corpus exchange at scale, but
+    #   an extra scan + join + AQE broadcast round cost it ~0.5 s/query
+    #   locally.)  The corpus side of the cosine also pre-computes its
+    #   squared norm per ROW (reused across all k centroid pairings),
+    #   and the centroid norms land in the k-row broadcast frame — the
+    #   per-pair work is one dot fold, not three folds.
+    cents = centroids.select(
+        "cell", "centroid", sq_norm_col("centroid").alias("__cn")
     )
-    if n == 1:
-        carried = [c for c in vecs.columns if c != "vec_id"]
-        # r13 optimization: the argmax used to be min(struct(-cdist,
-        # cell)), and a struct-typed aggregation buffer forces the whole
-        # operator onto SortAggregate (sort every partition by vec_id,
-        # twice: partial + final).  ``cdist`` is the 6-dp ROUNDED
-        # cosine, so (cdist, cell) packs EXACTLY into one long —
-        # floor(cdist*1e6 + 0.5) recovers the integer n of n*10^-6
-        # with ~1e-10 of slack, no data dependence — and min(long) is
-        # a plain HashAggregate: map-side partial combine, no sorts.
-        # Tie/NaN semantics match the struct-min: equal cdist → the
-        # smaller cell wins (it's the low bits), NaN → encoded below
-        # every real score so it loses unless every score is NaN (then
-        # the smallest cell wins, as before).  Precondition (unchanged
-        # from the struct shape): non-null embeddings and cell ids
-        # below 2^31.
-        n_enc = F.when(
-            F.isnan(F.col("cdist")), F.lit(-1000001)
-        ).otherwise(
-            F.when(
-                F.col("cdist") >= 0, F.floor(F.col("cdist") * 1e6 + F.lit(0.5))
-            ).otherwise(-F.floor(-F.col("cdist") * 1e6 + F.lit(0.5)))
+    scored = (
+        vecs.withColumn("__vn", sq_norm_col("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cdist", cosine_pre_col("embedding", "__vn", "centroid", "__cn")
         )
-        enc = (F.lit(1000001) - n_enc).cast("long") * F.lit(1 << 31) + F.col(
-            "cell"
-        ).cast("long")
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(enc).alias("__b"),
-                *[F.first(c).alias(c) for c in carried],
-            )
-            .select(
-                "vec_id",
-                *carried,
-                (F.col("__b") % F.lit(1 << 31))
-                .cast(dict(centroids.dtypes)["cell"])
-                .alias("cell"),
-            )
-        )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+    )
+    n_enc = F.when(
+        F.isnan(F.col("cdist")), F.lit(-1000001)
+    ).otherwise(
+        F.when(
+            F.col("cdist") >= 0, F.floor(F.col("cdist") * 1e6 + F.lit(0.5))
+        ).otherwise(-F.floor(-F.col("cdist") * 1e6 + F.lit(0.5)))
+    )
+    enc = (F.lit(1000001) - n_enc).cast("long") * F.lit(1 << 31) + F.col(
+        "cell"
+    ).cast("long")
     return (
-        scored.withColumn("crnk", F.row_number().over(w))
-        .where(F.col("crnk") <= n)
-        .drop("centroid", "cdist", "crnk")
+        scored.groupBy(*vecs.columns)
+        .agg(F.min(enc).alias("__b"))
+        .select(
+            *vecs.columns,
+            (F.col("__b") % F.lit(1 << 31))
+            .cast(dict(centroids.dtypes)["cell"])
+            .alias("cell"),
+        )
     )
 
 
@@ -623,17 +682,24 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-runs the quantizer build.  Same discipline as q_sim_search_pq,
     # which already persists its sub/books intermediates.
     cents = persist_tracked(_ivf_centroids(e))
-    corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1)
+    corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1).withColumn(
+        "__n", sq_norm_col("embedding")
+    )
     probes = (
         _assign_cells(e.where(F.col("vec_id") == 0), cents, n=_IVF_NPROBE)
-        .select(F.col("cell"), F.col("embedding").alias("qv"))
+        .select(
+            F.col("cell"),
+            F.col("embedding").alias("qv"),
+            # r14: probe norms once in the nprobe-row broadcast frame
+            sq_norm_col("embedding").alias("__qn"),
+        )
     )
     return (
         corpus.join(F.broadcast(probes), "cell")
         .select(
             "vec_id",
             "label",
-            cosine_col("embedding", "qv").alias("cos_sim"),
+            cosine_pre_col("embedding", "__n", "qv", "__qn").alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -694,19 +760,10 @@ def _pq_codebooks(sub: DataFrame) -> DataFrame:
         "s", F.col("vec_id").alias("cell"), F.col("sub").alias("centroid")
     )
     assigned = _pq_assign(sub, seeds)
-    return (
-        assigned.join(
-            sub.select("vec_id", "s", "sub"), ["vec_id", "s"]
-        )
-        .select("s", "cell", F.posexplode("sub").alias("pos", "x"))
-        .groupBy("s", "cell", "pos")
-        .agg(davg(F.col("x").cast("double")).alias("m"))
-        .groupBy("s", "cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "s", "cell",
-            F.transform("pm", lambda st: st.getField("m")).alias("centroid"),
-        )
+    return _per_dim_means(
+        assigned.join(sub.select("vec_id", "s", "sub"), ["vec_id", "s"]),
+        ["s", "cell"],
+        "sub",
     )
 
 
