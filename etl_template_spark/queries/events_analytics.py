@@ -22,7 +22,7 @@ these extend the engine the same way the LLM operators do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -67,55 +67,78 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the click must not count, so each stage's MIN is conditioned
     on the previous stage's timestamp, not just on event type.
 
-    r13 optimization: ONE pass instead of three.  The old shape scanned
-    events three times (one filtered aggregate per stage), joined each
-    stage to the previous one, and left-joined the three stage frames
-    back together — 10 exchanges in the plan.  A funnel's state is
-    per-user, so one groupBy(user_id) can carry everything: the view
-    MIN directly, and the click/purchase candidates as sorted
-    timestamp arrays from which the first element strictly after the
-    previous stage's time is picked (identical to the conditioned MIN:
-    the filtered ascending array's head IS min(ts WHERE ts > prev)).
-    One scan, one exchange; per-user state is bounded by that user's
-    events, which any per-user funnel needs.  A/B cold at sf0.1
-    (identical rows at both SFs): 0.98 s → 0.35 s exec median."""
+    r13 made this ONE pass instead of three (the old shape scanned
+    events three times and joined the stage frames — 10 exchanges);
+    r14 keeps the single pass but replaces the r13 per-user
+    collect_list/array_sort timestamp ARRAYS — unbounded per-user
+    aggregation state in an unspillable ObjectHashAggregate buffer,
+    i.e. one bot user = one giant in-memory array (guide §5; r13
+    ADVICE) — with three chained window MINs over the same single
+    scan:
+
+        t_view     = MIN(ts)                         FILTER (view)
+        t_click    = MIN(ts > t_view)                FILTER (click)
+        t_purchase = MIN(ts > t_click)               FILTER (purchase)
+
+    Each window is an unbounded frame over ``user_id`` — constant
+    per-group aggregation state, and the window operator's row buffer
+    spills to disk, so a skewed user costs disk, never memory.  All
+    three windows share one partitioning: the plan is 1 scan, 1
+    exchange, 1 sort, 3 Window ops, then a final hash aggregate that
+    collapses the per-event rows to one per user (it rides the same
+    partitioning — no second exchange).  Equivalence to the staged
+    MINs is the same argument as r13's arrays: min(ts | click AND
+    ts > t_view) IS the conditioned stage-2 MIN, and a NULL t_view /
+    t_click makes the comparison NULL → the filter drops the row →
+    the next stage is NULL, exactly the LEFT-JOIN semantics of the
+    oracle.  Rows verified identical at both SFs."""
     ev = load_table(spark, sf_dir, "events")
-    per_user = (
-        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    base = ev.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    t_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    staged = base.withColumn("t_view", t_view)
+    staged = staged.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return (
+        staged.where(F.col("t_view").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-                "t_view"
-            ),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("event_type") == "click", F.col("ts"))
-                )
-            ).alias("_clicks"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("event_type") == "purchase", F.col("ts"))
-                )
-            ).alias("_purchases"),
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_purchase").alias("t_purchase"),
         )
-        .where(F.col("t_view").isNotNull())
-    )
-    t_click = F.get(
-        F.filter("_clicks", lambda x: x > F.col("t_view")), 0
-    )
-    staged = per_user.withColumn("t_click", t_click).withColumn(
-        "t_purchase",
-        F.get(F.filter("_purchases", lambda x: x > F.col("t_click")), 0),
-    )
-    return staged.select(
-        "user_id",
-        "t_view",
-        "t_click",
-        "t_purchase",
-        F.when(F.col("t_purchase").isNotNull(), 3)
-        .when(F.col("t_click").isNotNull(), 2)
-        .otherwise(1)
-        .alias("stage"),
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+        )
     )
 
 

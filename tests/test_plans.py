@@ -118,6 +118,23 @@ def test_llm_operators_never_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
 
 
+def test_events_funnel_bounded_state_single_exchange(spark, sf_dir):
+    """r14 (r13 ADVICE): the funnel must carry NO unbounded per-user
+    aggregation state — the r13 shape buffered every click/purchase
+    timestamp per user in an unspillable collect_list buffer (one bot
+    user = one giant in-memory array).  The stage MINs now ride
+    spillable Window frames with constant aggregation state, the whole
+    funnel rides ONE exchange of the single events scan, and the final
+    per-user collapse reuses that partitioning."""
+    p = plan_of(spark, sf_dir, "q_events_funnel")
+    assert "collect_list" not in p
+    assert node_count(p, "ObjectHashAggregate") == 0
+    assert node_count(p, "SortAggregate") == 0
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "Scan parquet") == 1
+    assert node_count(p, "Window") == 3
+
+
 def test_tpch_q6_is_scan_bound(spark, sf_dir):
     """Q6 must be pure scan + 1-row aggregate: every predicate pushed,
     only the 4 referenced columns read, no join, no wide shuffle."""
