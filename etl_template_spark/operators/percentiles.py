@@ -47,12 +47,21 @@ from pyspark.sql import functions as F
 # for clusters with different task-size targets.
 _RANGE_MIN_BYTES_ENV = "SPARK_GRAFT_PERCENTILE_RANGE_MIN_BYTES"
 _RANGE_MIN_BYTES_DEFAULT = 4 * 1024**3
+# Explicit shape override (r13 ADVICE): "window" / "range" skip the
+# size estimate entirely.  This is the documented escape hatch for
+# Spark Connect sessions, where ``_estimated_bytes`` cannot reach the
+# classic-mode queryExecution internals and every call would otherwise
+# pin to the heavier range shape regardless of input size.
+_SHAPE_ENV = "SPARK_GRAFT_PERCENTILE_SHAPE"
 
 
 def _estimated_bytes(df: DataFrame) -> int:
     """Catalyst's size estimate for ``df`` (best-effort; falls back to
     'large' so the scalable shape is chosen when the estimate is
-    unavailable)."""
+    unavailable — e.g. under Spark Connect, where ``_jdf`` does not
+    exist; set ``SPARK_GRAFT_PERCENTILE_SHAPE=window`` there for small
+    inputs).  Costs one analyze/optimize pass, so callers compute it
+    ONCE per query, not once per measure column (r13 ADVICE)."""
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -65,12 +74,27 @@ def _ranked_window(vals: DataFrame, keys: list[str], col: str) -> DataFrame:
     """Per-group ``row_number`` rank + group size via a count window
     riding the same shuffle partitioning (r10 review: no per-group
     driver collection at any cardinality, no degenerate equi-join on
-    constant keys)."""
+    constant keys).
+
+    NULL measure rows are NOT pre-filtered (r14): a per-column filter
+    below the shared key exchange would make each measure column's
+    exchange subtree canonically different, defeating exchange reuse
+    (measured: 3 full scans+shuffles of lineitem instead of 1 on
+    q_agg_percentile).  Instead NULLs sort first (asc default) and the
+    rank is shifted down by the group's NULL count, so non-NULL rows
+    keep exactly their filtered ranks 1..n while NULL rows land at
+    ranks <= 0.  With ``__n`` >= 1 every target rank is >= 1, so a
+    NULL row is never selected; with ``__n`` = 0 (all-NULL group) a
+    target rank of 0 can select a NULL row, whose NULL value
+    reproduces the all-NULL group's NULL result — the interpolation
+    arithmetic is unchanged either way (property-tested)."""
     w = Window.partitionBy(*keys).orderBy(F.col(col))
+    wp = Window.partitionBy(*keys)
+    n_null = F.count(F.lit(1)).over(wp) - F.count(F.col(col)).over(wp)
     return (
         vals
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .withColumn("__rn", F.row_number().over(w) - n_null)
+        .withColumn("__n", F.count(F.col(col)).over(wp))
     )
 
 
@@ -158,16 +182,48 @@ def exact_group_percentiles(
             raise ValueError(f"percentile fraction out of range: {p}")
         by_col.setdefault(col, []).append((alias, p))
 
-    range_min_bytes = int(
-        os.environ.get(_RANGE_MIN_BYTES_ENV, _RANGE_MIN_BYTES_DEFAULT)
-    )
-    out = df.select(*keys).distinct()
+    shape = os.environ.get(_SHAPE_ENV, "").strip().lower()
+    if shape not in ("window", "range"):
+        # ONE analyze/optimize pass per query, not one per measure
+        # column (r13 ADVICE): the estimate of the key-filtered frame
+        # upper-bounds every per-column vals frame (each only adds an
+        # isNotNull filter), and both shapes return identical rows
+        # (property-pinned), so the shared estimate can only move the
+        # switch point, never the result.
+        range_min_bytes = int(
+            os.environ.get(_RANGE_MIN_BYTES_ENV, _RANGE_MIN_BYTES_DEFAULT)
+        )
+        shape = (
+            "range" if _estimated_bytes(df) >= range_min_bytes else "window"
+        )
+    if shape == "window":
+        # r14 (guide §2.4): ONE key-hash repartition of the measure
+        # table, PINNED, shared by the group list and EVERY per-column
+        # window sort — each window requires hash(keys) distribution
+        # and its value sort sits above the cache.  Without the pin
+        # the n+1 consumers each re-plan their own scan+shuffle:
+        # per-consumer column pruning (and, before r14, the per-column
+        # NULL filter — now neutralized by rank arithmetic inside
+        # _ranked_window) specializes each repartition subtree, so
+        # exchange reuse NEVER fires (verified: 3 full lineitem
+        # scans+shuffles in q_agg_percentile's final plan).  Same
+        # MEMORY_AND_DISK + caller-release discipline as the range
+        # shape's layout pin below and the dedup kept-index.
+        from ..caching import persist_tracked
+
+        base = persist_tracked(
+            df.select(*keys, *by_col).repartition(*keys)
+        )
+        out = base.select(*keys).distinct()
+    else:
+        base = df
+        out = df.select(*keys).distinct()
     for col, col_targets in by_col.items():
-        vals = df.select(*keys, col).where(F.col(col).isNotNull())
-        if _estimated_bytes(vals) >= range_min_bytes:
+        if shape == "range":
+            vals = base.select(*keys, col).where(F.col(col).isNotNull())
             ranked = _ranked_range(vals, keys, col)
         else:
-            ranked = _ranked_window(vals, keys, col)
+            ranked = _ranked_window(base.select(*keys, col), keys, col)
         pos = {
             a: (F.col("__n") - F.lit(1)).cast("double") * F.lit(p)
             for a, p in col_targets

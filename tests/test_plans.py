@@ -135,6 +135,36 @@ def test_events_funnel_bounded_state_single_exchange(spark, sf_dir):
     assert node_count(p, "Window") == 3
 
 
+def test_agg_percentile_range_shape_executes_identically(
+    spark, sf_dir, monkeypatch
+):
+    """r14 (r13 VERDICT): the percentile RANGE shape — chosen above the
+    size threshold, so never executed by the sf-scale bench — must (a)
+    actually plan range partitioning + the layout-frame rank join and
+    (b) return exactly the window shape's rows when forced onto the
+    real oracle-checked query."""
+    from etl_template_spark.caching import release_tracked
+    from etl_template_spark.operators import percentiles
+
+    base = sorted(
+        tuple(r)
+        for r in REGISTRY["q_agg_percentile"].build(spark, sf_dir).collect()
+    )
+    release_tracked()
+    monkeypatch.setenv(percentiles._SHAPE_ENV, "range")
+    df = REGISTRY["q_agg_percentile"].build(spark, sf_dir)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "rangepartitioning" in p.lower()
+    assert "SPARK_PARTITION_ID" in p.upper()
+    got = sorted(tuple(r) for r in df.collect())
+    release_tracked()
+    assert got == base
+
+
 def test_tpch_q6_is_scan_bound(spark, sf_dir):
     """Q6 must be pure scan + 1-row aggregate: every predicate pushed,
     only the 4 referenced columns read, no join, no wide shuffle."""
