@@ -95,6 +95,30 @@ def minhash_signature(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def minhash_signature_sql(id_col: str = "doc_id") -> str:
+    """Spark-SQL text twin of ``minhash_signature`` with a ``{sh}``
+    placeholder for the shingle frame (``spark.sql(sql, sh=shingles)``).
+
+    Why a twin exists (r14, guide §7.3): the Column form eagerly
+    analyzes a growing plan per Dataset op — the 16 min() aggregate
+    alone costs ~0.4 s of driver-side build per query at any scale —
+    while the SQL text is ONE parse + analysis (~60 ms).  Expressions
+    are written to analyze to the very same operators (same literals,
+    same projected ``__sid`` below the aggregate), so the executed
+    plan — and therefore the signature bits — are unchanged; the
+    snapshot harness and the DuckDB oracles gate that equivalence."""
+    mins = ", ".join(
+        f"min(({a} * __sid + {b}) % {MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MH_AB)
+    )
+    return (
+        f"SELECT {id_col}, {mins}, count(1) AS n_sh FROM ("
+        f"SELECT {id_col}, CAST(conv(substring(sha2(s, 256), 1, 8), 16, 10)"
+        " AS BIGINT) AS __sid FROM {sh}"
+        f") GROUP BY {id_col}"
+    )
+
+
 def _band_keys(signatures: DataFrame, id_col: str) -> DataFrame:
     return signatures.select(
         F.col(id_col),

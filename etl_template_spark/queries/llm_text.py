@@ -33,7 +33,6 @@ from ..operators.dedup import (
     MH_AB as _MH_AB,
     MH_BANDS as _MH_BANDS,
     MH_PRIME as _MH_P,
-    df_capped_pair_counts,
     shingle_id,
     shingles_col,
     tokens_col,
@@ -193,6 +192,39 @@ def _fuzzy_oracle() -> str:
     """ % _SHINGLES_SQL
 
 
+_FUZZY_BAND_EXPRS = ", ".join(
+    f"concat_ws(':', {i}, mh{2 * i}, mh{2 * i + 1})" for i in range(_MH_BANDS)
+)
+
+# Band join + exact-Jaccard verification, stated once as SQL text with
+# {mins}/{sh} placeholders (see the r14 build-cost note in
+# q_dedup_fuzzy).  Same shapes as lsh_candidate_pairs/verified_jaccard:
+# explode band keys → self equi-join (only colliding pairs appear) →
+# inverted-index co-occurrence count → Jaccard from the signature
+# frame's n_sh — no all-pairs anywhere.
+_FUZZY_VERIFY_SQL = """
+WITH bands AS (
+  SELECT doc_id, explode(array(%s)) AS band_key FROM {mins}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+  FROM bands l JOIN bands r ON l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id),
+common AS (
+  SELECT c.d1, c.d2, count(1) AS n_common
+  FROM cand c
+  JOIN {sh} a ON a.doc_id = c.d1
+  JOIN {sh} b ON b.doc_id = c.d2 AND a.s = b.s
+  GROUP BY c.d1, c.d2)
+SELECT d1, d2, jaccard FROM (
+  SELECT c.d1, c.d2,
+         round(c.n_common / (s1.n_sh + s2.n_sh - c.n_common), 6) AS jaccard
+  FROM common c
+  JOIN {mins} s1 ON s1.doc_id = c.d1
+  JOIN {mins} s2 ON s2.doc_id = c.d2)
+WHERE jaccard >= 0.5
+""" % _FUZZY_BAND_EXPRS
+
+
 @register("q_dedup_fuzzy", oracle=_fuzzy_oracle(), tags=("llm", "dedup"))
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (3-shingle Jaccard >= 0.5) found the
@@ -207,40 +239,32 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     an inverted-index join over candidate docs.  Every hash constant is
     fixed, so the result is deterministic and exactly matches the
     all-pairs oracle (recall argument in the oracle builder)."""
-    from ..operators.dedup import minhash_signature
+    from ..operators.dedup import minhash_signature_sql
 
-    sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
+    sh = _doc_shingles(spark, sf_dir, k=3)
     # ONE aggregate yields both the 16-hash signature and the set size
-    # (n_sh) — verification reuses it instead of re-scanning shingles
-    mins = persist_tracked(minhash_signature(sh))
+    # (n_sh) — verification reuses it instead of re-scanning shingles.
+    # r14 (guide §7.3): the signature and the band-join+verification
+    # stages are each ONE spark.sql parse+analysis instead of ~25
+    # eagerly-analyzed Dataset ops — the Column form cost ~0.8 s of
+    # driver-side build per call at any scale; the SQL text ~0.2 s.
+    # The statements mirror minhash_signature/_verified_jaccard
+    # expression for expression, so the executed plan and every
+    # result bit are unchanged (snapshot-gated at sf0.01/sf0.1,
+    # DuckDB-oracle-gated at sf0.01).
+    mins = spark.sql(minhash_signature_sql("doc_id"), sh=sh)
     # 8 band keys: band i = (mh_{2i}, mh_{2i+1}) packed into one string
-    bands = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(i),
-                        F.col(f"mh{2 * i}"),
-                        F.col(f"mh{2 * i + 1}"),
-                    )
-                    for i in range(_MH_BANDS)
-                ]
-            )
-        ).alias("band_key"),
-    )
-    left = bands.select(F.col("doc_id").alias("d1"), "band_key")
-    right = bands.select(F.col("doc_id").alias("d2"), "band_key")
-    candidates = (
-        left.join(right, "band_key")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    return _verified_jaccard(
-        candidates, sh, threshold=0.5, sizes=mins.select("doc_id", "n_sh")
-    )
+    out = spark.sql(_FUZZY_VERIFY_SQL, mins=mins, sh=sh)
+    # persist AFTER the last templated spark.sql: the formatter's
+    # temp-view cleanup UNCACHES any referenced frame (dropTempView →
+    # uncacheView matches the frame's plan), so a persist taken before
+    # the compose would be silently dropped.  Cache substitution
+    # happens at execution (useCachedData), so pinning here still puts
+    # InMemoryTableScans under every consumer — plan-gated by
+    # tests/test_plans.py.
+    persist_tracked(sh)
+    persist_tracked(mins)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -421,6 +445,35 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_dedup_ngram — inverted-index exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+# SQL-text twins of df_capped_pair_counts + the Jaccard scoring tail
+# (r14 build-cost move — one parse/analysis each, same executed plan;
+# see the helper's docstring for the cap/keep-join/skew rationale).
+_NGRAM_KEPT_SQL = """
+SELECT sh.doc_id, sh.s
+FROM {sh} sh
+JOIN (
+  SELECT /*+ BROADCAST(nd) */ f.s
+  FROM (SELECT s, count(1) AS df FROM {sh} GROUP BY s) f
+  CROSS JOIN (SELECT count(1) AS n_docs FROM {docs}) nd
+  WHERE f.df <= CAST(greatest(5, ceil(nd.n_docs / 100.0D)) AS BIGINT)
+) k ON sh.s = k.s
+"""
+
+_NGRAM_PAIRS_SQL = """
+WITH sizes AS (SELECT doc_id, count(1) AS n_sh FROM {kept} GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS c
+  FROM {kept} a JOIN {kept} b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, round(c / (n1 + n2 - c), 6) AS jaccard
+FROM (
+  SELECT common.d1, common.d2, common.c, s1.n_sh AS n1, s2.n_sh AS n2
+  FROM common
+  JOIN sizes s1 ON s1.doc_id = common.d1
+  JOIN sizes s2 ON s2.doc_id = common.d2)
+WHERE c / (n1 + n2 - c) >= 0.5
+"""
+
 
 @register(
     "q_dedup_ngram",
@@ -464,23 +517,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefix filtering, Bayardo et al. WWW'07), kept library-side because
     its DF-ordering pass costs more than it saves below bucket-skew
     scale."""
-    sh = _doc_shingles(spark, sf_dir, k=3, persist=True)
-    n_docs = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    # candidate generation factored into operators/dedup.py (r8 review —
-    # q_dedup_containment shares the identical contract; the keep-join
-    # shape rationale lives on the helper's docstring)
-    sizes, common = df_capped_pair_counts(sh, n_docs)
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("c") / (F.col("n1") + F.col("n2") - F.col("c"))
-    return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
-        .where(jac >= 0.5)
-        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
-    )
+    sh = _doc_shingles(spark, sf_dir, k=3)
+    docs = load_table(spark, sf_dir, "documents")
+    # Same contract as operators/dedup.py:df_capped_pair_counts (which
+    # q_dedup_containment still uses), stated as two spark.sql calls —
+    # r14 build-cost move, see q_dedup_fuzzy.  The pruned index is
+    # persisted exactly as the helper does (three consumers: sizes +
+    # both self-join sides), released per the caching discipline;
+    # persists are taken AFTER the last templated spark.sql because the
+    # formatter's temp-view cleanup uncaches referenced frames (see
+    # q_dedup_fuzzy).
+    kept = spark.sql(_NGRAM_KEPT_SQL, sh=sh, docs=docs)
+    out = spark.sql(_NGRAM_PAIRS_SQL, kept=kept)
+    persist_tracked(sh)
+    persist_tracked(kept)
+    return out
 
 
 # ---------------------------------------------------------------------------
