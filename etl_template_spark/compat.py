@@ -128,6 +128,32 @@ def davg_fp(col: Column | str) -> Column:
     return dsum_fp(c) / F.count(c)
 
 
+def fp6_sparksql(expr: str) -> str:
+    """Spark-SQL text twin of ``fp6`` — the same operator sequence
+    (CAST DOUBLE → FP half-up to integer units → DECIMAL(30,0))."""
+    x = f"CAST(({expr}) AS DOUBLE)"
+    n = (
+        f"CASE WHEN {x} >= 0 THEN FLOOR({x} * CAST(1000000 AS DOUBLE) + 0.5D)"
+        f" ELSE - FLOOR(- {x} * CAST(1000000 AS DOUBLE) + 0.5D) END"
+    )
+    return f"CAST({n} AS DECIMAL({_PRECISION},0))"
+
+
+def dsum_fp_sparksql(expr: str) -> str:
+    """Spark-SQL text twin of ``dsum_fp`` (r14, guide §7.3): the same
+    operator sequence — CAST DOUBLE → FP half-up to integer units →
+    exact DECIMAL(30,0) sum → /1e6 → DOUBLE — written as SQL so a
+    query can be stated as ONE parsed statement instead of eagerly
+    analyzed Dataset ops.  Same certification contract as ``dsum_fp``
+    (the guard sweep); equivalence is snapshot- and oracle-gated."""
+    return f"CAST(SUM({fp6_sparksql(expr)}) / 1000000 AS DOUBLE)"
+
+
+def davg_fp_sparksql(expr: str) -> str:
+    """``dsum_fp_sparksql`` / COUNT — Spark-SQL text twin of ``davg_fp``."""
+    return f"({dsum_fp_sparksql(expr)} / COUNT({expr}))"
+
+
 def dsum_sql(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PRECISION},{scale}))) AS DOUBLE)"
 

@@ -49,24 +49,35 @@ from ..registry import register
     tags=("agg", "flagship", "bench"),
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped grouped aggregation (multi-key, multi-aggregate)."""
+    """TPC-H Q1-shaped grouped aggregation (multi-key, multi-aggregate).
+
+    Stated as ONE SQL text (r14, guide §7.3): the eight fixed-point
+    aggregate Columns cost ~0.25 s of eager per-op analysis per build;
+    the SQL parses+analyzes once (~0.08 s) into the same plan — the
+    ``dsum_fp_sparksql`` twins emit the identical operator sequence,
+    snapshot- and oracle-gated."""
+    from ..compat import davg_fp_sparksql as davg_s, dsum_fp_sparksql as dsum_s
+
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_s('l_quantity')}      AS sum_qty,
+               {dsum_s('l_extendedprice')} AS sum_base_price,
+               {dsum_s(disc_price)}        AS sum_disc_price,
+               {dsum_s(charge)}            AS sum_charge,
+               {davg_s('l_quantity')}      AS avg_qty,
+               {davg_s('l_extendedprice')} AS avg_price,
+               {davg_s('l_discount')}      AS avg_disc,
+               count(1)                    AS count_order
+        FROM {{li}}
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        li=li,
     )
 
 

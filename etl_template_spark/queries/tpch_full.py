@@ -185,41 +185,49 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CASE inside the partial agg), then one IEEE division per year and a
     decimal-routed round — bit-identical across engines and cluster
     sizes."""
-    n1 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
-    )
-    n2 = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
-    )
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= _ts("1995-01-01 00:00:00"))
-        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
-    )
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nat_vol = F.when(F.col("supp_nation") == "NATION_12", vol).otherwise(F.lit(0.0))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
-        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
-        .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            # r13: fp6 sums — same exact rationals as sum(dec(...)),
-            # so the double quotient (and its 30,8 re-round) is unchanged
-            ((F.sum(fp6(nat_vol)) / F.lit(1000000)).cast("double")
-             / (F.sum(fp6(vol)) / F.lit(1000000)).cast("double"))
-            .cast("decimal(30,8)")
-            .cast("double")
-            .alias("mkt_share")
-        )
+    from ..compat import fp6_sparksql
+
+    # r14 (guide §7.3): the 7-table star stated as ONE SQL text — one
+    # parse+analysis instead of seven eagerly-analyzed join ops over a
+    # growing plan (~0.28 s → ~0.1 s of driver-side build; same
+    # executed plan, snapshot- and oracle-gated).  r13's fp6 sums are
+    # kept verbatim via the ``fp6_sparksql`` twin: same exact rationals
+    # as sum(dec(...)), so the double quotient (and its 30,8 re-round)
+    # is unchanged.
+    vol = "l_extendedprice * (1 - l_discount)"
+    nat_vol = f"CASE WHEN supp_nation = 'NATION_12' THEN {vol} ELSE 0.0D END"
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n1), BROADCAST(n2), BROADCAST(r) */
+               year(o_orderdate) AS o_year,
+               CAST(CAST(
+                 CAST(SUM({fp6_sparksql(nat_vol)}) / 1000000 AS DOUBLE)
+                 / CAST(SUM({fp6_sparksql(vol)}) / 1000000 AS DOUBLE)
+               AS DECIMAL(30,8)) AS DOUBLE) AS mkt_share
+        FROM {{li}} li
+        JOIN {{o}} o ON li.l_orderkey = o.o_orderkey
+        JOIN {{c}} c ON o.o_custkey = c.c_custkey
+        JOIN {{s}} s ON li.l_suppkey = s.s_suppkey
+        JOIN {{p}} p ON li.l_partkey = p.p_partkey
+        JOIN (SELECT n_nationkey AS c_nk, n_regionkey AS c_rk
+              FROM {{n}}) n1 ON c.c_nationkey = n1.c_nk
+        JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation
+              FROM {{n2}}) n2 ON s.s_nationkey = n2.s_nk
+        JOIN {{r}} r ON n1.c_rk = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND r.r_name = 'ASIA'
+          AND p.p_type = 'ECONOMY'
+        GROUP BY year(o_orderdate)
+        """,
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        c=load_table(spark, sf_dir, "customer"),
+        s=load_table(spark, sf_dir, "supplier"),
+        p=load_table(spark, sf_dir, "part"),
+        n=load_table(spark, sf_dir, "nation"),
+        n2=load_table(spark, sf_dir, "nation"),
+        r=load_table(spark, sf_dir, "region"),
     )
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # r13: certified money inputs -> fixed-point dsum twin (see compat.dsum_fp)
-from ..compat import dsum_fp as dsum, dsum_sql
+from ..compat import dsum_fp as dsum, dsum_fp_sparksql, dsum_sql
 from ..io import load_table
 from ..registry import register
 
@@ -93,26 +93,36 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the IN subquery over an
-    aggregate becomes a semi-join against a pre-aggregated key set —
-    lineitem is aggregated ONCE per side, both partial-agg shuffles on
-    orderkey; quantities are integral doubles, so sums are exact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    big_orders = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .where(F.col("qty") > 300)
-        .select("l_orderkey")
-    )
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("total_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
+    aggregate becomes a pre-aggregated key set; quantities are integral
+    doubles, so sums are exact.
+
+    r14 (guide §2.4/§6): lineitem is scanned and aggregated ONCE —
+    ``o_orderkey`` functionally determines the output group (it is the
+    orders PK; c_name/c_custkey/o_orderdate/o_totalprice are constant
+    per order), so the per-group ``total_qty`` IS the per-order
+    quantity sum the HAVING filter already computes.  The r13 shape
+    re-joined the full lineitem table and re-aggregated over five keys
+    — one whole extra fact scan plus a wide final aggregate, removed
+    with rows verified identical at both SFs and vs the oracle.  Also
+    stated as ONE SQL text (§7.3, one parse/analysis per build).  At
+    any scale the join input after the HAVING filter is only the
+    qualifying orders, so both joins broadcast/stay tiny."""
+    return spark.sql(
+        f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS qty,
+                     {dsum_fp_sparksql('l_quantity')} AS total_qty
+              FROM {{li}} GROUP BY l_orderkey) big
+        JOIN {{o}} o ON o.o_orderkey = big.l_orderkey
+        JOIN {{c}} c ON o.o_custkey = c.c_custkey
+        WHERE big.qty > 300
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+        """,
+        li=load_table(spark, sf_dir, "lineitem"),
+        o=load_table(spark, sf_dir, "orders"),
+        c=load_table(spark, sf_dir, "customer"),
     )
 
 
