@@ -261,9 +261,14 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the compose would be silently dropped.  Cache substitution
     # happens at execution (useCachedData), so pinning here still puts
     # InMemoryTableScans under every consumer — plan-gated by
-    # tests/test_plans.py.
-    persist_tracked(sh)
+    # tests/test_plans.py.  ORDER MATTERS (r14, measured): the
+    # CacheManager normalizes a new cache entry's key against caches
+    # that already exist, so persisting ``sh`` first would bake an
+    # InMemoryRelation(sh) into ``mins``'s key and no raw consumer
+    # fragment would ever match it again — pin the DOWNSTREAM frame
+    # first, then its input.
     persist_tracked(mins)
+    persist_tracked(sh)
     return out
 
 
@@ -529,8 +534,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_dedup_fuzzy).
     kept = spark.sql(_NGRAM_KEPT_SQL, sh=sh, docs=docs)
     out = spark.sql(_NGRAM_PAIRS_SQL, kept=kept)
-    persist_tracked(sh)
+    # downstream frame first, then its input (see q_dedup_fuzzy's
+    # persist-order note)
     persist_tracked(kept)
+    persist_tracked(sh)
     return out
 
 

@@ -147,6 +147,40 @@ def cosine_pre_col(
     return F.round(_dot_fold(_c(a), _c(b)) / F.sqrt(_c(na) * _c(nb)), 6)
 
 
+# --- Spark-SQL text twins of the folds (r14, guide §7.3) -------------------
+# The benched similarity builders are stated as ONE parsed SQL statement
+# per pipeline stage instead of eagerly-analyzed Dataset ops (IVF build
+# was ~1.1 s, PQ ~0.8 s of driver-side analysis per call at any scale).
+# These emit the IDENTICAL expressions the Column folds analyze to —
+# same 0.0D seed, same cast/multiply order — so the executed plan and
+# every result bit are unchanged (snapshot- + oracle-gated).
+
+
+def _dot_fold_sparksql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
+        f" CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sqn_fold_sparksql(a: str) -> str:
+    return (
+        f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) *"
+        f" CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cos_fold_sparksql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_fold_sparksql(a, b)} / "
+        f"sqrt({_sqn_fold_sparksql(a)} * {_sqn_fold_sparksql(b)}), 6)"
+    )
+
+
+def _cos_pre_sparksql(a: str, na: str, b: str, nb: str) -> str:
+    return f"round({_dot_fold_sparksql(a, b)} / sqrt({na} * {nb}), 6)"
+
+
 def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
     # list_reduce folds left like Spark's aggregate with 0.0 init
     # (0.0 + x == x exactly in IEEE, so the first-element seed is identical).
@@ -200,22 +234,25 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # r14: squared norms pre-computed per ROW (query norm once in the
     # 1-row broadcast frame instead of per corpus row; corpus norm in
-    # the scan projection) — the scoring expression is one unrolled dot
-    # chain instead of three, same bits (see cosine_pre_col)
-    q = e.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"), sq_norm_col("embedding").alias("__qn")
-    )
-    return (
-        e.where(F.col("vec_id") != 0)
-        .withColumn("__n", sq_norm_col("embedding"))
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            cosine_pre_col("embedding", "__n", "qv", "__qn").alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
+    # the scan projection) — the scoring expression is one fold-dot
+    # instead of three folds, same bits (see cosine_pre_col).  Stated
+    # as ONE SQL text (see the fold-twin note above).
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(q) */ v.vec_id, v.label,
+               {_cos_pre_sparksql('v.embedding', 'v.__n', 'q.qv', 'q.__qn')}
+                 AS cos_sim
+        FROM (SELECT vec_id, label, embedding,
+                     {_sqn_fold_sparksql('embedding')} AS __n
+              FROM {{e}} WHERE vec_id != 0) v
+        CROSS JOIN (SELECT embedding AS qv,
+                           {_sqn_fold_sparksql('embedding')} AS __qn
+                    FROM {{e2}} WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+        """,
+        e=e,
+        e2=e,
     )
 
 
@@ -659,6 +696,69 @@ def _ivf_oracle() -> str:
     """
 
 
+# SQL-text twins of _assign_cells(n=1)/_per_dim_means for the benched
+# IVF builder (r14 build-cost move — see the fold-twin note; ann.py and
+# semdedup.py keep the Column helpers).  Emits the same long-packed
+# argmax over the same pre-normed cosine as the Column path.
+
+
+def _argmax_enc_sparksql() -> str:
+    """The r13/r14 long-packed argmax over (cdist, cell) columns —
+    identical CASE/FLOOR/packing expressions to _assign_cells' n=1
+    path."""
+    n_enc = (
+        "CASE WHEN isnan(cdist) THEN -1000001 ELSE"
+        " CASE WHEN cdist >= 0"
+        " THEN FLOOR(cdist * CAST(1000000 AS DOUBLE) + 0.5D)"
+        " ELSE - FLOOR(- cdist * CAST(1000000 AS DOUBLE) + 0.5D) END END"
+    )
+    return f"min(CAST(1000001 - ({n_enc}) AS BIGINT) * 2147483648L + CAST(cell AS BIGINT))"
+
+
+def _per_dim_means_sparksql(keys: str, src: str, vec: str = "embedding") -> str:
+    """compat.davg per dimension per key — same posexplode + decimal
+    mean + array_sort(collect_list(struct)) reassembly as
+    _per_dim_means."""
+    m = davg_sql("CAST(x AS DOUBLE)")
+    return f"""
+  SELECT {keys}, transform(array_sort(collect_list(struct(pos, m))),
+                           st -> st.m) AS centroid
+  FROM (SELECT {keys}, pos, {m} AS m
+        FROM (SELECT {keys}, posexplode({vec}) AS (pos, x) FROM {src})
+        GROUP BY {keys}, pos)
+  GROUP BY {keys}"""
+
+
+def _ivf_assign1_subquery(vecs_sql: str, cents_rel: str) -> str:
+    """Subquery text for the n=1 broadcast-assign: score every vector
+    of ``vecs_sql`` against ``cents_rel`` (pre-normed cosine) and keep
+    the argmax cell per vector via the long-packed min.
+
+    Deliberately NOT a WITH/CTE: the CacheManager keys cached frames on
+    the CTE-INLINED normalized plan, so a persisted frame whose
+    producing statement contains a CTE is never substituted back into
+    consumers (measured r14: the IVF centroid and PQ codebook pins were
+    silently dead as CTEs — plans showed the quantizer pipeline
+    recomputed per consumer; nested subqueries restore the
+    InMemoryTableScans)."""
+    cos = _cos_pre_sparksql("v.embedding", "v.__vn", "c.centroid", "c.__cn")
+    return f"""
+  (SELECT vec_id, embedding, label,
+          CAST(__b % 2147483648L AS BIGINT) AS cell
+   FROM (SELECT vec_id, embedding, label, {_argmax_enc_sparksql()} AS __b
+         FROM (
+           SELECT /*+ BROADCAST(c) */ v.vec_id, v.embedding, v.label,
+                  c.cell,
+                  {cos} AS cdist
+           FROM (SELECT vec_id, embedding, label,
+                        {_sqn_fold_sparksql('embedding')} AS __vn
+                 FROM {vecs_sql}) v
+           CROSS JOIN (SELECT cell, centroid,
+                              {_sqn_fold_sparksql('centroid')} AS __cn
+                       FROM {cents_rel}) c)
+         GROUP BY vec_id, embedding, label))"""
+
+
 @register(
     "q_sim_search_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity", "approx")
 )
@@ -675,35 +775,65 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks), so the whole pipeline is hash-checked against a DuckDB
     oracle; tests additionally assert recall vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
-    # persist the 10-row centroid frame (r11, A/B-measured 1.99 s →
-    # 1.71 s median): its LINEAGE is the whole seed-assign + Lloyd-mean
-    # pipeline over the corpus, and both the corpus-side and the
-    # probe-side assignment consume it — without the pin each consumer
-    # re-runs the quantizer build.  Same discipline as q_sim_search_pq,
-    # which already persists its sub/books intermediates.
-    cents = persist_tracked(_ivf_centroids(e))
-    corpus = _assign_cells(e.where(F.col("vec_id") != 0), cents, n=1).withColumn(
-        "__n", sq_norm_col("embedding")
+    # Two SQL statements (r14, guide §7.3 — one parse/analysis each;
+    # ~1.1 s of eager per-op analysis removed per build, executed plan
+    # unchanged): the quantizer build, then assignment + probe + score.
+    # The 10-row centroid frame stays pinned (r11, A/B-measured): its
+    # LINEAGE is the whole seed-assign + Lloyd-mean pipeline over the
+    # corpus, and both the corpus-side and the probe-side assignment
+    # consume it.  The persist is taken AFTER the last templated
+    # spark.sql (the formatter's temp-view cleanup uncaches referenced
+    # frames — see llm_text.q_dedup_fuzzy).
+    cents = spark.sql(
+        f"""
+        {_per_dim_means_sparksql(
+            'cell',
+            _ivf_assign1_subquery(
+                f'(SELECT * FROM {{e}})',
+                f'(SELECT vec_id AS cell, embedding AS centroid FROM {{seeds}}'
+                f' WHERE vec_id < {_IVF_CELLS})',
+            ) + ' assigned',
+        )}
+        """,
+        e=e,
+        seeds=e,
     )
-    probes = (
-        _assign_cells(e.where(F.col("vec_id") == 0), cents, n=_IVF_NPROBE)
-        .select(
-            F.col("cell"),
-            F.col("embedding").alias("qv"),
-            # r14: probe norms once in the nprobe-row broadcast frame
-            sq_norm_col("embedding").alias("__qn"),
-        )
+    out = spark.sql(
+        f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding, label, cell,
+                 {_sqn_fold_sparksql('embedding')} AS __n
+          FROM {_ivf_assign1_subquery(
+              f'(SELECT * FROM {{e}} WHERE vec_id != 0)', '{cents}'
+          )} assigned),
+        probes AS (
+          SELECT cell, embedding AS qv,
+                 {_sqn_fold_sparksql('embedding')} AS __qn
+          FROM (
+            SELECT s.*, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY cdist DESC, cell
+                   ) AS crnk
+            FROM (SELECT /*+ BROADCAST(c) */ v.vec_id, v.embedding, v.label,
+                         c.cell,
+                         {_cos_fold_sparksql('v.embedding', 'c.centroid')}
+                           AS cdist
+                  FROM (SELECT * FROM {{e2}} WHERE vec_id = 0) v
+                  CROSS JOIN {{cents2}} c) s)
+          WHERE crnk <= {_IVF_NPROBE})
+        SELECT /*+ BROADCAST(p) */ c.vec_id, c.label,
+               {_cos_pre_sparksql('c.embedding', 'c.__n', 'p.qv', 'p.__qn')}
+                 AS cos_sim
+        FROM corpus c JOIN probes p ON c.cell = p.cell
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+        """,
+        e=e,
+        e2=e,
+        cents=cents,
+        cents2=cents,
     )
-    return (
-        corpus.join(F.broadcast(probes), "cell")
-        .select(
-            "vec_id",
-            "label",
-            cosine_pre_col("embedding", "__n", "qv", "__qn").alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
-    )
+    persist_tracked(cents)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -870,41 +1000,94 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline is hash-checked against a DuckDB oracle; tests
     additionally assert a recall floor vs q_sim_search."""
     e = load_table(spark, sf_dir, "embeddings")
-    sub = persist_tracked(_pq_subvectors(e))
-    books = persist_tracked(_pq_codebooks(sub))
-    corpus_codes = _pq_assign(sub.where(F.col("vec_id") != 0), books)
-
-    q_sub = sub.where(F.col("vec_id") == 0).select("s", F.col("sub").alias("qsub"))
-    # per-subspace lookup table: dot(q_s, centroid) for every code
-    qtab = (
-        q_sub.join(books, "s")
-        .select(
-            "s",
-            "cell",
-            # bounded frame (_PQ_M×_PQ_K = 128 rows): fold, not
-            # unroll — a codegen compile costs more than 128
-            # interpreted dots at any scale
-            dot_col(F.col("qsub"), F.col("centroid")).alias("pdot"),
-        )
+    # Three SQL statements (r14, guide §7.3 — one parse/analysis each,
+    # ~0.6 s of eager per-op analysis removed per build; executed plan
+    # unchanged, snapshot- + oracle-gated): subvector split, codebook
+    # training, then code-assign + ADC scan + exact rerank.  The
+    # sub/books pins are unchanged (both feed multiple consumers);
+    # persists are taken AFTER the last templated spark.sql (the
+    # formatter's temp-view cleanup uncaches referenced frames — see
+    # llm_text.q_dedup_fuzzy).
+    width = _DIM // _PQ_M
+    slices = ", ".join(
+        f"slice(embedding, {s * width + 1}, {width})" for s in range(_PQ_M)
     )
-    approx = (
-        corpus_codes.join(F.broadcast(qtab), ["s", "cell"])
-        .groupBy("vec_id")
-        .agg(dsum("pdot").alias("approx_dot"))
-        .orderBy(F.col("approx_dot").desc(), F.col("vec_id"))
-        .limit(_PQ_RERANK)
+    sub = spark.sql(
+        "SELECT vec_id, label, posexplode(array("
+        + slices
+        + ")) AS (s, sub) FROM {e}",
+        e=e,
     )
-    # exact rerank of the pool against true embeddings
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return (
-        approx.join(e, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "label",
-            # bounded frame (_PQ_RERANK rows): fold, not unroll
-            cosine_col(F.col("embedding"), F.col("qv")).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
+    # per-subspace codebooks: seed-assign (unrolled 16-dim L2, the one
+    # width that JIT-compiles — see the formulation note) + Lloyd means
+    l2 = _l2_frag("v.sub", "sd.centroid", width)
+    # nested subqueries, not CTEs: a CTE-bearing producer is never
+    # substituted back from the cache (see _ivf_assign1_subquery)
+    books = spark.sql(
+        f"""
+        {_per_dim_means_sparksql(
+            's, cell',
+            f'''(SELECT a.s, a.cell, v.sub
+   FROM (SELECT vec_id, s, __b.cell AS cell
+         FROM (SELECT vec_id, s, min(struct(__d2, cell)) AS __b
+               FROM (SELECT /*+ BROADCAST(sd) */ v.vec_id, v.s, sd.cell,
+                            {l2} AS __d2
+                     FROM {{sub}} v
+                     JOIN (SELECT s, vec_id AS cell, sub AS centroid
+                           FROM {{seeds}} WHERE vec_id < {_PQ_K}) sd
+                       ON v.s = sd.s)
+               GROUP BY vec_id, s)) a
+   JOIN {{sub2}} v ON a.vec_id = v.vec_id AND a.s = v.s) j''',
+            'sub',
+        )}
+        """,
+        sub=sub,
+        seeds=sub,
+        sub2=sub,
     )
+    l2b = _l2_frag("v.sub", "b.centroid", width)
+    out = spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT /*+ BROADCAST(b) */ v.vec_id, v.s, b.cell, {l2b} AS __d2
+          FROM (SELECT * FROM {{sub}} WHERE vec_id != 0) v
+          JOIN {{books}} b ON v.s = b.s),
+        codes AS (
+          SELECT vec_id, s, __b.cell AS cell
+          FROM (SELECT vec_id, s, min(struct(__d2, cell)) AS __b
+                FROM scored GROUP BY vec_id, s)),
+        qtab AS (
+          -- bounded frame (_PQ_M x _PQ_K = 128 rows): fold, not unroll
+          -- (a codegen compile costs more than 128 interpreted dots)
+          SELECT b.s, b.cell,
+                 {_dot_fold_sparksql('q.qsub', 'b.centroid')} AS pdot
+          FROM (SELECT s, sub AS qsub FROM {{sub2}} WHERE vec_id = 0) q
+          JOIN {{books2}} b ON q.s = b.s),
+        approx AS (
+          SELECT /*+ BROADCAST(t) */ c.vec_id,
+                 {dsum_sql('pdot')} AS approx_dot
+          FROM codes c JOIN qtab t ON c.s = t.s AND c.cell = t.cell
+          GROUP BY c.vec_id
+          ORDER BY approx_dot DESC, c.vec_id
+          LIMIT {_PQ_RERANK})
+        SELECT /*+ BROADCAST(q) */ e.vec_id, e.label,
+               -- bounded frame (_PQ_RERANK rows): fold, not unroll
+               {_cos_fold_sparksql('e.embedding', 'q.qv')} AS cos_sim
+        FROM approx a
+        JOIN {{e}} e ON a.vec_id = e.vec_id
+        CROSS JOIN (SELECT embedding AS qv FROM {{e2}} WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, vec_id
+        LIMIT 10
+        """,
+        sub=sub,
+        sub2=sub,
+        books=books,
+        books2=books,
+        e=e,
+        e2=e,
+    )
+    # downstream frame first, then its input (see
+    # llm_text.q_dedup_fuzzy's persist-order note)
+    persist_tracked(books)
+    persist_tracked(sub)
+    return out
