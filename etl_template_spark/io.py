@@ -125,7 +125,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         cache = _TABLE_HANDLES.setdefault(spark, {})
     except TypeError:  # session not weakref-able (mock in tests)
         cache = {}
-    key = (os.path.abspath(sf_dir), name)
+    # freshness token (r13 ADVICE): a fixture dir regenerated IN PLACE
+    # mid-session (driver re-materializing testdata between rounds)
+    # must not be served a stale resolved file list — fold the parquet
+    # file's (mtime_ns, size) into the key so regeneration simply
+    # misses and re-resolves.  One os.stat per call (~µs) vs the
+    # ~100 ms resolution the cache saves.
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = None
+    key = (os.path.abspath(sf_dir), name, token)
     cached = cache.get(key)
     if cached is not None:
         return cached

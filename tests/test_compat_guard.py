@@ -26,6 +26,22 @@ from etl_template_spark.compat import rounding_agreement_failures
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# r14 (ADVICE): the fixture-scanning guards sweep EVERY fixture SF dir
+# in one run, not just the session's SF_DIR — dsum_fp's bit-identity
+# contract is data-dependent, so certification must cover every scale
+# the driver benches or verifies against, in the same required suite.
+# (The env-pinned SF_DIR is kept in the list so an explicitly pointed
+# run still covers whatever the driver pointed at.)
+_FIXTURE_ROOT = os.path.dirname(SF_DIR.rstrip("/")) or "/root/testdata"
+SF_DIRS = sorted(
+    {
+        p
+        for p in glob.glob(os.path.join(_FIXTURE_ROOT, "sf*"))
+        if os.path.isdir(p) and glob.glob(os.path.join(p, "*.parquet"))
+    }
+    | {SF_DIR}
+)
+
 
 def test_detector_catches_known_divergence():
     """A known diverging double must be flagged — proves the guard can
@@ -166,15 +182,16 @@ def test_detector_overflow_cut_edge_never_crashes():
 
 
 @pytest.mark.parametrize(
-    "table",
+    "sf_dir,table",
     [
-        os.path.basename(p).removesuffix(".parquet")
-        for p in sorted(glob.glob(os.path.join(SF_DIR, "*.parquet")))
+        (d, os.path.basename(p).removesuffix(".parquet"))
+        for d in SF_DIRS
+        for p in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ],
 )
-def test_fixture_double_columns_round_identically(table):
+def test_fixture_double_columns_round_identically(sf_dir, table):
     con = duckdb.connect()
-    path = os.path.join(SF_DIR, f"{table}.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     cols = [
         r[0]
         for r in con.execute(
@@ -200,7 +217,8 @@ def test_fixture_double_columns_round_identically(table):
         )
 
 
-def test_attribution_shares_round_identically():
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_attribution_shares_round_identically(sf_dir):
     """q_attribution_linear's ``share = value / touches`` is the one
     UNROUNDED division that feeds a decimal cast (dsum): a 2-decimal
     price divided by a small count can terminate exactly on a scale-6
@@ -208,7 +226,7 @@ def test_attribution_shares_round_identically():
     class.  Mirrors the registered oracle's pairs/share CTE verbatim
     so the guard sees the very values the recording hashes."""
     con = duckdb.connect()
-    path = os.path.join(SF_DIR, "events.parquet")
+    path = os.path.join(sf_dir, "events.parquet")
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
     )
@@ -239,12 +257,13 @@ def test_attribution_shares_round_identically():
     )
 
 
-def test_derived_price_expressions_round_identically():
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_derived_price_expressions_round_identically(sf_dir):
     """The expressions the TPC-H family feeds to dsum: products of the
     scale-2 price/discount/tax columns (exact at scale ≤ 6 — the reason
     the corpus sits in the agreeing region by construction)."""
     con = duckdb.connect()
-    path = os.path.join(SF_DIR, "lineitem.parquet")
+    path = os.path.join(sf_dir, "lineitem.parquet")
     rows = con.execute(
         "SELECT DISTINCT l_extendedprice * (1 - l_discount), "
         "l_extendedprice * (1 - l_discount) * (1 + l_tax) "
@@ -256,15 +275,18 @@ def test_derived_price_expressions_round_identically():
     assert not bad, f"derived price expressions in the risk region: {bad[:3]}"
 
 
-def test_fixed_point_money_agreement(spark):
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_fixed_point_money_agreement(spark, sf_dir):
     """CONTRACT GATE for ``compat.dsum_fp``/``davg_fp``/``fp6`` (r13):
     for every money column and derived expression routed through the
     fixed-point twins, the pure-FP rounding
     ``sign(x)·floor(|x|·1e6 + 0.5)`` must equal the unscaled value of
     Spark's shortest-repr double→decimal(30,6) cast on EVERY value in
-    the fixtures.  A single divergent value here means the fast twins
-    would no longer be bit-identical to dsum/davg — move the affected
-    call sites back to the decimal path before shipping."""
+    the fixtures — swept over EVERY fixture SF dir (r14 ADVICE), so a
+    driver-regenerated fixture at any scale trips the gate.  A single
+    divergent value here means the fast twins would no longer be
+    bit-identical to dsum/davg — move the affected call sites back to
+    the decimal path before shipping."""
     from pyspark.sql import functions as F
 
     from etl_template_spark.io import load_table
@@ -277,8 +299,8 @@ def test_fixed_point_money_agreement(spark):
     def exact(c):
         return (c.cast("decimal(30,6)") * 1000000).cast("long")
 
-    li = load_table(spark, SF_DIR, "lineitem")
-    p = load_table(spark, SF_DIR, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
     lp = li.join(p, li.l_partkey == p.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     cases = [
@@ -288,9 +310,9 @@ def test_fixed_point_money_agreement(spark):
             F.col("l_extendedprice") * F.col("l_discount"),      # Q6
             F.col("l_extendedprice") * F.col("l_quantity")]),    # Q11
         (lp, [rev - F.col("p_retailprice") * 0.1 * F.col("l_quantity")]),  # Q9
-        (load_table(spark, SF_DIR, "orders"), [F.col("o_totalprice")]),
-        (load_table(spark, SF_DIR, "customer"), [F.col("c_acctbal")]),
-        (load_table(spark, SF_DIR, "events"), [F.col("value")]),
+        (load_table(spark, sf_dir, "orders"), [F.col("o_totalprice")]),
+        (load_table(spark, sf_dir, "customer"), [F.col("c_acctbal")]),
+        (load_table(spark, sf_dir, "events"), [F.col("value")]),
     ]
     for df, exprs in cases:
         for i, e in enumerate(exprs):
