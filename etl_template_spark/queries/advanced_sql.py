@@ -189,7 +189,16 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_approx_percentile), checked rows-only because estimates are
     engine-specific.  Formulation lives in operators/percentiles.py
     (property-tested vs numpy linear interpolation); this query is its
-    oracle-checked instantiation."""
+    oracle-checked instantiation.
+
+    PLAN NOTE (r14): the executed plan changed through the shared
+    operator (one pinned key-repartition now feeds the group list and
+    every per-column window sort — 3 lineitem scans+shuffles → 1 scan
+    + 1 shuffle + cache reads, commit 2dbbea3) without this module's
+    content changing.  This note exists to invalidate the recorded
+    stamp so the r14 window re-certifies the current plan — the same
+    shared-helper blind-spot closure r11 used for the containment/
+    prefix pair."""
     from ..operators.percentiles import exact_group_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -65,7 +65,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (global median, then median absolute deviation), each a
     1-row scalar broadcast back onto the series; days with
     ``|score| > 3`` flag as anomalies.  ``mad_score`` is NULL when the
-    MAD degenerates to 0 (constant series) — both engines agree."""
+    MAD degenerates to 0 (constant series) — both engines agree.
+
+    PLAN NOTE (r14): both exact-median passes changed plan through the
+    shared percentile operator's r14 rework (shared pinned key-shuffle,
+    rank-arithmetic NULL handling — commit 2dbbea3) without this
+    module's content changing; this note invalidates the recorded stamp
+    so the r14 window re-certifies the current plan (r11 blind-spot
+    precedent)."""
     ev = load_table(spark, sf_dir, "events")
     # The daily series feeds THREE consumers (median pass, MAD pass,
     # final scoring); without a persist each one re-aggregates the fact

@@ -518,6 +518,65 @@ def test_round13_window_matches_prediction():
     )
 
 
+# The intended round-14 correctness window, pinned after the round's
+# optimization edits settled (r13-VERDICT item 8 asked for the
+# staleness rotation "unless r14 edits again invalidate broadly" —
+# they do: the SQL-text build rework touched similarity/llm_text/
+# aggregates/tpch_full/tpch_shapes, leaving 75 recorded queries
+# invalidated).  The window is exactly the mechanism's output:
+# invalidated entries stalest-recorded-first (the r12-era
+# joins/streams/subquery/sessionize blocks that r13 invalidated but
+# never re-recorded, then the r13-era agg/tpch blocks), no
+# hand-picking — with ONE principled addition: PLAN NOTE docstrings in
+# advanced_sql.py/anomaly.py invalidate q_agg_percentile and
+# q_anomaly_mad, whose executed plans changed through the shared
+# percentile operator (operators/percentiles.py, commit 2dbbea3) that
+# the defining-module content hash cannot see — the same blind spot
+# r11 closed for q_dedup_containment/q_dedup_prefix.  25 invalidated
+# entries do not fit the 50-slot window (the q_dedup_* family,
+# q_events_*, and the tpch_full tail q_tpch_q16/q6/q2/q8/q9 among
+# them); their current content is covered by the bit-exact snapshot
+# equality gates, the local 180/180 DuckDB differential, and the
+# committed plan artifacts (plans/r14/).
+ROUND14_WINDOW = [
+    'q_fingerprint', 'q_tfidf', 'q_heavy_hitters', 'q_corpus_curation',
+    'q_sim_search', 'q_sim_search_lsh', 'q_dedup_embedding',
+    'q_knn_join_blocked', 'q_sim_search_ivf', 'q_sim_search_pq',
+    'q_dedup_semantic', 'q_anomaly_mad', 'q_join_inner', 'q_join_left',
+    'q_join_right', 'q_join_full', 'q_join_semi', 'q_join_anti',
+    'q_subquery_scalar', 'q_subquery_in', 'q_subquery_correlated',
+    'q_agg_stats', 'q_agg_percentile', 'q_string_agg',
+    'q_stream_tumbling', 'q_stream_sliding', 'q_sessionize',
+    'q_stream_dedup_late', 'q_stream_join', 'q_sessionize_native',
+    'q_stream_distinct_users', 'q_rank_metrics', 'q_agg_group',
+    'q_agg_global', 'q_agg_distinct', 'q_agg_having', 'q_agg_approx',
+    'q_agg_approx_percentile', 'q_rollup', 'q_cube', 'q_grouping_sets',
+    'q_agg_pivot', 'q_unpivot', 'q_agg_sketch_rollup', 'q_tpch_q3',
+    'q_tpch_q18', 'q_tpch_q4', 'q_tpch_q7', 'q_tpch_q10', 'q_tpch_q12',
+]
+
+
+def test_round14_window_matches_prediction():
+    """Window-drift tripwire, round-14 edition (same pattern as
+    r5-r13).  BEFORE the round-14 recording lands, the live exposure
+    order must start with exactly the pinned prediction; AFTER
+    CORRECTNESS_r14.json exists, the names the driver actually recorded
+    must match a prefix of the prediction."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r14 = os.path.join(repo, "CORRECTNESS_r14.json")
+    if not os.path.exists(r14):
+        assert list(entry_mod.queries())[:50] == ROUND14_WINDOW
+        return
+    with open(r14) as f:
+        recorded = list(json.load(f))
+    assert set(recorded) == set(ROUND14_WINDOW[: len(recorded)]), (
+        "r14 recorded a different window than the round-14 build predicted"
+    )
+
+
 # The intended round-11 correctness window, pinned at the start of the
 # round-11 build per the r10 VERDICT rotation directive: zero fresh and
 # re-pinned mid-round (r11): the round's perf edits deliberately
